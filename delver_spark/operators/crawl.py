@@ -1,0 +1,366 @@
+"""The crawl engine: delver's pipeline as one DataFrame job per round.
+
+Each round (SURVEY §3.1 "Spark translation"):
+
+  refill-if-empty (S3) → dequeue under politeness budget (O1/O2, window +
+  TakeOrdered) → broadcast-join payloads (J1, IN-filter pushdown into the
+  parquet scan) → decode + extract in ONE Arrow-batched mapInPandas
+  (X1-X11) → admission split (F6): same-domain candidates bloom-gated
+  (F7/J3) vs cross-domain stash (append-only url_store) → assign
+  enqueue_seq → union frontier delta → treeAggregate bloom merge →
+  snapshot commit (T8).
+
+State is distributed (frontier / url_store DataFrames, localCheckpoint'd
+per round to truncate lineage); only round-bounded artifacts (the <= G
+fetched rows, counters) touch the driver. The url_store is APPEND-ONLY —
+last-wins dedupe happens once per refill on the single published domain,
+not per round, so no full-store shuffle ever runs (SURVEY J4/O5 + Badger
+Set overwrite semantics, resource/maps/persistent.go:23-41).
+
+Determinism contract: matches delver_spark.oracle.crawler.OracleCrawler
+bit-for-bit on crawl order and bloom bitmap (tests/test_crawl_spark.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..engine.bloom import BloomFilter
+from ..engine.robots import parse_robots
+from ..engine.urlnorm import canonicalize, host_of
+from ..sources.snapshot import SnapshotStore
+from .extract import EXTRACT_SCHEMA, make_extractor
+from .frontier import (
+    FRONTIER_SCHEMA,
+    ORDER_COLS,
+    STORE_SCHEMA,
+    bloom_bits_for_urls,
+    dequeue,
+    make_bloom_probe,
+    make_robots_udf,
+)
+
+_STORE_SCHEMA_W_HOST = STORE_SCHEMA.add("host", "string", False)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
+                 n_partitions: int = 8, collect_documents: bool = True):
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.workdir = workdir
+        self.n_partitions = n_partitions
+        self.collect_documents = collect_documents
+        self.store = SnapshotStore(workdir)
+
+        with open(os.path.join(corpus_dir, "params.json")) as f:
+            self.params = json.load(f)
+        p = self.params
+        self.max_depth = p["max_depth"]
+        self.B = p["per_host_budget"]
+        self.G = p["global_budget"]
+        self.max_rounds = p["max_rounds"]
+
+        # payload table: at 100 TB this is the Iceberg table bucketed/sorted
+        # by url_canon; per-round access is an IN-filter over <= G keys that
+        # pushes down to parquet row-group stats (no full scan per round).
+        self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet")) \
+            .select("url_canon", "bytes", "fmt", "caption", "phash", "pix_md5")
+        golden = os.path.join(corpus_dir, "golden_pixels.parquet")
+        self.golden = spark.read.parquet(golden) if os.path.exists(golden) else None
+
+        robots_pd = pq.read_table(os.path.join(corpus_dir, "robots.parquet")).to_pylist()
+        self.robots_rules = {r["host"]: parse_robots(r["body"]) for r in robots_pd}
+        self.robots_ok, self._robots_bc = make_robots_udf(spark, self.robots_rules)
+
+        self.bloom = BloomFilter(p["bloom_max_n"], p["bloom_p"])
+        self.extractor = make_extractor(n_partitions)
+
+        # mutable state
+        self.frontier: DataFrame | None = None
+        self.url_store: DataFrame = spark.createDataFrame([], _STORE_SCHEMA_W_HOST)
+        self.frontier_count = 0
+        self.seq = 0
+        self.fetch_seq = 0
+        self.round = 0
+        # driver-side buffers, flushed-and-cleared at checkpoints
+        self.crawl_order: list[dict] = []
+        self.lineage: list[dict] = []
+        self.documents: list[pd.DataFrame] = []
+
+    # ------------------------------------------------------------------ seed
+    def seed(self):
+        seeds = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet")).to_pylist()
+        rows = []
+        for s in seeds:
+            c = canonicalize(s["url"])
+            if c is None:
+                continue
+            rows.append((int(s["priority"]), 0, self.seq, c, host_of(c), 0, None))
+            self.seq += 1
+        self.frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
+            .localCheckpoint(eager=True)
+        self.frontier_count = len(rows)
+
+    # ---------------------------------------------------------------- refill
+    def _refill(self, rnd: int) -> int:
+        """dfs_basic publisher (S3/O4/O5): first lexicographic domain with
+        >= 1 robots-allowed url; publish last-wins-deduped urls in url
+        order at depth 0; drop the domain from the store."""
+        ok_store = self.url_store.withColumn(
+            "ok", self.robots_ok(F.col("host"), F.col("url")))
+        first = ok_store.filter("ok").agg(F.min("domain").alias("d")).collect()[0]["d"]
+        if first is None:
+            return 0
+        w_last = Window.partitionBy("url").orderBy(F.col("stash_key").desc())
+        pub = (ok_store.filter(F.col("domain") == first).filter("ok")
+               .withColumn("rn", F.row_number().over(w_last)).filter("rn = 1")
+               .withColumn("seq_off", F.row_number().over(Window.orderBy("url")) - 1)
+               .select(
+                   F.lit(0).alias("priority"),
+                   F.lit(rnd).alias("enqueue_round"),
+                   (F.lit(self.seq) + F.col("seq_off")).alias("enqueue_seq"),
+                   F.col("url"), F.col("host"),
+                   F.lit(0).alias("depth"), F.col("origin"))
+               .localCheckpoint(eager=True))
+        n = pub.count()
+        self.seq += n
+        self.frontier = self.frontier.unionByName(pub).localCheckpoint(eager=True)
+        self.frontier_count += n
+        self.url_store = self.url_store.filter(F.col("domain") != first) \
+            .localCheckpoint(eager=True)
+        return n
+
+    # ------------------------------------------------------------- one round
+    def run_round(self) -> bool:
+        rnd = self.round
+        if self.frontier_count == 0:
+            if self._refill(rnd) == 0:
+                return False
+
+        batch = dequeue(self.frontier, self.B, self.G).localCheckpoint(eager=True)
+        batch_count = batch.count()
+        if batch_count == 0:
+            return False
+        self.frontier = self.frontier.join(
+            batch.select("enqueue_seq"), "enqueue_seq", "left_anti") \
+            .localCheckpoint(eager=True)
+        self.frontier_count -= batch_count
+
+        # ---- fetch: IN-filter pushdown + broadcast hash join (J1) ----------
+        batch_urls = [r["url"] for r in batch.select("url").collect()]
+        payload = self.pages.filter(F.col("url_canon").isin(batch_urls))
+        if self.golden is not None:
+            payload = payload.join(self.golden.withColumnRenamed("pixels", "golden_pixels"),
+                                   "url_canon", "left")
+        fetched = batch.join(F.broadcast(payload),
+                             batch.url == payload.url_canon, "left") \
+            .select(batch.pos, batch.url.alias("url_canon"), batch.depth,
+                    batch.host, "bytes", "fmt", "caption", "phash", "pix_md5",
+                    *(["golden_pixels"] if self.golden is not None else []))
+
+        extracted = fetched.mapInPandas(self.extractor, EXTRACT_SCHEMA) \
+            .localCheckpoint(eager=True)
+
+        # ---- driver-bounded artifacts (<= G rows) ---------------------------
+        ext_pd = extracted.drop("outlinks").toPandas().sort_values("pos")
+        for _, r in ext_pd.iterrows():
+            self.crawl_order.append({
+                "seq": self.fetch_seq + int(r["pos"]), "url_canon": r["url_canon"],
+                "depth": int(r["depth"]), "round": rnd, "host": r["host"],
+                "success": bool(r["success"]),
+            })
+        self.fetch_seq += batch_count
+        if self.collect_documents:
+            doc = ext_pd[ext_pd["success"]].copy()
+            doc["round"] = rnd
+            self.documents.append(doc)
+
+        # ---- admission (F6/F7): same-domain candidates ----------------------
+        cands = (extracted.filter("success")
+                 .select(F.col("pos").alias("page_pos"),
+                         F.col("url_canon").alias("page_url"),
+                         F.col("depth").alias("page_depth"),
+                         F.col("domain").alias("page_domain"),
+                         F.col("partition_id"),
+                         F.explode("outlinks").alias("l"))
+                 .select("page_pos", "page_url", "page_depth", "page_domain",
+                         "partition_id", "l.link_pos", "l.url", "l.host",
+                         "l.domain"))
+
+        same = cands.filter((F.col("domain") == F.col("page_domain"))
+                            & (F.col("page_depth") < self.max_depth))
+        stash = cands.filter(F.col("domain") != F.col("page_domain"))
+
+        probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
+        f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
+                         .agg(F.min("pos").alias("f_pos"))
+        gated = (same
+                 .withColumn("in_bloom", probe(F.col("url")))
+                 .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
+        eligible = gated.filter(~F.col("in_bloom")
+                                & (F.col("f_pos").isNull()
+                                   | (F.col("f_pos") > F.col("page_pos"))))
+        # first page (in dequeue order) wins the enqueue; later pages would
+        # have seen the bloom bit (sequential-oracle equivalence). Same-page
+        # raw-distinct duplicates are all admitted (reference quirk).
+        w_url = Window.partitionBy("url")
+        admitted = (eligible
+                    .withColumn("min_pp", F.min("page_pos").over(w_url))
+                    .filter(F.col("page_pos") == F.col("min_pp"))
+                    .withColumn("rn", F.row_number().over(
+                        Window.orderBy("page_pos", "link_pos")) - 1)
+                    .select(
+                        F.lit(0).alias("priority"),
+                        F.lit(rnd).alias("enqueue_round"),
+                        (F.lit(self.seq) + F.col("rn")).alias("enqueue_seq"),
+                        F.col("url"), F.col("host"),
+                        (F.col("page_depth") + 1).alias("depth"),
+                        F.col("page_url").alias("origin"),
+                        F.col("partition_id"), F.col("page_pos"))
+                    .localCheckpoint(eager=True))
+        admitted_count = admitted.count()
+        self.seq += admitted_count
+
+        # ---- lineage counters (A3) ------------------------------------------
+        agg = {r["partition_id"]: {"fetched": r["n"], "deduped": 0,
+                                   "enqueued": 0, "stashed": 0}
+               for r in ext_pd.groupby("partition_id").size()
+                              .reset_index(name="n").to_dict("records")}
+        for r in same.groupBy("partition_id").count().collect():
+            agg.setdefault(r["partition_id"], {"fetched": 0, "deduped": 0,
+                                               "enqueued": 0, "stashed": 0})
+            agg[r["partition_id"]]["deduped"] += r["count"]
+        for r in admitted.groupBy("partition_id").count().collect():
+            agg[r["partition_id"]]["enqueued"] += r["count"]
+            agg[r["partition_id"]]["deduped"] -= r["count"]
+        for r in stash.groupBy("partition_id").count().collect():
+            agg.setdefault(r["partition_id"], {"fetched": 0, "deduped": 0,
+                                               "enqueued": 0, "stashed": 0})
+            agg[r["partition_id"]]["stashed"] += r["count"]
+        for part in sorted(agg):
+            self.lineage.append({"round": rnd, "partition": int(part), **agg[part]})
+
+        # ---- state updates ----------------------------------------------------
+        self.frontier = self.frontier.unionByName(
+            admitted.drop("partition_id", "page_pos")).localCheckpoint(eager=True)
+        self.frontier_count += admitted_count
+
+        stash_rows = stash.select(
+            "domain", "url",
+            F.col("page_url").alias("origin"),
+            (F.lit(rnd) * F.lit(1 << 40)
+             + F.col("page_pos") * F.lit(1 << 20)
+             + F.col("link_pos")).alias("stash_key"),
+            "host")
+        self.url_store = self.url_store.unionByName(stash_rows) \
+            .localCheckpoint(eager=True)
+
+        # ---- bloom merge: treeAggregate of per-partition bitsets -------------
+        insert_urls = extracted.select("url_canon").unionAll(admitted.select("url"))
+        bits = bloom_bits_for_urls(insert_urls, self.bloom.max_n, self.bloom.p)
+        new_n = self.bloom.n + batch_count + admitted_count
+        if new_n > self.bloom.max_n:
+            raise RuntimeError(
+                f"bloom sized too small for corpus (n={new_n} > maxN="
+                f"{self.bloom.max_n}); reference would silently drop inserts")
+        self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
+        probe_bc.destroy()
+
+        self.round += 1
+        return True
+
+    # ------------------------------------------------------------------- run
+    def run(self, max_rounds: int | None = None, checkpoint_every: int = 0) -> dict:
+        if self.frontier is None:
+            self.seed()
+        limit = self.max_rounds if max_rounds is None else max_rounds
+        while self.round < limit:
+            if not self.run_round():
+                break
+            if checkpoint_every and self.round % checkpoint_every == 0:
+                self.checkpoint()
+        self.checkpoint()
+        return {"rounds": self.round, "fetched": self.fetch_seq,
+                "frontier_ops": self.seq, "bloom_bits": int(np.count_nonzero(self.bloom.words))}
+
+    # ------------------------------------------------------------- checkpoint
+    def checkpoint(self):
+        rnd = self.round
+        fdir = self.store.state_dir("frontier", rnd)
+        sdir = self.store.state_dir("url_store", rnd)
+        self.frontier.write.mode("overwrite").parquet(fdir)
+        self.url_store.write.mode("overwrite").parquet(sdir)
+        self.store.save_bloom(rnd, self.bloom.to_bytes())
+        if self.crawl_order:
+            d = self.store.state_dir("crawl_order", rnd)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.Table.from_pylist(self.crawl_order),
+                           os.path.join(d, "part.parquet"))
+            self.crawl_order = []
+        if self.lineage:
+            d = self.store.state_dir("lineage", rnd)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.Table.from_pylist(self.lineage),
+                           os.path.join(d, "part.parquet"))
+            self.lineage = []
+        if self.documents:
+            d = self.store.state_dir("documents", rnd)
+            os.makedirs(d, exist_ok=True)
+            docs = pd.concat(self.documents, ignore_index=True)
+            docs = docs.drop(columns=[c for c in ("countries", "companies")
+                                      if c in docs.columns])
+            pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                           os.path.join(d, "part.parquet"))
+            self.documents = []
+        self.store.commit({
+            "round": rnd, "seq": self.seq, "fetch_seq": self.fetch_seq,
+            "frontier_count": self.frontier_count, "bloom_n": self.bloom.n,
+            "frontier_dir": fdir, "url_store_dir": sdir,
+        })
+
+    # ----------------------------------------------------------------- resume
+    @classmethod
+    def resume(cls, spark: SparkSession, corpus_dir: str, workdir: str,
+               n_partitions: int = 8, collect_documents: bool = True) -> "CrawlEngine":
+        eng = cls(spark, corpus_dir, workdir, n_partitions, collect_documents)
+        m = eng.store.last_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot under {workdir}")
+        eng.round = m["round"]
+        eng.seq = m["seq"]
+        eng.fetch_seq = m["fetch_seq"]
+        eng.frontier_count = m["frontier_count"]
+        eng.bloom = BloomFilter.from_bytes(eng.store.load_bloom(m["round"]))
+        eng.frontier = spark.read.schema(FRONTIER_SCHEMA) \
+            .parquet(m["frontier_dir"]).localCheckpoint(eager=True)
+        eng.url_store = spark.read.schema(_STORE_SCHEMA_W_HOST) \
+            .parquet(m["url_store_dir"]).localCheckpoint(eager=True)
+        return eng
+
+    # -------------------------------------------------------------- accessors
+    def crawl_order_df(self) -> pd.DataFrame:
+        """Full committed crawl order (flushed parts + buffer)."""
+        parts = self.store.part_dirs("crawl_order", self.round)
+        frames = [pq.read_table(p).to_pandas() for p in parts]
+        if self.crawl_order:
+            frames.append(pd.DataFrame(self.crawl_order))
+        return (pd.concat(frames, ignore_index=True).sort_values("seq")
+                .reset_index(drop=True)) if frames else pd.DataFrame()
+
+    def lineage_df(self) -> pd.DataFrame:
+        parts = self.store.part_dirs("lineage", self.round)
+        frames = [pq.read_table(p).to_pandas() for p in parts]
+        if self.lineage:
+            frames.append(pd.DataFrame(self.lineage))
+        return (pd.concat(frames, ignore_index=True)
+                .sort_values(["round", "partition"]).reset_index(drop=True)
+                ) if frames else pd.DataFrame()

@@ -1,0 +1,156 @@
+"""Fetch-decode-extract stage: Arrow-batched ``mapInPandas`` over the
+scheduled batch joined to the payload table (SURVEY §2.7 X1-X11, §2.8).
+
+The extractor DAG of the reference (composite extractor waves,
+worker/extractor/composite.go:49-131) is resolved at plan time: every
+feature is computed from its input columns inside ONE vectorized pass —
+no per-row Python UDF, no JSON envelopes. Payload decode implements the
+BASELINE.json per-row invariant: decoded-pixel exactness for lossless
+``ppm`` (md5 equality == allclose), PSNR >= 40 dB for lossy ``qjpg`` when
+golden pixels are joined in, pHash equality always.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+
+from ..engine.extract_ref import (
+    adversarial,
+    detect_language,
+    extract_outlinks,
+    extract_text,
+    extract_title,
+    match_companies,
+    match_countries,
+    sentiment_binary,
+)
+from ..engine.urlnorm import canonicalize, host_of, sld_tld
+from ..fixtures.codecs import decode, phash64, psnr
+from ..oracle.crawler import partition_of
+
+OUTLINK_TYPE = T.ArrayType(T.StructType([
+    T.StructField("link_pos", T.IntegerType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("domain", T.StringType()),
+]))
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("pos", T.LongType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("success", T.BooleanType()),
+    T.StructField("http_code", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("payload_ok", T.BooleanType()),
+    T.StructField("phash_ok", T.BooleanType()),
+    T.StructField("psnr", T.DoubleType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("text_len", T.IntegerType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+    T.StructField("sentiment", T.IntegerType()),
+    T.StructField("countries", T.ArrayType(T.StringType())),
+    T.StructField("companies", T.ArrayType(T.StringType())),
+    T.StructField("enumeration", T.BooleanType()),
+    T.StructField("subdomain_explosion", T.BooleanType()),
+    T.StructField("outlinks", OUTLINK_TYPE),
+])
+
+
+def make_extractor(n_partitions: int = 8):
+    """Build the mapInPandas body with ``n_partitions`` captured in the
+    closure (cleanly serialized to executors)."""
+
+    def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _extract(it, n_partitions)
+
+    return extract_batches
+
+
+def _extract(it: Iterator[pd.DataFrame], n_partitions: int) -> Iterator[pd.DataFrame]:
+    """Input batch columns: pos, url_canon, depth, host, bytes, fmt,
+    caption, phash, pix_md5 [, golden_pixels].  Rows with null ``caption``
+    are fetch misses (reference fetcher emits the error row,
+    worker/fetcher/http.go:37-100)."""
+    for pdf in it:
+        n = len(pdf)
+        out = {k: [None] * n for k in (
+            "content_md5", "payload_ok", "phash_ok", "psnr", "title", "text",
+            "text_len", "lang", "lang_conf", "sentiment", "countries",
+            "companies", "enumeration", "subdomain_explosion", "outlinks")}
+        success = pdf["caption"].notna().to_numpy()
+        has_golden = "golden_pixels" in pdf.columns
+        for i in range(n):
+            if not success[i]:
+                continue
+            url = pdf["url_canon"].iat[i]
+            caption = pdf["caption"].iat[i]
+            blob = pdf["bytes"].iat[i]
+            fmt = pdf["fmt"].iat[i]
+            # --- payload invariant (BASELINE.json input_hint) -------------
+            out["content_md5"][i] = hashlib.md5(blob).hexdigest()
+            pix = decode(bytes(blob), fmt)
+            ph_ok = phash64(pix) == pdf["phash"].iat[i]
+            out["phash_ok"][i] = bool(ph_ok)
+            if fmt == "ppm":
+                ok = hashlib.md5(pix.tobytes()).hexdigest() == pdf["pix_md5"].iat[i]
+                out["payload_ok"][i] = bool(ok)  # lossless: exact == allclose
+            elif has_golden and pdf["golden_pixels"].iat[i] is not None:
+                orig = np.frombuffer(pdf["golden_pixels"].iat[i], np.uint8).reshape(pix.shape)
+                p = psnr(orig, pix)
+                out["psnr"][i] = float(p)
+                out["payload_ok"][i] = bool(p >= 40.0 and ph_ok)
+            else:
+                out["payload_ok"][i] = bool(ph_ok)
+            # --- feature extraction (X1-X10) --------------------------------
+            cap_bytes = caption.encode("utf-8")
+            title = extract_title(cap_bytes)
+            text_b = extract_text(cap_bytes)
+            text = text_b.decode("utf-8", "replace") if text_b else None
+            out["title"][i] = title
+            out["text"][i] = text
+            out["text_len"][i] = len(text_b) if text_b else None
+            if text:
+                lang, conf = detect_language(text)
+                out["lang"][i] = lang
+                out["lang_conf"][i] = float(conf)
+                if lang == "en" and title:
+                    out["sentiment"][i] = sentiment_binary(title)
+                out["countries"][i] = match_countries(text)
+                out["companies"][i] = match_companies(text)
+            links = extract_outlinks(url, cap_bytes)
+            enum, boom = adversarial(url, links)
+            out["enumeration"][i] = bool(enum)
+            out["subdomain_explosion"][i] = bool(boom)
+            ol = []
+            for lp, raw in enumerate(links):
+                lc = canonicalize(raw)
+                if lc is None:
+                    continue
+                lh = host_of(lc)
+                ol.append({"link_pos": lp, "url": lc, "host": lh,
+                           "domain": sld_tld(lh)})
+            out["outlinks"][i] = ol
+
+        hosts = pdf["host"].tolist()
+        yield pd.DataFrame({
+            "pos": pdf["pos"].astype("int64"),
+            "url_canon": pdf["url_canon"],
+            "depth": pdf["depth"].astype("int32"),
+            "host": pdf["host"],
+            "domain": [sld_tld(h) for h in hosts],
+            "partition_id": np.int32([partition_of(h, n_partitions) for h in hosts]),
+            "success": success,
+            "http_code": np.where(success, 200, 404).astype("int32"),
+            **{k: pd.Series(v, dtype=object) for k, v in out.items()},
+        })

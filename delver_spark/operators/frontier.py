@@ -1,0 +1,117 @@
+"""Frontier primitives: politeness dequeue, bloom probe/merge, robots gate.
+
+Scale notes (10^10-row frontier, SURVEY §4.2):
+  - dequeue is per-host ranking (distributed window over the host-hash
+    partitioning) followed by a global top-G, which Spark executes as
+    TakeOrdered (per-partition top-G, then merge of G-row heaps) — no
+    single-partition global sort ever touches the full frontier;
+  - the bloom is built per-partition in numpy and OR-merged with
+    ``treeAggregate(depth=2)`` (BASELINE.json names this topology), then
+    broadcast for the next round's membership probes;
+  - the politeness budget is applied BEFORE any salting (it is a semantic
+    limit, not an optimization — SURVEY §4.2.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..engine.bloom import BloomFilter
+from ..engine.robots import allowed_batch
+from ..engine.urlnorm import path_of
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("priority", T.IntegerType(), False),
+    T.StructField("enqueue_round", T.IntegerType(), False),
+    T.StructField("enqueue_seq", T.LongType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("origin", T.StringType(), True),
+])
+
+STORE_SCHEMA = T.StructType([
+    T.StructField("domain", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("origin", T.StringType(), True),
+    T.StructField("stash_key", T.LongType(), False),
+])
+
+ORDER_COLS = ["priority", "enqueue_round", "enqueue_seq"]
+
+
+def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int) -> DataFrame:
+    """Greedy dequeue under per-host + global budgets in
+    (priority, enqueue_round, enqueue_seq) order — provably equal to the
+    oracle's sequential greedy (first-B-per-host ∩ global-top-G).
+    Returns the batch with a 0-based ``pos`` column in global order."""
+    w_host = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
+    eligible = (frontier
+                .withColumn("host_rank", F.row_number().over(w_host))
+                .filter(F.col("host_rank") <= per_host_budget)
+                .drop("host_rank"))
+    batch = eligible.orderBy(*ORDER_COLS).limit(global_budget)
+    # pos over <= G rows: single-partition window is bounded by the budget
+    w_pos = Window.orderBy(*[F.col(c) for c in ORDER_COLS])
+    return batch.withColumn("pos", F.row_number().over(w_pos) - 1)
+
+
+def make_bloom_probe(spark: SparkSession, bloom: BloomFilter):
+    """Vectorized membership probe against a broadcast of the current
+    bloom bitmap (SURVEY J3). Returns (udf, broadcast_handle)."""
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    @pandas_udf("boolean")
+    def probe(urls: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(bf.contains_batch(urls.tolist()))
+
+    return probe, bc
+
+
+def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float) -> np.ndarray:
+    """Per-partition numpy bitsets OR-merged via treeAggregate(depth=2)
+    (SURVEY §4.2.3). ``urls_df`` must have a single string column."""
+    proto = BloomFilter(max_n, p)
+    nwords = len(proto.words)
+
+    def build(it):
+        local = BloomFilter(max_n, p)
+        batch = [r[0] for r in it]
+        if batch:
+            local._set_positions(local.probes_batch(batch))
+        yield local.words
+
+    rdd = urls_df.rdd.mapPartitions(build)
+    zero = np.zeros(nwords, dtype=np.uint64)
+    return rdd.treeAggregate(zero, lambda a, b: a | b, lambda a, b: a | b, depth=2)
+
+
+def make_robots_udf(spark: SparkSession, rules_by_host: dict):
+    """Vectorized robots gate (SURVEY F5/J2): broadcast tiny rules table,
+    longest-prefix Allow/Disallow per batch."""
+    bc = spark.sparkContext.broadcast(rules_by_host)
+
+    @pandas_udf("boolean")
+    def robots_ok(hosts: pd.Series, urls: pd.Series) -> pd.Series:
+        rules = bc.value
+        paths = [path_of(u) for u in urls]
+        return pd.Series(allowed_batch(rules, hosts.tolist(), paths))
+
+    return robots_ok, bc
+
+
+def salted_repartition(df: DataFrame, key: str, n_partitions: int,
+                       n_salts: int = 8, salt_col: str = "url") -> DataFrame:
+    """Explicit salted repartitioning on hash(key) to break hot-host skew
+    (BASELINE.json north_star; SURVEY §4.2.1). Used for the
+    order-insensitive fetch/extract stage; order is restored downstream by
+    the explicit (priority, enqueue_round, enqueue_seq) keys."""
+    salt = F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts))
+    return df.repartition(n_partitions, F.pmod(
+        F.hash(F.col(key)) * F.lit(n_salts) + salt, F.lit(n_partitions)))

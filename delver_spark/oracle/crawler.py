@@ -1,0 +1,241 @@
+"""Single-threaded pure-Python reference oracle (SURVEY §2.5, §5.2-2).
+
+This is the executable definition of "reference crawl order": the
+deterministic serialization of delver's dfs_basic pipeline —
+
+  round loop:
+    refill when frontier empty (worker/publisher/dfs_basic.go:80-183,
+      lexicographic domain + url order per SURVEY O4/O5; robots-checked,
+      0-publish domains retained — reference keeps dirs that publish 0)
+    dequeue under (per_host_budget, global_budget) in
+      (priority, enqueue_round, enqueue_seq) order (queue/file.go:250-280
+      alphabetized-filename order made deterministic; politeness budget per
+      BASELINE.json north_rule)
+    per fetched page, in dequeue order:
+      mark visited in bloom BEFORE link handling
+        (worker/accumulator/dfs_basic.go:48,61-65)
+      outlinks = FSM extract → first-occurrence dedupe on raw → resolve
+        (extractors/url.go:26-35) → canonicalize (engine spec, SURVEY §1.5)
+      same sld_tld + depth < max_depth → enqueue unless bloom-positive
+        (dfs_basic.go:87-99); enqueued batch SetMany'd after the page
+        (dfs_basic.go:121-123)
+      different sld_tld → stash url_store[domain][url] = origin
+        (dfs_basic.go:100-118; Badger Set overwrites → last-wins)
+
+The Spark engine must reproduce ``crawl_order`` (list equality) and the
+bloom bitmap (bit positions equality) exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..engine.bloom import BloomFilter
+from ..engine.extract_ref import extract_outlinks
+from ..engine.murmur import hash128
+from ..engine.robots import allowed, parse_robots
+from ..engine.urlnorm import canonicalize, host_of, path_of, sld_tld
+
+
+@dataclass
+class Page:
+    url: str
+    caption: str
+    host: str
+
+
+@dataclass
+class FrontierEntry:
+    priority: int
+    enqueue_round: int
+    enqueue_seq: int
+    url: str  # canonical
+    depth: int
+    origin: str
+
+
+@dataclass
+class CrawlResult:
+    crawl_order: list[dict] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)
+    documents: list[dict] = field(default_factory=list)
+    bloom: BloomFilter | None = None
+    rounds: int = 0
+
+
+def partition_of(host: str, n_partitions: int) -> int:
+    """Deterministic partition id used for lineage counters (same formula on
+    the Spark side): murmur3 upper-half of the host mod n_partitions."""
+    return int(hash128(host.encode())[0] % n_partitions)
+
+
+class OracleCrawler:
+    def __init__(self, pages: dict[str, Page], robots_bodies: dict[str, str],
+                 seeds: list[tuple[str, int]], *, max_depth: int = 3,
+                 per_host_budget: int = 4, global_budget: int = 64,
+                 max_rounds: int = 200, bloom_max_n: int = 100000,
+                 bloom_p: float = 0.01, n_partitions: int = 8):
+        self.pages = pages
+        self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
+        self.seeds = seeds
+        self.max_depth = max_depth
+        self.B = per_host_budget
+        self.G = global_budget
+        self.max_rounds = max_rounds
+        self.n_partitions = n_partitions
+        self.bloom = BloomFilter(bloom_max_n, bloom_p)
+        self.frontier: list[FrontierEntry] = []
+        self.url_store: dict[str, dict[str, str]] = {}
+        self.seq = 0
+        self.fetch_seq = 0
+
+    # -- frontier ops ---------------------------------------------------------
+    def _enqueue(self, url: str, depth: int, origin: str, rnd: int, priority: int = 0):
+        self.frontier.append(FrontierEntry(priority, rnd, self.seq, url, depth, origin))
+        self.seq += 1
+
+    def _refill(self, rnd: int) -> int:
+        """dfs_basic publisher semantics: first (lexicographic) stashed
+        domain with >0 robots-allowed urls; publish them in url order at
+        depth 0; delete that domain; 0-publish domains are retained."""
+        for domain in sorted(self.url_store):
+            published = 0
+            for u in sorted(self.url_store[domain]):
+                host = host_of(u)
+                if not allowed(self.robots.get(host, []), path_of(u)):
+                    continue
+                self._enqueue(u, 0, self.url_store[domain][u], rnd)
+                published += 1
+            if published:
+                del self.url_store[domain]
+                return published
+        return 0
+
+    def _dequeue(self) -> list[FrontierEntry]:
+        self.frontier.sort(key=lambda e: (e.priority, e.enqueue_round, e.enqueue_seq))
+        taken: list[FrontierEntry] = []
+        per_host: dict[str, int] = {}
+        rest: list[FrontierEntry] = []
+        for e in self.frontier:
+            host = host_of(e.url)
+            if len(taken) < self.G and per_host.get(host, 0) < self.B:
+                taken.append(e)
+                per_host[host] = per_host.get(host, 0) + 1
+            else:
+                rest.append(e)
+        self.frontier = rest
+        return taken
+
+    # -- main loop --------------------------------------------------------------
+    def run(self) -> CrawlResult:
+        res = CrawlResult()
+        rnd = 0
+        for url, priority in self.seeds:
+            c = canonicalize(url)
+            if c is not None:
+                self._enqueue(c, 0, "", 0, priority)
+
+        while rnd < self.max_rounds:
+            if not self.frontier:
+                if self._refill(rnd) == 0:
+                    break
+            batch = self._dequeue()
+            if not batch:
+                break
+            counters: dict[int, dict[str, int]] = {}
+
+            for pos, e in enumerate(batch):
+                host = host_of(e.url)
+                part = partition_of(host, self.n_partitions)
+                c = counters.setdefault(part, {"fetched": 0, "deduped": 0,
+                                               "enqueued": 0, "stashed": 0})
+                c["fetched"] += 1
+                page = self.pages.get(e.url)
+                success = page is not None
+                res.crawl_order.append({
+                    "seq": self.fetch_seq, "url_canon": e.url, "depth": e.depth,
+                    "round": rnd, "host": host, "success": success,
+                })
+                self.fetch_seq += 1
+                # markVisited happens before link handling (dfs_basic.go:48);
+                # bound errors are logged-and-ignored in the reference
+                # (dfs_basic.go:61-65) → silently dropped insert
+                try:
+                    self.bloom.add(e.url)
+                except Exception:
+                    pass
+                if not success:
+                    continue
+                res.documents.append({"url_canon": e.url, "depth": e.depth,
+                                      "round": rnd, "host": host})
+                source = sld_tld(host)
+                to_visit: list[str] = []
+                for link in extract_outlinks(e.url, page.caption.encode()):
+                    lc = canonicalize(link)
+                    if lc is None:
+                        continue
+                    lhost = host_of(lc)
+                    target = sld_tld(lhost)
+                    if source == target and e.depth < self.max_depth:
+                        # bloom is only updated AFTER the whole page (SetMany,
+                        # dfs_basic.go:121-123): two raw-distinct hrefs that
+                        # resolve to the same URL are BOTH enqueued — quirk kept
+                        if not self.bloom.contains(lc):
+                            self._enqueue(lc, e.depth + 1, e.url, rnd)
+                            to_visit.append(lc)
+                            c["enqueued"] += 1
+                        else:
+                            c["deduped"] += 1
+                    elif source != target:
+                        self.url_store.setdefault(target, {})[lc] = e.url
+                        c["stashed"] += 1
+                if to_visit:
+                    try:
+                        self.bloom.add_many(to_visit)
+                    except Exception:
+                        pass  # reference logs and continues (dfs_basic.go:121-123)
+
+            for part, c in sorted(counters.items()):
+                res.lineage.append({"round": rnd, "partition": part, **c})
+            rnd += 1
+
+        res.bloom = self.bloom
+        res.rounds = rnd
+        return res
+
+
+def load_corpus(corpus_dir: str):
+    """Load a generated corpus into oracle inputs."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_t = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
+                            columns=["url_canon", "url", "caption", "host"])
+    pages = {
+        r["url_canon"]: Page(url=r["url"], caption=r["caption"], host=r["host"])
+        for r in pages_t.to_pylist()
+    }
+    robots_t = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
+    robots = {r["host"]: r["body"] for r in robots_t.to_pylist()}
+    seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    seeds = [(r["url"], r["priority"]) for r in seeds_t.to_pylist()]
+    with open(os.path.join(corpus_dir, "params.json")) as f:
+        params = json.load(f)
+    return pages, robots, seeds, params
+
+
+def run_oracle(corpus_dir: str, n_partitions: int = 8) -> CrawlResult:
+    pages, robots, seeds, params = load_corpus(corpus_dir)
+    oc = OracleCrawler(
+        pages, robots, seeds,
+        max_depth=params["max_depth"],
+        per_host_budget=params["per_host_budget"],
+        global_budget=params["global_budget"],
+        max_rounds=params["max_rounds"],
+        bloom_max_n=params["bloom_max_n"],
+        bloom_p=params["bloom_p"],
+        n_partitions=n_partitions,
+    )
+    return oc.run()

@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "delver_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """local[cpus] session; AQE + Arrow on. ``cpus`` defaults to
+    $SPARK_GRAFT_CPUS (or all cores). On a real cluster the same settings
+    apply minus the master override (spark-submit provides it)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    # make the package importable in executor python workers regardless of
+    # the driver's cwd (cluster deployments ship it via --py-files instead)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .getOrCreate()
+    )

@@ -1,0 +1,88 @@
+"""Spark engine ≡ Python oracle: crawl order, bloom bitmap, lineage
+(the BASELINE.json north_rule correctness contract), plus resume."""
+
+import numpy as np
+import pytest
+
+from delver_spark.oracle.crawler import run_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle_result(unit_corpus):
+    return run_oracle(unit_corpus)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, unit_corpus, tmp_path_factory):
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_wd"))
+    eng = CrawlEngine(spark, unit_corpus, wd)
+    eng.run()
+    return eng
+
+
+def _order_tuples_oracle(res):
+    return [(r["seq"], r["url_canon"], r["depth"], r["round"], r["host"],
+             r["success"]) for r in res.crawl_order]
+
+
+def _order_tuples_engine(eng):
+    df = eng.crawl_order_df()
+    return list(df[["seq", "url_canon", "depth", "round", "host", "success"]]
+                .itertuples(index=False, name=None))
+
+
+def test_crawl_order_exact_match(oracle_result, engine_result):
+    assert _order_tuples_engine(engine_result) == _order_tuples_oracle(oracle_result)
+
+
+def test_seen_set_bit_for_bit(oracle_result, engine_result):
+    assert np.array_equal(oracle_result.bloom.bit_positions(),
+                          engine_result.bloom.bit_positions())
+    assert oracle_result.bloom.n == engine_result.bloom.n
+
+
+def test_lineage_counters_match(oracle_result, engine_result):
+    ol = [(r["round"], r["partition"], r["fetched"], r["deduped"],
+           r["enqueued"], r["stashed"]) for r in oracle_result.lineage]
+    df = engine_result.lineage_df()
+    sl = list(df[["round", "partition", "fetched", "deduped", "enqueued",
+                  "stashed"]].itertuples(index=False, name=None))
+    assert ol == sl
+
+
+def test_payload_invariant_all_rows(engine_result):
+    """BASELINE.json input_hint per-row invariant: decoded-pixel allclose
+    (ppm), PSNR >= 40 dB (qjpg, vs golden pixels), phash equality."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    parts = engine_result.store.part_dirs("documents", engine_result.round)
+    docs = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+    assert len(docs) > 0
+    assert docs["payload_ok"].all()
+    assert docs["phash_ok"].all()
+    qjpg_psnr = docs["psnr"].dropna()
+    assert len(qjpg_psnr) > 0 and (qjpg_psnr >= 40.0).all()
+
+
+def test_resume_equals_uninterrupted(spark, unit_corpus, tmp_path_factory,
+                                     oracle_result):
+    """Kill after round k, resume from snapshot → identical final state
+    (SURVEY §5.2-3; BASELINE.json 'resume exactly from checkpoints')."""
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_resume"))
+    eng1 = CrawlEngine(spark, unit_corpus, wd)
+    eng1.run(max_rounds=3)  # commits snapshot at round 3, then "dies"
+
+    eng2 = CrawlEngine.resume(spark, unit_corpus, wd)
+    assert eng2.round == 3
+    eng2.run()
+
+    want = _order_tuples_oracle(oracle_result)
+    got = _order_tuples_engine(eng2)
+    assert got == want
+    assert np.array_equal(oracle_result.bloom.bit_positions(),
+                          eng2.bloom.bit_positions())
