@@ -1,38 +1,757 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from SURVEY.md §2
+(sources/filters/joins/aggregations/orders/set-ops/scalar-fns + the
+training-data-pipeline operators), each with a DuckDB ``oracle_sql()``
+twin. Column names/aliases match exactly; every float output derives from
+exact integer arithmetic (int-cents / int-milli) or a single IEEE division
+of identical integers, so value hashes agree across engines.
+
+The crawl engine itself (frontier, bloom, politeness, robots, snapshots —
+the BASELINE.json north rule) is exercised by tests/test_crawl_spark.py
+against the Python oracle; the multimodal payload path (binary image
+decode in mapInPandas) runs there too, since the driver tables carry no
+binary column.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal double (same double → same
+    HALF_UP rounding in Spark and DuckDB)."""
+    return F.round(col * 100).cast("long")
+
+
+def _ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# individual queries — q_<fn>(spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    """A-family scan+agg (SURVEY A1-shape on lineitem; TPC-H Q1)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                 F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_cents"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_shipping_priority(spark, sf):
+    """3-way join + agg + top-k (J1/J2 + O3)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "orderdate", "l_orderkey")
+            .limit(10))
+
+
+def o1_fifo_dequeue(spark, sf):
+    """O1 file-queue order: global (ts, id) FIFO cap (queue/file.go:250-274)."""
+    ev = _t(spark, sf, "events")
+    return (ev.orderBy("ts", "event_id").limit(500)
+            .select("event_id", _ts("ts").alias("ts_s"), "event_type"))
+
+
+def o2_politeness_window(spark, sf):
+    """O2 per-host politeness: first-B-per-key rank then global top-G —
+    the engine's dequeue (operators/frontier.py:dequeue) on driver data."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= 3)
+            .orderBy("ts", "event_id").limit(200)
+            .select("user_id", "event_id", "host_rank", _ts("ts").alias("ts_s")))
+
+
+def o3_search_order(spark, sf):
+    """ES search template: timestamp asc, cap 10000 (filter/constants.go:14-26)."""
+    ev = _t(spark, sf, "events")
+    return (ev.orderBy("ts", "event_id").limit(10000)
+            .select("event_id", "user_id", _ts("ts").alias("ts_s")))
+
+
+def o4_refill_pick(spark, sf):
+    """O4 refill host pick: first (lexicographic) group with enough rows."""
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("source").count().filter(F.col("count") > 10)
+            .agg(F.min("source").alias("first_source")))
+
+
+def a1_metric_date_histogram(spark, sf):
+    """A1 ES date_histogram + sum/avg (filter/search_metric.go:42-128)."""
+    ev = _t(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    return (ev.groupBy(day, "event_type")
+            .agg(F.sum(vm).alias("value_sum_milli"), F.count("*").alias("n"))
+            .withColumn("value_avg_milli",
+                        F.col("value_sum_milli").cast("double") / F.col("n"))
+            .orderBy("day", "event_type"))
+
+
+def a2_tumbling_window_mean(spark, sf):
+    """A2 client-side tumbling window aggregator (util/aggregator.go:62-138)."""
+    ev = _t(spark, sf, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    return (ev.groupBy(hour)
+            .agg(F.sum(vm).alias("value_sum_milli"), F.count("*").alias("n"),
+                 F.min(_ts(F.col("ts"))).alias("min_ts"))
+            .orderBy("hour"))
+
+
+def a4_dedupe_first_occurrence(spark, sf):
+    """A4 order-preserving first-occurrence dedupe (util/util.go:23-37)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "event_id", _ts("ts").alias("ts_s"))
+            .orderBy("user_id"))
+
+
+def a5_subdomain_explosion(spark, sf):
+    """A5 count-distinct-vs-threshold (extractors/adversarial.go:105-128 shape)."""
+    c = _t(spark, sf, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.countDistinct("c_mktsegment").alias("n_segments"))
+            .withColumn("explosion", F.col("n_segments") >= 5)
+            .orderBy("c_nationkey"))
+
+
+def a6_enumeration_pairs(spark, sf):
+    """A6 off-by-one pair counting (extractors/adversarial.go:69-103 shape):
+    self-join on size+1 within p_type."""
+    a = _t(spark, sf, "part").select("p_type", F.col("p_size").alias("size_a"))
+    b = _t(spark, sf, "part").select(F.col("p_type").alias("p_type_b"),
+                                     F.col("p_size").alias("size_b"))
+    return (a.join(b, (a.p_type == b.p_type_b) & (a.size_a == b.size_b + 1))
+            .groupBy("p_type").agg(F.count("*").alias("pairs"))
+            .orderBy("p_type"))
+
+
+def j1_payload_lookup(spark, sf):
+    """J1 request⋈payload broadcast hash join (worker/extractor/composite.go:175-181)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "c_name", _cents(F.col("o_totalprice")).alias("price_cents"))
+            .orderBy("o_orderkey"))
+
+
+def j2_robots_lookup(spark, sf):
+    """J2 url⋈robots tiny-dim broadcast join (frontier/robotstxt.go:73-94)."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.round("l_quantity").cast("long")).alias("qty_sum"))
+            .orderBy("s_name"))
+
+
+def j3_seen_anti_join(spark, sf):
+    """J3 seen-set subtraction: left_anti (dfs_basic.go:89)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+def j4_unvisited_semi_join(spark, sf):
+    """J4 visited-hosts gate: left_semi (worker/publisher/dfs_basic.go:103)."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    return (s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name").orderBy("s_suppkey"))
+
+
+def j5_stream_filter_cross(spark, sf):
+    """J5 stream entity × client filter N×M (gateway/client_streamer.go:103-123)."""
+    r = _t(spark, sf, "region").select("r_name")
+    st = _t(spark, sf, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+
+
+def f3_regex_filter(spark, sf):
+    """F3 regex URL filter (frontier/regex.go:24-26)."""
+    p = _t(spark, sf, "part")
+    return (p.filter(F.col("p_name").rlike("green.*metal"))
+            .select("p_partkey", "p_name").orderBy("p_partkey"))
+
+
+def f6_same_domain_split(spark, sf):
+    """F6 same-domain gate split into enqueue|stash branches
+    (worker/accumulator/dfs_basic.go:73-119)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    branch = F.when((F.col("c_nationkey") == 7) & (F.col("o_totalprice") < 300000),
+                    F.lit("enqueue")).otherwise(F.lit("stash"))
+    return (j.select(branch.alias("branch"))
+            .groupBy("branch").agg(F.count("*").alias("n")).orderBy("branch"))
+
+
+def f8_news_admission(spark, sf):
+    """F8 news URL admission heuristics (worker/accumulator/news.go:211-290
+    shape): length gate + allowlist + path-ish blacklist."""
+    d = _t(spark, sf, "documents")
+    return (d.filter((F.col("n_chars") > 200)
+                     & F.col("lang").isin("en", "es")
+                     & ~F.col("source").isin("src0", "src1"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def f9_content_type_gate(spark, sf):
+    """F9 content-type contains gate (news.go:193-209 shape)."""
+    d = _t(spark, sf, "documents")
+    return (d.filter(F.col("source").contains("1"))
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def f10_field_projection(spark, sf):
+    """F10 default field projection (filter/constants.go:5-12)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def set_union_nations(spark, sf):
+    """Set op: union distinct (SURVEY §2.6)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+def set_except_customer_only(spark, sf):
+    """Set op: except == anti-join on distinct keys."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+def x11_md5_checksum(spark, sf):
+    """X11 payload MD5 (resource/objectstore/filesystem.go:37-51)."""
+    c = _t(spark, sf, "customer")
+    return (c.select("c_custkey", F.md5(F.col("c_name")).alias("name_md5"))
+            .orderBy("c_custkey"))
+
+
+def x12_sld_tld(spark, sf):
+    """X12 naive SLD+TLD split (util/util.go:92-101) over synthesized hosts."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    host = F.concat(F.lower(F.regexp_replace("n_name", " ", "")), F.lit("."),
+                    F.lower(F.regexp_replace("r_name", " ", "")), F.lit(".test"))
+    j = j.withColumn("host", host)
+    domain = F.array_join(F.slice(F.split(F.col("host"), "\\."), -2, 2), ".")
+    return (j.select("n_name", "host", domain.alias("domain")).orderBy("n_name"))
+
+
+def x13_json_extract(spark, sf):
+    """X13 JSON flatten (util/util.go:220-238 shape)."""
+    ev = _t(spark, sf, "events")
+    return (ev.select("event_id",
+                      F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+            .orderBy("event_id").limit(2000))
+
+
+def t2_stream_composite_filter(spark, sf):
+    """T2 conjunctive stream filter (filter/stream_composite.go:47-246);
+    batch twin of the Structured Streaming variant (delver_spark.streaming)."""
+    d = _t(spark, sf, "documents")
+    return (d.filter(F.col("lang").isin("en", "es")
+                     & F.col("n_chars").between(100, 5000)
+                     & F.col("text").contains("the"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+# --- training-data pipeline operators (documents/embeddings) ----------------
+
+def dedup_exact(spark, sf):
+    """Exact dedup: md5 fingerprint → keeper=min(doc_id), group size."""
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+            .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dupes"))
+            .orderBy("fingerprint"))
+
+
+def _token_df(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.explode(
+        F.array_distinct(F.filter(F.split(F.lower(F.col("text")), " "),
+                                  lambda x: x != ""))).alias("tok"))
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates: 8 md5-based hashes over the distinct
+    token set, 4 bands of 2 → pairs sharing any band bucket."""
+    toks = _token_df(spark, sf)
+    perms = spark.range(8).withColumnRenamed("id", "perm")
+    h = (toks.crossJoin(F.broadcast(perms))
+         .withColumn("h", F.md5(F.concat(F.col("perm").cast("string"),
+                                         F.lit(":"), F.col("tok")))))
+    sig = h.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
+    band = (sig.withColumn("band_id", F.floor(F.col("perm") / 2).cast("int"))
+            .groupBy("doc_id", "band_id")
+            .agg(F.concat_ws("|",
+                             F.max(F.when(F.col("perm") % 2 == 0, F.col("mh"))),
+                             F.max(F.when(F.col("perm") % 2 == 1, F.col("mh"))))
+                 .alias("band_val")))
+    a = band.select(F.col("doc_id").alias("doc_a"), "band_id", "band_val")
+    b = band.select(F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id_b"),
+                    F.col("band_val").alias("band_val_b"))
+    return (a.join(b, (a.band_id == b.band_id_b) & (a.band_val == b.band_val_b)
+                   & (a.doc_a < b.doc_b))
+            .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b"))
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """n-gram (word-bigram) Jaccard near-dup: exact pairwise similarity via
+    shingle-set intersection over a shared-shingle join (no full cross join)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.filter(F.split(F.lower(F.col("text")), " "),
+                                       lambda x: x != "").alias("ts"))
+    sh = (toks.select("doc_id", F.explode(F.array_distinct(
+        F.zip_with(F.col("ts"), F.slice(F.col("ts"), 2, 1 << 20),
+                   lambda x, y: F.concat(x, F.lit(" "), y)))).alias("shingle"))
+          .filter(F.col("shingle").isNotNull()))  # zip_with pads the tail with null
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (a.join(b, (a.shingle == b.shingle_b) & (a.doc_a < b.doc_b))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jacc_milli",
+                        F.round(F.col("inter") * 1000.0
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                        .cast("long"))
+            .filter(F.col("jacc_milli") >= 300)
+            .select("doc_a", "doc_b", "inter", "jacc_milli")
+            .orderBy("doc_a", "doc_b"))
+
+
+def _quantized(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select("vec_id", "label", F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("q"))
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force ANN baseline: exact integer dot-product (embeddings
+    quantized to int-milli) against query vec_id=0, top 10."""
+    q = _quantized(spark, sf)
+    query = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    dot = F.aggregate(F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (q.crossJoin(F.broadcast(query))
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id", dot.alias("dot_milli2"))
+            .orderBy(F.desc("dot_milli2"), "vec_id").limit(10))
+
+
+def ann_ivf_label(spark, sf):
+    """IVF-style cell-restricted ANN: search only the query's coarse cell
+    (label) — the scale path: cells partition the index, probe 1 cell."""
+    q = _quantized(spark, sf)
+    qrow = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"),
+                                                 F.col("label").alias("qlabel"))
+    dot = F.aggregate(F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (q.crossJoin(F.broadcast(qrow))
+            .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+            .select("vec_id", "label", dot.alias("dot_milli2"))
+            .orderBy(F.desc("dot_milli2"), "vec_id").limit(5))
+
+
+def text_token_count(spark, sf):
+    """Token counting over documents (whitespace tokenizer)."""
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    return (d.select("doc_id", ntok.alias("n_tokens"), "n_chars")
+            .orderBy("doc_id"))
+
+
+def text_quality_score(spark, sf):
+    """Quality scoring: token stats + stopword hits, integer outputs."""
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    the_hits = ((F.length("text")
+                 - F.length(F.regexp_replace("text", " the ", ""))) / 5).cast("long")
+    d2 = d.select("doc_id", "n_chars", ntok.alias("n_tokens"), the_hits.alias("the_hits"))
+    return (d2.withColumn("avg_tok_len_milli",
+                          F.round(F.col("n_chars") * 1000.0 / F.col("n_tokens")).cast("long"))
+            .withColumn("quality_ok",
+                        (F.col("n_tokens") >= 20) & (F.col("the_hits") > 0))
+            .orderBy("doc_id"))
+
+
+def text_language_id(spark, sf):
+    """Heuristic language-ID: stopword-count argmax (X5 capability shape)."""
+    d = _t(spark, sf, "documents")
+
+    def hits(word):
+        pat = f" {word} "
+        return ((F.length("text") - F.length(F.regexp_replace("text", pat, "")))
+                / len(pat)).cast("long")
+
+    d2 = d.select("doc_id", hits("the").alias("s_en"), hits("la").alias("s_es"),
+                  hits("le").alias("s_fr"), hits("der").alias("s_de"))
+    pred = (F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr"))
+                   & (F.col("s_en") >= F.col("s_de")), "en")
+            .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+            .when(F.col("s_fr") >= F.col("s_de"), "fr")
+            .otherwise("de"))
+    return d2.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+def doc_fingerprint(spark, sf):
+    """Document fingerprinting: md5 over (length, head-64, tail-64)."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.concat(F.col("n_chars").cast("string"), F.lit(":"),
+                        F.substring("text", 1, 64), F.lit(":"),
+                        F.substring(F.col("text"), F.col("n_chars") - 63, F.lit(64))))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "o1_fifo_dequeue": o1_fifo_dequeue,
+    "o2_politeness_window": o2_politeness_window,
+    "o3_search_order": o3_search_order,
+    "o4_refill_pick": o4_refill_pick,
+    "a1_metric_date_histogram": a1_metric_date_histogram,
+    "a2_tumbling_window_mean": a2_tumbling_window_mean,
+    "a4_dedupe_first_occurrence": a4_dedupe_first_occurrence,
+    "a5_subdomain_explosion": a5_subdomain_explosion,
+    "a6_enumeration_pairs": a6_enumeration_pairs,
+    "j1_payload_lookup": j1_payload_lookup,
+    "j2_robots_lookup": j2_robots_lookup,
+    "j3_seen_anti_join": j3_seen_anti_join,
+    "j4_unvisited_semi_join": j4_unvisited_semi_join,
+    "j5_stream_filter_cross": j5_stream_filter_cross,
+    "f3_regex_filter": f3_regex_filter,
+    "f6_same_domain_split": f6_same_domain_split,
+    "f8_news_admission": f8_news_admission,
+    "f9_content_type_gate": f9_content_type_gate,
+    "f10_field_projection": f10_field_projection,
+    "set_union_nations": set_union_nations,
+    "set_except_customer_only": set_except_customer_only,
+    "x11_md5_checksum": x11_md5_checksum,
+    "x12_sld_tld": x12_sld_tld,
+    "x13_json_extract": x13_json_extract,
+    "t2_stream_composite_filter": t2_stream_composite_filter,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_label": ann_ivf_label,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_language_id": text_language_id,
+    "doc_fingerprint": doc_fingerprint,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the politeness-dequeue window (the crawl engine's O1/O2
+    operator) over sf0.001."""
+    return o2_politeness_window(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, orderdate
+            ORDER BY revenue_cents DESC, orderdate, l_orderkey LIMIT 10
+        """,
+        "o1_fifo_dequeue": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+            FROM events ORDER BY ts, event_id LIMIT 500
+        """,
+        "o2_politeness_window": """
+            SELECT user_id, event_id, host_rank, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS host_rank
+                  FROM events) WHERE host_rank <= 3
+            ORDER BY ts, event_id LIMIT 200
+        """,
+        "o3_search_order": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM events ORDER BY ts, event_id LIMIT 10000
+        """,
+        "o4_refill_pick": """
+            SELECT min(source) AS first_source
+            FROM (SELECT source, count(*) AS c FROM documents GROUP BY source HAVING c > 10)
+        """,
+        "a1_metric_date_histogram": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_sum_milli,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS DOUBLE)/count(*) AS value_avg_milli
+            FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "a2_tumbling_window_mean": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_sum_milli,
+                   count(*) AS n,
+                   min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts
+            FROM events GROUP BY hour ORDER BY hour
+        """,
+        "a4_dedupe_first_occurrence": """
+            SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "a5_subdomain_explosion": """
+            SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+                   count(DISTINCT c_mktsegment) >= 5 AS explosion
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "a6_enumeration_pairs": """
+            SELECT a.p_type, count(*) AS pairs
+            FROM part a JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size + 1
+            GROUP BY a.p_type ORDER BY a.p_type
+        """,
+        "j1_payload_lookup": """
+            SELECT o_orderkey, c_name, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 400000 ORDER BY o_orderkey
+        """,
+        "j2_robots_lookup": """
+            SELECT s_name, count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name ORDER BY s_name
+        """,
+        "j3_seen_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "j4_unvisited_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+            ORDER BY s_suppkey
+        """,
+        "j5_stream_filter_cross": """
+            SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+            ORDER BY r_name, o_orderstatus
+        """,
+        "f3_regex_filter": """
+            SELECT p_partkey, p_name FROM part
+            WHERE regexp_matches(p_name, 'green.*metal') ORDER BY p_partkey
+        """,
+        "f6_same_domain_split": """
+            SELECT CASE WHEN c_nationkey = 7 AND o_totalprice < 300000
+                        THEN 'enqueue' ELSE 'stash' END AS branch, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY branch ORDER BY branch
+        """,
+        "f8_news_admission": """
+            SELECT doc_id FROM documents
+            WHERE n_chars > 200 AND lang IN ('en','es')
+              AND source NOT IN ('src0','src1')
+            ORDER BY doc_id
+        """,
+        "f9_content_type_gate": """
+            SELECT doc_id, source FROM documents
+            WHERE source LIKE '%1%' ORDER BY doc_id
+        """,
+        "f10_field_projection": """
+            SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+        """,
+        "set_union_nations": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier)
+            ORDER BY nationkey
+        """,
+        "set_except_customer_only": """
+            SELECT nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+            ORDER BY nationkey
+        """,
+        "x11_md5_checksum": """
+            SELECT c_custkey, md5(c_name) AS name_md5 FROM customer ORDER BY c_custkey
+        """,
+        "x12_sld_tld": """
+            SELECT n_name,
+                   lower(replace(n_name,' ','')) || '.' || lower(replace(r_name,' ','')) || '.test' AS host,
+                   array_to_string((string_split(
+                     lower(replace(n_name,' ','')) || '.' || lower(replace(r_name,' ','')) || '.test',
+                     '.'))[-2:], '.') AS domain
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_name
+        """,
+        "x13_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id LIMIT 2000
+        """,
+        "t2_stream_composite_filter": """
+            SELECT doc_id FROM documents
+            WHERE lang IN ('en','es') AND n_chars BETWEEN 100 AND 5000
+              AND text LIKE '%the%'
+            ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keeper, count(*) AS n_dupes
+            FROM documents GROUP BY fingerprint ORDER BY fingerprint
+        """,
+        "dedup_minhash_lsh": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x <> ''))) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, perm, md5(CAST(perm AS VARCHAR) || ':' || tok) AS h
+              FROM toks CROSS JOIN (SELECT unnest(generate_series(0,7)) AS perm)),
+            sig AS (SELECT doc_id, perm, min(h) AS mh FROM h GROUP BY doc_id, perm),
+            band AS (
+              SELECT doc_id, CAST(perm//2 AS INT) AS band_id,
+                     max(CASE WHEN perm % 2 = 0 THEN mh END) || '|' ||
+                     max(CASE WHEN perm % 2 = 1 THEN mh END) AS band_val
+              FROM sig GROUP BY doc_id, CAST(perm//2 AS INT))
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a JOIN band b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b, inter,
+                   CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jacc_milli
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 300
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            query AS (SELECT qv AS qq FROM q WHERE vec_id = 0),
+            dots AS (
+              SELECT vec_id,
+                     (SELECT CAST(sum(q.qv[i] * query.qq[i]) AS BIGINT)
+                      FROM unnest(generate_series(1, len(q.qv))) AS g(i)) AS dot_milli2
+              FROM q, query WHERE vec_id <> 0)
+            SELECT vec_id, dot_milli2 FROM dots
+            ORDER BY dot_milli2 DESC, vec_id LIMIT 10
+        """,
+        "ann_ivf_label": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            query AS (SELECT qv AS qq, label AS qlabel FROM q WHERE vec_id = 0),
+            dots AS (
+              SELECT vec_id, q.label,
+                     (SELECT CAST(sum(q.qv[i] * query.qq[i]) AS BIGINT)
+                      FROM unnest(generate_series(1, len(q.qv))) AS g(i)) AS dot_milli2
+              FROM q, query WHERE q.label = query.qlabel AND vec_id <> 0)
+            SELECT vec_id, label, dot_milli2 FROM dots
+            ORDER BY dot_milli2 DESC, vec_id LIMIT 5
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality_score": """
+            SELECT doc_id, n_chars,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) AS the_hits,
+                   CAST(round(n_chars * 1000.0 /
+                        len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS avg_tok_len_milli,
+                   (len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+                    AND CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) > 0) AS quality_ok
+            FROM documents ORDER BY doc_id
+        """,
+        "text_language_id": """
+            WITH s AS (
+              SELECT doc_id,
+                CAST((length(text)-length(replace(text,' the ','')))/5 AS BIGINT) AS s_en,
+                CAST((length(text)-length(replace(text,' la ','')))/4 AS BIGINT) AS s_es,
+                CAST((length(text)-length(replace(text,' le ','')))/4 AS BIGINT) AS s_fr,
+                CAST((length(text)-length(replace(text,' der ','')))/5 AS BIGINT) AS s_de
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(CAST(n_chars AS VARCHAR) || ':' || substr(text, 1, 64)
+                       || ':' || substr(text, n_chars - 63, 64)) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+    }

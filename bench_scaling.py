@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark (BASELINE.json north_rule: throughput
+scaling efficiency >= 0.8 from N to 4N executors; sandbox proxy per
+BASELINE.md: local[8] vs local[32] on the SAME input).
+
+The job: ONE large crawl round — dequeue the entire pre-filled frontier
+(politeness window), distributed payload join, mapInPandas decode+extract,
+bloom-gated admission with distributed sequence assignment, treeAggregate
+bloom merge, distributed crawl-order write. All stages are data-parallel;
+driver work is O(counters).
+
+Prints one JSON line and appends a row to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", 200_000))
+N_HOSTS = 500
+CPU_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "8,32").split(",")]
+
+
+def ensure_corpus(root: str) -> str:
+    from delver_spark.fixtures.gen import generate_corpus
+
+    d = os.path.join(root, f"scale_n{N_PAGES}_h{N_HOSTS}")
+    if not os.path.exists(os.path.join(d, "params.json")):
+        generate_corpus(d, n_pages=N_PAGES, n_hosts=N_HOSTS, seed=42,
+                        n_seeds=10, per_host_budget=1 << 30,
+                        global_budget=N_PAGES + 1, max_rounds=2,
+                        golden_pixel_cap=0)
+    return d
+
+
+def one_round(cpus: int, corpus: str) -> tuple[float, int]:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.crawl import CrawlEngine
+    from delver_spark.operators.frontier import FRONTIER_SCHEMA
+    from delver_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"delver_scale_{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    wd = tempfile.mkdtemp(prefix=f"delver_scale_{cpus}_")
+    try:
+        eng = CrawlEngine(spark, corpus, wd,
+                          collect_documents=False, collect_order=False)
+        # pre-fill the frontier with every page URL (depth 0): the round
+        # then exercises every stage at full width
+        pages = spark.read.parquet(os.path.join(corpus, "pages.parquet")) \
+            .select("url_canon", "host").orderBy("url_canon")
+        rows = spark.createDataFrame(
+            pages.rdd.zipWithIndex().map(
+                lambda t: (0, 0, t[1], t[0][0], t[0][1], 0, None)),
+            FRONTIER_SCHEMA)
+        eng.frontier = rows.repartition(max(cpus, 8), "host") \
+            .localCheckpoint(eager=True)
+        eng.frontier_count = eng.frontier.count()
+        eng.seq = eng.frontier_count
+
+        t0 = time.perf_counter()
+        assert eng.run_round()
+        dt = time.perf_counter() - t0
+        return dt, eng.fetch_seq
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+        spark.stop()
+
+
+def main():
+    corpus = ensure_corpus(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "corpus"))
+    results = {}
+    for cpus in CPU_LEVELS:
+        dt, fetched = one_round(cpus, corpus)
+        results[cpus] = {"sec": round(dt, 2), "urls_fetched": fetched,
+                         "urls_per_sec": round(fetched / dt, 1)}
+    lo, hi = min(CPU_LEVELS), max(CPU_LEVELS)
+    ratio = hi / lo
+    eff = (results[lo]["sec"] / results[hi]["sec"]) / ratio
+    out = {"metric": "scaling_efficiency", "value": round(eff, 3),
+           "unit": "ratio", "n_pages": N_PAGES, "levels": results,
+           "cpu_ratio": ratio}
+    print(json.dumps(out))
+
+    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(bench_md), exist_ok=True)
+    with open(bench_md, "a") as f:
+        f.write(f"\n| scaling local[{lo}]→local[{hi}] | {N_PAGES} pages | "
+                f"{results[lo]['urls_per_sec']} → {results[hi]['urls_per_sec']} urls/s | "
+                f"efficiency {eff:.3f} |\n")
+
+
+if __name__ == "__main__":
+    main()

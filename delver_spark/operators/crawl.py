@@ -53,12 +53,17 @@ _STORE_SCHEMA_W_HOST = STORE_SCHEMA.add("host", "string", False)
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
-                 n_partitions: int = 8, collect_documents: bool = True):
+                 n_partitions: int = 8, collect_documents: bool = True,
+                 collect_order: bool = True):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
         self.n_partitions = n_partitions
         self.collect_documents = collect_documents
+        # collect_order=False keeps even the crawl-order/documents artifacts
+        # fully distributed (Spark parquet writes) — used for the large-G
+        # scaling benchmark where nothing should bottleneck on the driver
+        self.collect_order = collect_order
         self.store = SnapshotStore(workdir)
 
         with open(os.path.join(corpus_dir, "params.json")) as f:
@@ -91,6 +96,7 @@ class CrawlEngine:
         self.seq = 0
         self.fetch_seq = 0
         self.round = 0
+        self._store_unions = 0
         # driver-side buffers, flushed-and-cleared at checkpoints
         self.crawl_order: list[dict] = []
         self.lineage: list[dict] = []
@@ -147,21 +153,30 @@ class CrawlEngine:
                 return False
 
         batch = dequeue(self.frontier, self.B, self.G).localCheckpoint(eager=True)
-        batch_count = batch.count()
+        # ---- fetch (J1): small batches push an IN-filter into the parquet
+        # scan (row-group pruning on url_canon stats) and broadcast the
+        # pruned payload; huge batches (big-G rounds / scaling bench) go
+        # through a distributed join against the payload table instead.
+        small_batch = self.G <= 10000
+        if small_batch:
+            batch_urls = [r["url"] for r in batch.select("url").collect()]
+            batch_count = len(batch_urls)
+        else:
+            batch_count = batch.count()
         if batch_count == 0:
             return False
-        self.frontier = self.frontier.join(
-            batch.select("enqueue_seq"), "enqueue_seq", "left_anti") \
-            .localCheckpoint(eager=True)
+        frontier_rest = self.frontier.join(
+            batch.select("enqueue_seq"), "enqueue_seq", "left_anti")
         self.frontier_count -= batch_count
 
-        # ---- fetch: IN-filter pushdown + broadcast hash join (J1) ----------
-        batch_urls = [r["url"] for r in batch.select("url").collect()]
-        payload = self.pages.filter(F.col("url_canon").isin(batch_urls))
+        payload = (self.pages.filter(F.col("url_canon").isin(batch_urls))
+                   if small_batch else self.pages)
         if self.golden is not None:
             payload = payload.join(self.golden.withColumnRenamed("pixels", "golden_pixels"),
                                    "url_canon", "left")
-        fetched = batch.join(F.broadcast(payload),
+        if small_batch:
+            payload = F.broadcast(payload)
+        fetched = batch.join(payload,
                              batch.url == payload.url_canon, "left") \
             .select(batch.pos, batch.url.alias("url_canon"), batch.depth,
                     batch.host, "bytes", "fmt", "caption", "phash", "pix_md5",
@@ -170,19 +185,32 @@ class CrawlEngine:
         extracted = fetched.mapInPandas(self.extractor, EXTRACT_SCHEMA) \
             .localCheckpoint(eager=True)
 
-        # ---- driver-bounded artifacts (<= G rows) ---------------------------
-        ext_pd = extracted.drop("outlinks").toPandas().sort_values("pos")
-        for _, r in ext_pd.iterrows():
-            self.crawl_order.append({
-                "seq": self.fetch_seq + int(r["pos"]), "url_canon": r["url_canon"],
-                "depth": int(r["depth"]), "round": rnd, "host": r["host"],
-                "success": bool(r["success"]),
-            })
+        # ---- crawl-order / documents artifacts -------------------------------
+        if self.collect_order:
+            ext_pd = extracted.drop("outlinks").toPandas().sort_values("pos")
+            fetched_by_part = {int(r["partition_id"]): int(r["n"])
+                               for r in ext_pd.groupby("partition_id").size()
+                               .reset_index(name="n").to_dict("records")}
+            for _, r in ext_pd.iterrows():
+                self.crawl_order.append({
+                    "seq": self.fetch_seq + int(r["pos"]), "url_canon": r["url_canon"],
+                    "depth": int(r["depth"]), "round": rnd, "host": r["host"],
+                    "success": bool(r["success"]),
+                })
+            if self.collect_documents:
+                doc = ext_pd[ext_pd["success"]].copy()
+                doc["round"] = rnd
+                self.documents.append(doc)
+        else:
+            fetched_by_part = {int(r["partition_id"]): int(r["count"])
+                               for r in extracted.groupBy("partition_id")
+                               .count().collect()}
+            d = self.store.state_dir("crawl_order", rnd)
+            (extracted.select(
+                (F.col("pos") + F.lit(self.fetch_seq)).alias("seq"),
+                "url_canon", "depth", F.lit(rnd).alias("round"), "host", "success")
+             .write.mode("overwrite").parquet(d))
         self.fetch_seq += batch_count
-        if self.collect_documents:
-            doc = ext_pd[ext_pd["success"]].copy()
-            doc["round"] = rnd
-            self.documents.append(doc)
 
         # ---- admission (F6/F7): same-domain candidates ----------------------
         cands = (extracted.filter("success")
@@ -213,12 +241,21 @@ class CrawlEngine:
         # have seen the bloom bit (sequential-oracle equivalence). Same-page
         # raw-distinct duplicates are all admitted (reference quirk).
         w_url = Window.partitionBy("url")
-        admitted = (eligible
-                    .withColumn("min_pp", F.min("page_pos").over(w_url))
-                    .filter(F.col("page_pos") == F.col("min_pp"))
-                    .withColumn("rn", F.row_number().over(
-                        Window.orderBy("page_pos", "link_pos")) - 1)
-                    .select(
+        winners = (eligible
+                   .withColumn("min_pp", F.min("page_pos").over(w_url))
+                   .filter(F.col("page_pos") == F.col("min_pp")))
+        if small_batch:
+            ranked = winners.withColumn("rn", F.row_number().over(
+                Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
+        else:
+            # scalable global sequence: range-sort then zipWithIndex (two-pass
+            # per-partition offsets) — no single-partition window at big G
+            ordered = winners.orderBy("page_pos", "link_pos")
+            schema = ordered.schema.add("rn", "long")
+            ranked = self.spark.createDataFrame(
+                ordered.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],)),
+                schema)
+        admitted = (ranked.select(
                         F.lit(0).alias("priority"),
                         F.lit(rnd).alias("enqueue_round"),
                         (F.lit(self.seq) + F.col("rn")).alias("enqueue_seq"),
@@ -230,27 +267,28 @@ class CrawlEngine:
         admitted_count = admitted.count()
         self.seq += admitted_count
 
-        # ---- lineage counters (A3) ------------------------------------------
-        agg = {r["partition_id"]: {"fetched": r["n"], "deduped": 0,
-                                   "enqueued": 0, "stashed": 0}
-               for r in ext_pd.groupby("partition_id").size()
-                              .reset_index(name="n").to_dict("records")}
-        for r in same.groupBy("partition_id").count().collect():
-            agg.setdefault(r["partition_id"], {"fetched": 0, "deduped": 0,
-                                               "enqueued": 0, "stashed": 0})
-            agg[r["partition_id"]]["deduped"] += r["count"]
+        # ---- lineage counters (A3): one agg over tagged candidates ----------
+        agg = {p: {"fetched": n, "deduped": 0, "enqueued": 0, "stashed": 0}
+               for p, n in fetched_by_part.items()}
+        cand_counts = (cands.groupBy("partition_id").agg(
+            F.sum(F.when((F.col("domain") == F.col("page_domain"))
+                         & (F.col("page_depth") < self.max_depth), 1)
+                  .otherwise(0)).alias("same_n"),
+            F.sum(F.when(F.col("domain") != F.col("page_domain"), 1)
+                  .otherwise(0)).alias("stash_n")).collect())
+        for r in cand_counts:
+            c = agg.setdefault(int(r["partition_id"]),
+                               {"fetched": 0, "deduped": 0, "enqueued": 0, "stashed": 0})
+            c["deduped"] += int(r["same_n"])
+            c["stashed"] += int(r["stash_n"])
         for r in admitted.groupBy("partition_id").count().collect():
-            agg[r["partition_id"]]["enqueued"] += r["count"]
-            agg[r["partition_id"]]["deduped"] -= r["count"]
-        for r in stash.groupBy("partition_id").count().collect():
-            agg.setdefault(r["partition_id"], {"fetched": 0, "deduped": 0,
-                                               "enqueued": 0, "stashed": 0})
-            agg[r["partition_id"]]["stashed"] += r["count"]
+            agg[int(r["partition_id"])]["enqueued"] += int(r["count"])
+            agg[int(r["partition_id"])]["deduped"] -= int(r["count"])
         for part in sorted(agg):
             self.lineage.append({"round": rnd, "partition": int(part), **agg[part]})
 
-        # ---- state updates ----------------------------------------------------
-        self.frontier = self.frontier.unionByName(
+        # ---- state updates (single materialization per table) ---------------
+        self.frontier = frontier_rest.unionByName(
             admitted.drop("partition_id", "page_pos")).localCheckpoint(eager=True)
         self.frontier_count += admitted_count
 
@@ -261,8 +299,11 @@ class CrawlEngine:
              + F.col("page_pos") * F.lit(1 << 20)
              + F.col("link_pos")).alias("stash_key"),
             "host")
-        self.url_store = self.url_store.unionByName(stash_rows) \
-            .localCheckpoint(eager=True)
+        self.url_store = self.url_store.unionByName(stash_rows)
+        self._store_unions += 1
+        if self._store_unions >= 4:  # bound the lazy union chain
+            self.url_store = self.url_store.localCheckpoint(eager=True)
+            self._store_unions = 0
 
         # ---- bloom merge: treeAggregate of per-partition bitsets -------------
         insert_urls = extracted.select("url_canon").unionAll(admitted.select("url"))
