@@ -289,154 +289,69 @@ def t2_stream_composite_filter(spark, sf):
 
 
 # --- training-data pipeline operators (documents/embeddings) ----------------
+# implementations live in delver_spark.operators.{dedup,similarity,textstats}
+
+from delver_spark.operators import dedup as _dedup  # noqa: E402
+from delver_spark.operators import similarity as _sim  # noqa: E402
+from delver_spark.operators import textstats as _txt  # noqa: E402
+
 
 def dedup_exact(spark, sf):
     """Exact dedup: md5 fingerprint → keeper=min(doc_id), group size."""
-    d = _t(spark, sf, "documents")
-    return (d.groupBy(F.md5(F.col("text")).alias("fingerprint"))
-            .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dupes"))
-            .orderBy("fingerprint"))
+    return _dedup.exact_dedup(_t(spark, sf, "documents"))
 
-
-def _token_df(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", F.explode(
-        F.array_distinct(F.filter(F.split(F.lower(F.col("text")), " "),
-                                  lambda x: x != ""))).alias("tok"))
 
 
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates: 8 md5-based hashes over the distinct
     token set, 4 bands of 2 → pairs sharing any band bucket."""
-    toks = _token_df(spark, sf)
-    perms = spark.range(8).withColumnRenamed("id", "perm")
-    h = (toks.crossJoin(F.broadcast(perms))
-         .withColumn("h", F.md5(F.concat(F.col("perm").cast("string"),
-                                         F.lit(":"), F.col("tok")))))
-    sig = h.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
-    band = (sig.withColumn("band_id", F.floor(F.col("perm") / 2).cast("int"))
-            .groupBy("doc_id", "band_id")
-            .agg(F.concat_ws("|",
-                             F.max(F.when(F.col("perm") % 2 == 0, F.col("mh"))),
-                             F.max(F.when(F.col("perm") % 2 == 1, F.col("mh"))))
-                 .alias("band_val")))
-    a = band.select(F.col("doc_id").alias("doc_a"), "band_id", "band_val")
-    b = band.select(F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id_b"),
-                    F.col("band_val").alias("band_val_b"))
-    return (a.join(b, (a.band_id == b.band_id_b) & (a.band_val == b.band_val_b)
-                   & (a.doc_a < b.doc_b))
-            .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b"))
+    return _dedup.minhash_lsh_pairs(_t(spark, sf, "documents"))
 
 
 def dedup_ngram_jaccard(spark, sf):
-    """n-gram (word-bigram) Jaccard near-dup: exact pairwise similarity via
-    shingle-set intersection over a shared-shingle join (no full cross join)."""
-    d = _t(spark, sf, "documents")
-    toks = d.select("doc_id", F.filter(F.split(F.lower(F.col("text")), " "),
-                                       lambda x: x != "").alias("ts"))
-    sh = (toks.select("doc_id", F.explode(F.array_distinct(
-        F.zip_with(F.col("ts"), F.slice(F.col("ts"), 2, 1 << 20),
-                   lambda x, y: F.concat(x, F.lit(" "), y)))).alias("shingle"))
-          .filter(F.col("shingle").isNotNull()))  # zip_with pads the tail with null
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    inter = (a.join(b, (a.shingle == b.shingle_b) & (a.doc_a < b.doc_b))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jacc_milli",
-                        F.round(F.col("inter") * 1000.0
-                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-                        .cast("long"))
-            .filter(F.col("jacc_milli") >= 300)
-            .select("doc_a", "doc_b", "inter", "jacc_milli")
-            .orderBy("doc_a", "doc_b"))
+    """Word-bigram Jaccard near-dups via shared-shingle join (no cross join)."""
+    return _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
 
-
-def _quantized(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    return e.select("vec_id", "label", F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("q"))
 
 
 def ann_cosine_topk(spark, sf):
-    """Brute-force ANN baseline: exact integer dot-product (embeddings
-    quantized to int-milli) against query vec_id=0, top 10."""
-    q = _quantized(spark, sf)
-    query = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
-    dot = F.aggregate(F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return (q.crossJoin(F.broadcast(query))
-            .filter(F.col("vec_id") != 0)
-            .select("vec_id", dot.alias("dot_milli2"))
-            .orderBy(F.desc("dot_milli2"), "vec_id").limit(10))
+    """Brute-force ANN baseline: exact int-quantized dot products, top 10."""
+    return _sim.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), 0, 10)
 
 
 def ann_ivf_label(spark, sf):
-    """IVF-style cell-restricted ANN: search only the query's coarse cell
-    (label) — the scale path: cells partition the index, probe 1 cell."""
-    q = _quantized(spark, sf)
-    qrow = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"),
-                                                 F.col("label").alias("qlabel"))
-    dot = F.aggregate(F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return (q.crossJoin(F.broadcast(qrow))
-            .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
-            .select("vec_id", "label", dot.alias("dot_milli2"))
-            .orderBy(F.desc("dot_milli2"), "vec_id").limit(5))
+    """IVF-style cell-restricted ANN: probe only the query's coarse cell."""
+    return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 5)
 
 
 def text_token_count(spark, sf):
     """Token counting over documents (whitespace tokenizer)."""
-    d = _t(spark, sf, "documents")
-    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
-    return (d.select("doc_id", ntok.alias("n_tokens"), "n_chars")
-            .orderBy("doc_id"))
+    return _txt.token_count(_t(spark, sf, "documents"))
 
 
 def text_quality_score(spark, sf):
     """Quality scoring: token stats + stopword hits, integer outputs."""
-    d = _t(spark, sf, "documents")
-    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
-    the_hits = ((F.length("text")
-                 - F.length(F.regexp_replace("text", " the ", ""))) / 5).cast("long")
-    d2 = d.select("doc_id", "n_chars", ntok.alias("n_tokens"), the_hits.alias("the_hits"))
-    return (d2.withColumn("avg_tok_len_milli",
-                          F.round(F.col("n_chars") * 1000.0 / F.col("n_tokens")).cast("long"))
-            .withColumn("quality_ok",
-                        (F.col("n_tokens") >= 20) & (F.col("the_hits") > 0))
-            .orderBy("doc_id"))
+    return _txt.quality_score(_t(spark, sf, "documents"))
 
 
 def text_language_id(spark, sf):
     """Heuristic language-ID: stopword-count argmax (X5 capability shape)."""
-    d = _t(spark, sf, "documents")
-
-    def hits(word):
-        pat = f" {word} "
-        return ((F.length("text") - F.length(F.regexp_replace("text", pat, "")))
-                / len(pat)).cast("long")
-
-    d2 = d.select("doc_id", hits("the").alias("s_en"), hits("la").alias("s_es"),
-                  hits("le").alias("s_fr"), hits("der").alias("s_de"))
-    pred = (F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr"))
-                   & (F.col("s_en") >= F.col("s_de")), "en")
-            .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
-            .when(F.col("s_fr") >= F.col("s_de"), "fr")
-            .otherwise("de"))
-    return d2.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+    return _txt.language_id(_t(spark, sf, "documents"))
 
 
 def doc_fingerprint(spark, sf):
     """Document fingerprinting: md5 over (length, head-64, tail-64)."""
-    d = _t(spark, sf, "documents")
-    fp = F.md5(F.concat(F.col("n_chars").cast("string"), F.lit(":"),
-                        F.substring("text", 1, 64), F.lit(":"),
-                        F.substring(F.col("text"), F.col("n_chars") - 63, F.lit(64))))
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return _txt.fingerprint(_t(spark, sf, "documents"))
+
+
+def dedup_simhash16(spark, sf):
+    """16-bit md5-based SimHash signature per document."""
+    return _dedup.simhash16(_t(spark, sf, "documents"))
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (int-quantized, cos >= 0.95)."""
+    return _dedup.embedding_cosine_pairs(_t(spark, sf, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +387,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x13_json_extract": x13_json_extract,
     "t2_stream_composite_filter": t2_stream_composite_filter,
     "dedup_exact": dedup_exact,
+    "dedup_simhash16": dedup_simhash16,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
@@ -649,6 +566,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keeper, count(*) AS n_dupes
             FROM documents GROUP BY fingerprint ORDER BY fingerprint
+        """,
+        "dedup_simhash16": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x <> ''))) AS tok
+              FROM documents),
+            e AS (
+              SELECT doc_id, substr(md5(tok), 1, 4) AS h4, pos
+              FROM toks CROSS JOIN (SELECT unnest(generate_series(0,15)) AS pos)),
+            v AS (
+              SELECT doc_id, pos,
+                     sum(2*(((strpos('0123456789abcdef',
+                                     substr(h4, CAST(pos//4 AS INT)+1, 1)) - 1)
+                             >> CAST(3 - pos % 4 AS INT)) & 1) - 1) AS s
+              FROM e GROUP BY doc_id, pos)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1 << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS simhash16
+            FROM v GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            ex AS (
+              SELECT vec_id, i, qv[i] AS val
+              FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+            norms AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS n2 FROM ex GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     CAST(sum(a.val*b.val) AS BIGINT) AS dot
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(round(dot*1000.0/sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) AS BIGINT) AS cos_milli
+            FROM dots JOIN norms na ON na.vec_id = doc_a
+                      JOIN norms nb ON nb.vec_id = doc_b
+            WHERE CAST(round(dot*1000.0/sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) AS BIGINT) >= 950
+            ORDER BY doc_a, doc_b
         """,
         "dedup_minhash_lsh": """
             WITH toks AS (

@@ -23,20 +23,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", 200_000))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", 100_000))
 N_HOSTS = 500
-CPU_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "8,32").split(",")]
+# realistic payload sizes: a production crawl is decode-dominated (100 KB+
+# JPEGs); 48-96 px synthetic images keep the corpus generatable offline
+# while giving the extract stage its true weight in the round
+SIZES = (48, 64, 96)
+# N=4 vs 4N=16 worker threads: with Python UDF stages each Spark task
+# occupies ~2 host threads (JVM + python worker), so 16+16 saturates the
+# 32-core host exactly — the clean analog of 4 vs 16 single-core executors.
+# local[32] would OVERSUBSCRIBE the host (64 active threads on 32 cores)
+# and measure contention, not scaling.
+CPU_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16").split(",")]
+# fine parquet splits so every level gets >= 4 balanced tasks per core
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608")
 
 
 def ensure_corpus(root: str) -> str:
     from delver_spark.fixtures.gen import generate_corpus
 
-    d = os.path.join(root, f"scale_n{N_PAGES}_h{N_HOSTS}")
+    d = os.path.join(root, f"scale_n{N_PAGES}_h{N_HOSTS}_px{SIZES[-1]}")
     if not os.path.exists(os.path.join(d, "params.json")):
         generate_corpus(d, n_pages=N_PAGES, n_hosts=N_HOSTS, seed=42,
                         n_seeds=10, per_host_budget=1 << 30,
                         global_budget=N_PAGES + 1, max_rounds=2,
-                        golden_pixel_cap=0)
+                        golden_pixel_cap=0, sizes=SIZES)
     return d
 
 
@@ -52,9 +63,10 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
     if active is not None:
         active.stop()
     spark = get_spark(f"delver_scale_{cpus}", cpus=cpus,
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=cpus * 4)
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    spark.range(100).mapInPandas(lambda it: it, "id long").count()  # py workers
 
     wd = tempfile.mkdtemp(prefix=f"delver_scale_{cpus}_")
     try:
@@ -68,7 +80,7 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
             pages.rdd.zipWithIndex().map(
                 lambda t: (0, 0, t[1], t[0][0], t[0][1], 0, None)),
             FRONTIER_SCHEMA)
-        eng.frontier = rows.repartition(max(cpus, 8), "host") \
+        eng.frontier = rows.repartition(cpus * 4, "host") \
             .localCheckpoint(eager=True)
         eng.frontier_count = eng.frontier.count()
         eng.seq = eng.frontier_count

@@ -11,6 +11,8 @@ import html as _html
 import re
 import unicodedata
 
+import numpy as np
+
 from .urlnorm import host_of, resolve, sld
 
 # ---------------------------------------------------------------------------
@@ -171,6 +173,9 @@ def extract_urls_fast(data: str) -> list[str]:
 # byte-level spacing set: Go checks rune(content[i]) for i over BYTES, so
 # only code points < 0x100 can match: White_Space ∪ Pattern_White_Space
 _SPACING_BYTES = frozenset({0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0})
+_SPACING_LUT = np.zeros(256, dtype=bool)
+for _b in _SPACING_BYTES:
+    _SPACING_LUT[_b] = True
 
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 # bluemonday NewPolicy skips the CONTENT of these elements by default
@@ -197,15 +202,12 @@ def extract_text(data: bytes) -> bytes | None:
     content = _html.unescape(stripped.decode("utf-8", "replace")).encode("utf-8")
     if not content:
         return None
-    out = bytearray()
-    prev_sp = content[0] in _SPACING_BYTES
-    out.append(content[0])
-    for b in content[1:]:
-        sp = b in _SPACING_BYTES
-        if not (prev_sp and sp):
-            out.append(b)
-        prev_sp = sp
-    return bytes(out)
+    # vectorized run-collapse: drop byte i when bytes i-1 and i both spacing
+    arr = np.frombuffer(content, dtype=np.uint8)
+    sp = _SPACING_LUT[arr]
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = ~(sp[1:] & sp[:-1])
+    return arr[keep].tobytes()
 
 
 _TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
@@ -347,17 +349,16 @@ def detect_language(text: str) -> tuple[str, float]:
     languages by stopword vote."""
     if not text:
         return "en", 0.0
-    counts = {"zh": 0, "ar": 0, "ru": 0, "latin": 0}
-    for ch in text:
-        o = ord(ch)
-        if 0x4E00 <= o <= 0x9FFF or 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:
-            counts["zh"] += 1
-        elif 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F:
-            counts["ar"] += 1
-        elif 0x0400 <= o <= 0x04FF:
-            counts["ru"] += 1
-        elif ch.isalpha():
-            counts["latin"] += 1
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    zh = (((cp >= 0x4E00) & (cp <= 0x9FFF)) | ((cp >= 0x3000) & (cp <= 0x303F))
+          | ((cp >= 0xFF00) & (cp <= 0xFFEF)))
+    ar = ((cp >= 0x0600) & (cp <= 0x06FF)) | ((cp >= 0x0750) & (cp <= 0x077F))
+    ru = (cp >= 0x0400) & (cp <= 0x04FF)
+    latin = (~zh & ~ar & ~ru
+             & (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))
+                | ((cp >= 0xC0) & (cp <= 0x24F))))
+    counts = {"zh": int(zh.sum()), "ar": int(ar.sum()), "ru": int(ru.sum()),
+              "latin": int(latin.sum())}
     total = sum(counts.values()) or 1
     for lang in ("zh", "ar", "ru"):
         if counts[lang] > 0 and counts[lang] >= 0.3 * total:

@@ -79,13 +79,17 @@ def phash64(pixels: np.ndarray) -> int:
     """
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # resample to 8x8 by simple index-based block averaging (any h,w >= 8)
-    ys = (np.arange(9) * h // 8).astype(int)
-    xs = (np.arange(9) * w // 8).astype(int)
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # uniform blocks: one vectorized reshape-mean
+        blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        # ragged blocks: index-based block averaging (any h,w >= 8)
+        ys = (np.arange(9) * h // 8).astype(int)
+        xs = (np.arange(9) * w // 8).astype(int)
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
     bits = (blocks > blocks.mean()).astype(np.uint64).reshape(-1)
     val = np.uint64(0)
     for b in bits:

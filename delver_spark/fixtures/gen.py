@@ -58,6 +58,7 @@ def generate_corpus(
     global_budget: int = 64,
     max_rounds: int = 200,
     golden_pixel_cap: int = 5000,
+    sizes: tuple = (16, 24, 32),
 ) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -72,7 +73,7 @@ def generate_corpus(
     variant_roll = rng.random(n_pages)
     # ~8% of pages live under /bad (robots-disallowed on some domains)
     bad_roll = rng.random(n_pages) < 0.08
-    size_choices = np.array([16, 24, 32], dtype=np.int32)
+    size_choices = np.array(sizes, dtype=np.int32)
     ws = rng.choice(size_choices, n_pages)
     hs = rng.choice(size_choices, n_pages)
     fmts = np.where(rng.random(n_pages) < 0.6, "ppm", "qjpg")
@@ -172,7 +173,16 @@ def generate_corpus(
         "host": pa.array(hosts),
         "pix_md5": pa.array(pix_md5s),
     })
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # shard + small row groups so the payload scan parallelizes (a single
+    # pyarrow file defaults to ONE row group → an unsplittable Spark scan)
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
+    shard_rows = 6250
+    n_shards = max(1, (n_pages + shard_rows - 1) // shard_rows)
+    for s in range(n_shards):
+        pq.write_table(pages.slice(s * shard_rows, shard_rows),
+                       os.path.join(pages_dir, f"part-{s:05d}.parquet"),
+                       row_group_size=2048)
 
     # --- seeds: first page of each of the first n_seeds domains ------------
     seed_urls = []

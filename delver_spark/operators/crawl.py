@@ -146,13 +146,22 @@ class CrawlEngine:
         return n
 
     # ------------------------------------------------------------- one round
-    def run_round(self) -> bool:
+    def run_round(self, timings: dict | None = None) -> bool:
+        import time as _time
+
+        def _mark(name, t0):
+            if timings is not None:
+                timings[name] = timings.get(name, 0.0) + _time.perf_counter() - t0
+            return _time.perf_counter()
+
+        _t = _time.perf_counter()
         rnd = self.round
         if self.frontier_count == 0:
             if self._refill(rnd) == 0:
                 return False
 
         batch = dequeue(self.frontier, self.B, self.G).localCheckpoint(eager=True)
+        _t = _mark('dequeue', _t)
         # ---- fetch (J1): small batches push an IN-filter into the parquet
         # scan (row-group pruning on url_canon stats) and broadcast the
         # pruned payload; huge batches (big-G rounds / scaling bench) go
@@ -169,21 +178,45 @@ class CrawlEngine:
             batch.select("enqueue_seq"), "enqueue_seq", "left_anti")
         self.frontier_count -= batch_count
 
-        payload = (self.pages.filter(F.col("url_canon").isin(batch_urls))
-                   if small_batch else self.pages)
-        if self.golden is not None:
-            payload = payload.join(self.golden.withColumnRenamed("pixels", "golden_pixels"),
-                                   "url_canon", "left")
+        payload_cols = ["bytes", "fmt", "caption", "phash", "pix_md5"]
         if small_batch:
-            payload = F.broadcast(payload)
-        fetched = batch.join(payload,
-                             batch.url == payload.url_canon, "left") \
-            .select(batch.pos, batch.url.alias("url_canon"), batch.depth,
-                    batch.host, "bytes", "fmt", "caption", "phash", "pix_md5",
-                    *(["golden_pixels"] if self.golden is not None else []))
-
-        extracted = fetched.mapInPandas(self.extractor, EXTRACT_SCHEMA) \
-            .localCheckpoint(eager=True)
+            payload = self.pages.filter(F.col("url_canon").isin(batch_urls))
+            if self.golden is not None:
+                payload = payload.join(
+                    self.golden.withColumnRenamed("pixels", "golden_pixels"),
+                    "url_canon", "left")
+                payload_cols = payload_cols + ["golden_pixels"]
+            fetched = batch.join(F.broadcast(payload),
+                                 batch.url == payload.url_canon, "left") \
+                .select(batch.pos, batch.url.alias("url_canon"), batch.depth,
+                        batch.host, *payload_cols)
+            extracted = fetched.mapInPandas(self.extractor, EXTRACT_SCHEMA) \
+                .localCheckpoint(eager=True)
+        else:
+            # big batch: NEVER shuffle payload bytes. Broadcast the key set,
+            # broadcast-hash-join it INTO the payload scan (narrow on pages),
+            # and run the extractor directly on the scan partitions; fetch
+            # misses take the same extractor with null payload columns.
+            keys = batch.select("pos", "url", "depth", "host")
+            payload = self.pages
+            if self.golden is not None:
+                payload = payload.join(
+                    self.golden.withColumnRenamed("pixels", "golden_pixels"),
+                    "url_canon", "left")
+                payload_cols = payload_cols + ["golden_pixels"]
+            hits = (payload.join(F.broadcast(keys),
+                                 payload.url_canon == keys.url, "inner")
+                    .select("pos", F.col("url").alias("url_canon"),
+                            "depth", "host", *payload_cols))
+            misses = (batch.join(self.pages.select(F.col("url_canon").alias("u")),
+                                 batch.url == F.col("u"), "left_anti")
+                      .select("pos", F.col("url").alias("url_canon"),
+                              "depth", "host",
+                              *[F.lit(None).alias(c) for c in payload_cols]))
+            extracted = (hits.mapInPandas(self.extractor, EXTRACT_SCHEMA)
+                         .unionByName(misses.mapInPandas(self.extractor, EXTRACT_SCHEMA))
+                         .localCheckpoint(eager=True))
+        _t = _mark('fetch_extract', _t)
 
         # ---- crawl-order / documents artifacts -------------------------------
         if self.collect_order:
@@ -211,6 +244,7 @@ class CrawlEngine:
                 "url_canon", "depth", F.lit(rnd).alias("round"), "host", "success")
              .write.mode("overwrite").parquet(d))
         self.fetch_seq += batch_count
+        _t = _mark('order_artifacts', _t)
 
         # ---- admission (F6/F7): same-domain candidates ----------------------
         cands = (extracted.filter("success")
@@ -248,13 +282,14 @@ class CrawlEngine:
             ranked = winners.withColumn("rn", F.row_number().over(
                 Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
         else:
-            # scalable global sequence: range-sort then zipWithIndex (two-pass
-            # per-partition offsets) — no single-partition window at big G
-            ordered = winners.orderBy("page_pos", "link_pos")
-            schema = ordered.schema.add("rn", "long")
-            ranked = self.spark.createDataFrame(
-                ordered.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],)),
-                schema)
+            # scalable global sequence: pid-sharded sort + per-pid offsets in
+            # one Arrow pass — no single-partition window at big G
+            from .frontier import assign_global_rank
+            par = max(self.spark.sparkContext.defaultParallelism, 4)
+            chunk = max(1, (batch_count + par - 1) // par)
+            ranked = assign_global_rank(
+                winners, ["page_pos", "link_pos"],
+                F.floor(F.col("page_pos") / F.lit(chunk)), "rn")
         admitted = (ranked.select(
                         F.lit(0).alias("priority"),
                         F.lit(rnd).alias("enqueue_round"),
@@ -265,6 +300,7 @@ class CrawlEngine:
                         F.col("partition_id"), F.col("page_pos"))
                     .localCheckpoint(eager=True))
         admitted_count = admitted.count()
+        _t = _mark('admission', _t)
         self.seq += admitted_count
 
         # ---- lineage counters (A3): one agg over tagged candidates ----------
@@ -286,6 +322,7 @@ class CrawlEngine:
             agg[int(r["partition_id"])]["deduped"] -= int(r["count"])
         for part in sorted(agg):
             self.lineage.append({"round": rnd, "partition": int(part), **agg[part]})
+        _t = _mark('lineage', _t)
 
         # ---- state updates (single materialization per table) ---------------
         self.frontier = frontier_rest.unionByName(
@@ -304,6 +341,7 @@ class CrawlEngine:
         if self._store_unions >= 4:  # bound the lazy union chain
             self.url_store = self.url_store.localCheckpoint(eager=True)
             self._store_unions = 0
+        _t = _mark('state_updates', _t)
 
         # ---- bloom merge: treeAggregate of per-partition bitsets -------------
         insert_urls = extracted.select("url_canon").unionAll(admitted.select("url"))
@@ -315,6 +353,7 @@ class CrawlEngine:
                 f"{self.bloom.max_n}); reference would silently drop inserts")
         self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
         probe_bc.destroy()
+        _t = _mark('bloom_merge', _t)
 
         self.round += 1
         return True

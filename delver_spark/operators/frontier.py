@@ -76,20 +76,81 @@ def make_bloom_probe(spark: SparkSession, bloom: BloomFilter):
 
 def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float) -> np.ndarray:
     """Per-partition numpy bitsets OR-merged via treeAggregate(depth=2)
-    (SURVEY §4.2.3). ``urls_df`` must have a single string column."""
+    (SURVEY §4.2.3). ``urls_df`` must have a single string column.
+
+    The per-partition bitset is built inside mapInPandas (Arrow transfer,
+    no per-row pickling); only the P partition bitsets flow through the
+    RDD treeAggregate."""
     proto = BloomFilter(max_n, p)
     nwords = len(proto.words)
 
     def build(it):
         local = BloomFilter(max_n, p)
-        batch = [r[0] for r in it]
-        if batch:
-            local._set_positions(local.probes_batch(batch))
-        yield local.words
+        any_rows = False
+        for pdf in it:
+            vals = pdf.iloc[:, 0].tolist()
+            if vals:
+                any_rows = True
+                local._set_positions(local.probes_batch(vals))
+        if any_rows:
+            yield pd.DataFrame({"words": [local.words.tobytes()]})
 
-    rdd = urls_df.rdd.mapPartitions(build)
+    bitsets = urls_df.mapInPandas(build, "words binary")
+    rdd = bitsets.rdd.map(lambda r: np.frombuffer(r[0], dtype=np.uint64))
     zero = np.zeros(nwords, dtype=np.uint64)
     return rdd.treeAggregate(zero, lambda a, b: a | b, lambda a, b: a | b, depth=2)
+
+
+def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
+                       out_col: str = "rn", partitions: int | None = None) -> DataFrame:
+    """Distributed 0-based global rank by ``order_cols`` (must be a unique
+    key) — no single-partition window, no row pickling, no sampling pass.
+
+    ``pid_expr`` is a caller-supplied integer Column that is MONOTONE
+    non-decreasing w.r.t. the order (e.g. floor(major_key / chunk)): rows
+    are hash-shuffled by it, sorted within partitions, then per-pid offsets
+    (one tiny collect) plus per-pid running counters are added in a single
+    Arrow pass."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = (df.withColumn("_pid", pid_expr.cast("long"))
+                 .repartition(partitions, F.col("_pid"))
+                 .sortWithinPartitions(*cols)
+                 .localCheckpoint(eager=True))
+    counts = dict(sorted_df.groupBy("_pid").count().collect())
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = sorted_df.drop("_pid").schema.add(out_col, "long")
+
+    def add_rank(it):
+        seen: dict[int, int] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pids = pdf["_pid"].to_numpy()
+            rn = np.empty(len(pdf), dtype=np.int64)
+            # pids appear in contiguous runs (sorted by order_cols and pid
+            # is monotone in them)
+            start = 0
+            while start < len(pdf):
+                pid = int(pids[start])
+                end = start
+                while end < len(pdf) and pids[end] == pid:
+                    end += 1
+                base = offsets[pid] + seen.get(pid, 0)
+                rn[start:end] = np.arange(base, base + (end - start))
+                seen[pid] = seen.get(pid, 0) + (end - start)
+                start = end
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = rn
+            yield out
+
+    return sorted_df.mapInPandas(add_rank, schema)
 
 
 def make_robots_udf(spark: SparkSession, rules_by_host: dict):

@@ -1,0 +1,61 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, heuristic language-ID, and document fingerprinting — all pure
+column expressions (whole-stage codegen, no Python), each with a DuckDB
+oracle twin in __spark_entry__.py. Integer/string outputs only, so
+cross-engine hashes match exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_tokens(text_col: str = "text"):
+    return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+
+
+def _hits(word: str, text_col: str = "text"):
+    pat = f" {word} "
+    return ((F.length(text_col)
+             - F.length(F.regexp_replace(text_col, pat, ""))) / len(pat)).cast("long")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    return (df.select(id_col, _n_tokens(text_col).alias("n_tokens"), "n_chars")
+            .orderBy(id_col))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    d2 = df.select(id_col, "n_chars", _n_tokens(text_col).alias("n_tokens"),
+                   _hits("the", text_col).alias("the_hits"))
+    return (d2.withColumn("avg_tok_len_milli",
+                          F.round(F.col("n_chars") * 1000.0 / F.col("n_tokens"))
+                          .cast("long"))
+            .withColumn("quality_ok",
+                        (F.col("n_tokens") >= 20) & (F.col("the_hits") > 0))
+            .orderBy(id_col))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    d2 = df.select(id_col,
+                   _hits("the", text_col).alias("s_en"),
+                   _hits("la", text_col).alias("s_es"),
+                   _hits("le", text_col).alias("s_fr"),
+                   _hits("der", text_col).alias("s_de"))
+    pred = (F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr"))
+                   & (F.col("s_en") >= F.col("s_de")), "en")
+            .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+            .when(F.col("s_fr") >= F.col("s_de"), "fr")
+            .otherwise("de"))
+    return d2.select(id_col, pred.alias("lang_pred")).orderBy(id_col)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    fp = F.md5(F.concat(F.col("n_chars").cast("string"), F.lit(":"),
+                        F.substring(text_col, 1, 64), F.lit(":"),
+                        F.substring(F.col(text_col), F.col("n_chars") - 63, F.lit(64))))
+    return df.select(id_col, fp.alias("fingerprint")).orderBy(id_col)

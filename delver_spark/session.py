@@ -34,6 +34,9 @@ def get_spark(app_name: str = "delver_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # small split size: payload scans parallelize across row groups
+        # (tunable; payload-heavy jobs want fine splits for balance)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .getOrCreate()
     )
