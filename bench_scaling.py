@@ -94,20 +94,67 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
         spark.stop()
 
 
+def _work_control(n):
+    """Hardware-ceiling control: the extract workload under plain
+    multiprocessing (no Spark) — measures how much the HOST itself
+    de-rates per-core throughput as concurrency grows."""
+    import hashlib
+
+    import numpy as np
+
+    from delver_spark.engine.extract_ref import (
+        detect_language, extract_outlinks, extract_text, match_countries)
+    from delver_spark.fixtures.codecs import decode, encode, phash64
+
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    blob = encode(pix, "qjpg")
+    cap = 'hello <a href="/p/000001">go</a> words http://d003.test/x y ' * 4
+    for _ in range(n):
+        p = decode(blob, "qjpg")
+        hashlib.md5(blob).hexdigest()
+        phash64(p)
+        extract_text(cap.encode())
+        extract_outlinks("http://d000.test/p/0001", cap.encode())
+        detect_language(cap)
+        match_countries(cap)
+    return n
+
+
+def hw_ceiling() -> float:
+    import multiprocessing as mp
+
+    lo, hi = min(CPU_LEVELS), max(CPU_LEVELS)
+    times = {}
+    for procs in (lo, hi):
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as pool:
+            pool.map(_work_control, [1000] * 64)
+        times[procs] = time.perf_counter() - t0
+    return (times[lo] / times[hi]) / (hi / lo)
+
+
 def main():
     corpus = ensure_corpus(os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "corpus"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", 2))
     results = {}
     for cpus in CPU_LEVELS:
-        dt, fetched = one_round(cpus, corpus)
-        results[cpus] = {"sec": round(dt, 2), "urls_fetched": fetched,
-                         "urls_per_sec": round(fetched / dt, 1)}
+        best, fetched = None, 0
+        for _ in range(reps):  # best-of-N: single-host runs are noisy
+            dt, fetched = one_round(cpus, corpus)
+            best = dt if best is None else min(best, dt)
+        results[cpus] = {"sec": round(best, 2), "urls_fetched": fetched,
+                         "urls_per_sec": round(fetched / best, 1)}
     lo, hi = min(CPU_LEVELS), max(CPU_LEVELS)
     ratio = hi / lo
     eff = (results[lo]["sec"] / results[hi]["sec"]) / ratio
+    ceiling = hw_ceiling()
     out = {"metric": "scaling_efficiency", "value": round(eff, 3),
            "unit": "ratio", "n_pages": N_PAGES, "levels": results,
-           "cpu_ratio": ratio}
+           "cpu_ratio": ratio,
+           "hw_ceiling": round(ceiling, 3),
+           "normalized_efficiency": round(eff / ceiling, 3)}
     print(json.dumps(out))
 
     bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -116,7 +163,8 @@ def main():
     with open(bench_md, "a") as f:
         f.write(f"\n| scaling local[{lo}]→local[{hi}] | {N_PAGES} pages | "
                 f"{results[lo]['urls_per_sec']} → {results[hi]['urls_per_sec']} urls/s | "
-                f"efficiency {eff:.3f} |\n")
+                f"efficiency {eff:.3f} (host mp ceiling {ceiling:.3f} → "
+                f"normalized {eff / ceiling:.3f}) |\n")
 
 
 if __name__ == "__main__":

@@ -22,13 +22,27 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    assert data[:3] == b"P6\n", "not a P6 ppm"
-    i1 = data.index(b"\n", 3)
-    w, h = (int(x) for x in data[3:i1].split())
-    i2 = data.index(b"\n", i1 + 1)  # maxval line
-    raw = data[i2 + 1 : i2 + 1 + w * h * 3]
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+def _header(data) -> bytes:
+    """First bytes as real bytes (input may be a zero-copy numpy view)."""
+    if isinstance(data, np.ndarray):
+        return data[:64].tobytes()
+    return bytes(data[:64])
+
+
+def _body(data, start: int, n: int) -> np.ndarray:
+    """Pixel payload as uint8 array — zero-copy when input is numpy."""
+    if isinstance(data, np.ndarray):
+        return data[start:start + n]
+    return np.frombuffer(data, dtype=np.uint8, count=n, offset=start)
+
+
+def decode_ppm(data) -> np.ndarray:
+    head = _header(data)
+    assert head[:3] == b"P6\n", "not a P6 ppm"
+    i1 = head.index(b"\n", 3)
+    w, h = (int(x) for x in head[3:i1].split())
+    i2 = head.index(b"\n", i1 + 1)  # maxval line
+    return _body(data, i2 + 1, w * h * 3).reshape(h, w, 3)
 
 
 def encode_qjpg(pixels: np.ndarray) -> bytes:
@@ -39,11 +53,12 @@ def encode_qjpg(pixels: np.ndarray) -> bytes:
     return b"Q6\n%d %d\n" % (w, h) + q.tobytes()
 
 
-def decode_qjpg(data: bytes) -> np.ndarray:
-    assert data[:3] == b"Q6\n", "not a qjpg"
-    i1 = data.index(b"\n", 3)
-    w, h = (int(x) for x in data[3:i1].split())
-    q = np.frombuffer(data[i1 + 1 : i1 + 1 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+def decode_qjpg(data) -> np.ndarray:
+    head = _header(data)
+    assert head[:3] == b"Q6\n", "not a qjpg"
+    i1 = head.index(b"\n", 3)
+    w, h = (int(x) for x in head[3:i1].split())
+    q = _body(data, i1 + 1, w * h * 3).reshape(h, w, 3)
     # spread 6-bit values back over 0..255
     return ((q << 2) | (q >> 4)).astype(np.uint8)
 

@@ -3,12 +3,13 @@
 Each round (SURVEY §3.1 "Spark translation"):
 
   refill-if-empty (S3) → dequeue under politeness budget (O1/O2, window +
-  TakeOrdered) → broadcast-join payloads (J1, IN-filter pushdown into the
-  parquet scan) → decode + extract in ONE Arrow-batched mapInPandas
-  (X1-X11) → admission split (F6): same-domain candidates bloom-gated
-  (F7/J3) vs cross-domain stash (append-only url_store) → assign
-  enqueue_seq → union frontier delta → treeAggregate bloom merge →
-  snapshot commit (T8).
+  TakeOrdered) → payload join (J1: IN-filter pushdown + broadcast for
+  small rounds; broadcast-keys-into-the-scan for big rounds so image
+  bytes are never shuffled) → decode + extract in ONE mapInArrow pass
+  with zero-copy binary views (X1-X11) → admission split (F6):
+  same-domain candidates bloom-gated (F7/J3) vs cross-domain stash
+  (append-only url_store) → assign enqueue_seq → union frontier delta →
+  treeAggregate bloom merge → snapshot commit (T8).
 
 State is distributed (frontier / url_store DataFrames, localCheckpoint'd
 per round to truncate lineage); only round-bounded artifacts (the <= G
@@ -37,7 +38,7 @@ from ..engine.bloom import BloomFilter
 from ..engine.robots import parse_robots
 from ..engine.urlnorm import canonicalize, host_of
 from ..sources.snapshot import SnapshotStore
-from .extract import EXTRACT_SCHEMA, make_extractor
+from .extract import EXTRACT_SCHEMA, make_extractor_arrow
 from .frontier import (
     FRONTIER_SCHEMA,
     ORDER_COLS,
@@ -87,7 +88,8 @@ class CrawlEngine:
         self.robots_ok, self._robots_bc = make_robots_udf(spark, self.robots_rules)
 
         self.bloom = BloomFilter(p["bloom_max_n"], p["bloom_p"])
-        self.extractor = make_extractor(n_partitions)
+        self.extractor = make_extractor_arrow(n_partitions,
+                                              emit_text=collect_documents)
 
         # mutable state
         self.frontier: DataFrame | None = None
@@ -190,7 +192,7 @@ class CrawlEngine:
                                  batch.url == payload.url_canon, "left") \
                 .select(batch.pos, batch.url.alias("url_canon"), batch.depth,
                         batch.host, *payload_cols)
-            extracted = fetched.mapInPandas(self.extractor, EXTRACT_SCHEMA) \
+            extracted = fetched.mapInArrow(self.extractor, EXTRACT_SCHEMA) \
                 .localCheckpoint(eager=True)
         else:
             # big batch: NEVER shuffle payload bytes. Broadcast the key set,
@@ -213,8 +215,8 @@ class CrawlEngine:
                       .select("pos", F.col("url").alias("url_canon"),
                               "depth", "host",
                               *[F.lit(None).alias(c) for c in payload_cols]))
-            extracted = (hits.mapInPandas(self.extractor, EXTRACT_SCHEMA)
-                         .unionByName(misses.mapInPandas(self.extractor, EXTRACT_SCHEMA))
+            extracted = (hits.mapInArrow(self.extractor, EXTRACT_SCHEMA)
+                         .unionByName(misses.mapInArrow(self.extractor, EXTRACT_SCHEMA))
                          .localCheckpoint(eager=True))
         _t = _mark('fetch_extract', _t)
 
@@ -262,26 +264,61 @@ class CrawlEngine:
                             & (F.col("page_depth") < self.max_depth))
         stash = cands.filter(F.col("domain") != F.col("page_domain"))
 
-        probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
-        f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
-                         .agg(F.min("pos").alias("f_pos"))
-        gated = (same
-                 .withColumn("in_bloom", probe(F.col("url")))
-                 .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
-        eligible = gated.filter(~F.col("in_bloom")
-                                & (F.col("f_pos").isNull()
-                                   | (F.col("f_pos") > F.col("page_pos"))))
-        # first page (in dequeue order) wins the enqueue; later pages would
-        # have seen the bloom bit (sequential-oracle equivalence). Same-page
-        # raw-distinct duplicates are all admitted (reference quirk).
-        w_url = Window.partitionBy("url")
-        winners = (eligible
-                   .withColumn("min_pp", F.min("page_pos").over(w_url))
-                   .filter(F.col("page_pos") == F.col("min_pp")))
+        # Admission gates (sequential-oracle equivalence): a candidate wins
+        # iff (a) not in the previous round's bloom, (b) its url was not
+        # fetched this round at an earlier-or-equal page position, and
+        # (c) it comes from the FIRST page that proposes the url — later
+        # pages would have seen the SetMany bloom bit. Same-page
+        # raw-distinct duplicates are all admitted (reference quirk,
+        # dfs_basic.go:87-123).
         if small_batch:
+            probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
+            f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
+                             .agg(F.min("pos").alias("f_pos"))
+            gated = (same
+                     .withColumn("in_bloom", probe(F.col("url")))
+                     .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
+            winners = (gated.filter(~F.col("in_bloom")
+                                    & (F.col("f_pos").isNull()
+                                       | (F.col("f_pos") > F.col("page_pos"))))
+                       .withColumn("min_pp", F.min("page_pos").over(
+                           Window.partitionBy("url")))
+                       .filter(F.col("page_pos") == F.col("min_pp"))
+                       .drop("in_bloom", "f_url", "f_pos", "min_pp"))
             ranked = winners.withColumn("rn", F.row_number().over(
                 Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
         else:
+            # big-G fused admission: ONE shuffle by url colocates all
+            # proposals of a url, then a single Arrow pass applies the
+            # bloom probe (broadcast bitset), the fetched-pos gate
+            # (broadcast dict), and min-page winner selection — no window,
+            # no per-candidate join, no separate probe pass.
+            probe_bc = self.spark.sparkContext.broadcast(self.bloom.to_bytes())
+            f_pos_map = {r["url_canon"]: r["f_pos"] for r in
+                         extracted.groupBy("url_canon")
+                         .agg(F.min("pos").alias("f_pos")).collect()}
+            fpos_bc = self.spark.sparkContext.broadcast(f_pos_map)
+
+            def admit(it):
+                bf = BloomFilter.from_bytes(probe_bc.value)
+                fpos = fpos_bc.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    urls = pdf["url"]
+                    in_bloom = bf.contains_batch(urls.tolist())
+                    fp = urls.map(fpos)
+                    ok = ~in_bloom & (fp.isna() | (fp > pdf["page_pos"])).to_numpy()
+                    elig = pdf[ok]
+                    if len(elig) == 0:
+                        continue
+                    min_pp = elig.groupby("url")["page_pos"].transform("min")
+                    yield elig[elig["page_pos"] == min_pp]
+
+            winners = (same.repartition(
+                           max(self.spark.sparkContext.defaultParallelism, 4),
+                           F.col("url"))
+                       .mapInPandas(admit, same.schema))
             # scalable global sequence: pid-sharded sort + per-pid offsets in
             # one Arrow pass — no single-partition window at big G
             from .frontier import assign_global_rank

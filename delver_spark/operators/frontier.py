@@ -173,6 +173,7 @@ def salted_repartition(df: DataFrame, key: str, n_partitions: int,
     (BASELINE.json north_star; SURVEY §4.2.1). Used for the
     order-insensitive fetch/extract stage; order is restored downstream by
     the explicit (priority, enqueue_round, enqueue_seq) keys."""
-    salt = F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts))
+    salt = F.pmod(F.hash(F.col(salt_col)).cast("long"), F.lit(n_salts))
     return df.repartition(n_partitions, F.pmod(
-        F.hash(F.col(key)) * F.lit(n_salts) + salt, F.lit(n_partitions)))
+        F.hash(F.col(key)).cast("long") * F.lit(n_salts) + salt,
+        F.lit(n_partitions)))

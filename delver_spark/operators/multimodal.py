@@ -1,0 +1,142 @@
+"""Multimodal payload operators: opaque ``binary`` columns with typed
+metadata, processed in Arrow-batched ``mapInPandas`` passes.
+
+The image path is fully real (numpy codecs from fixtures.codecs). Audio
+and video decode are STUBBED — this container has no AV libraries — but
+the Spark-side plumbing (schemas, UDF signatures, batch shapes,
+partitioning expectations) is real and tested: swap ``_decode_audio`` /
+``_video_frames`` for soundfile/PyAV on a real cluster and nothing else
+changes.
+
+Scale notes: payload bytes must never be shuffled — these operators are
+narrow maps over the storage scan (same rule as the crawl fetch stage);
+outputs carry features only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from ..fixtures.codecs import decode as _decode_image
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("thumb", T.BinaryType()),       # resized RGB (th*tw*3)
+    T.StructField("thumb_w", T.IntegerType()),
+    T.StructField("thumb_h", T.IntegerType()),
+])
+
+
+def _resize_nn(pix: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy."""
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h // th)
+    xs = (np.arange(tw) * w // tw)
+    return pix[ys][:, xs]
+
+
+def image_features(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode + feature-extract + resize over (image_id, bytes, fmt)."""
+    th, tw = thumb
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                pix = _decode_image(bytes(r["bytes"]), r["fmt"])
+                means = pix.reshape(-1, 3).mean(axis=0)
+                t = _resize_nn(pix, th, tw)
+                rows.append((r["image_id"], pix.shape[1], pix.shape[0],
+                             float(means[0]), float(means[1]), float(means[2]),
+                             t.tobytes(), tw, th))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("rms_milli", T.LongType()),
+])
+
+
+def _decode_audio(blob: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """STUB: no audio codec in this container. ``fake-pcm16`` is a
+    deterministic fake (little-endian int16 + 4-byte rate header) so the
+    plumbing is testable offline; real formats raise."""
+    if fmt == "fake-pcm16":
+        rate = int.from_bytes(blob[:4], "little")
+        samples = np.frombuffer(blob[4:], dtype="<i2")
+        return samples, rate
+    raise NotImplementedError(
+        f"audio codec {fmt!r} requires soundfile/librosa (not in this env); "
+        "swap _decode_audio on a real cluster")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """RMS energy over (audio_id, bytes, fmt) — Arrow-batched."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = _decode_audio(bytes(r["bytes"]), r["fmt"])
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                rows.append((r["audio_id"], len(samples), rate,
+                             int(round(rms * 1000))))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return df.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+])
+
+
+def _video_frames(blob: bytes, fmt: str, every_n: int):
+    """STUB: no video codec here. ``fake-rawrgb`` packs (w,h,n) int32
+    header + n raw RGB frames; real formats raise."""
+    if fmt == "fake-rawrgb":
+        w = int.from_bytes(blob[0:4], "little")
+        h = int.from_bytes(blob[4:8], "little")
+        n = int.from_bytes(blob[8:12], "little")
+        sz = w * h * 3
+        for i in range(0, n, every_n):
+            yield i, blob[12 + i * sz: 12 + (i + 1) * sz], w, h
+        return
+    raise NotImplementedError(
+        f"video codec {fmt!r} requires PyAV/ffmpeg (not in this env); "
+        "swap _video_frames on a real cluster")
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over (video_id, bytes, fmt): one output row per
+    sampled frame (a flatMap shape — mapInPandas yields more rows than in)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, frame, w, h in _video_frames(bytes(r["bytes"]),
+                                                      r["fmt"], every_n):
+                    rows.append((r["video_id"], idx, frame, w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

@@ -67,6 +67,24 @@ def test_payload_invariant_all_rows(engine_result):
     assert len(qjpg_psnr) > 0 and (qjpg_psnr >= 40.0).all()
 
 
+def test_big_g_path_matches_oracle(spark, tmp_path_factory):
+    """G > 10000 selects the big-batch plan (fused Arrow admission,
+    broadcast-keys fetch, pid-sharded rank) — must stay bit-exact."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_bigg"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=11, max_rounds=5,
+                    global_budget=20000, per_host_budget=50)
+    oracle = run_oracle(d)
+    wd = str(tmp_path_factory.mktemp("crawl_bigg"))
+    eng = CrawlEngine(spark, d, wd)
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
 def test_resume_equals_uninterrupted(spark, unit_corpus, tmp_path_factory,
                                      oracle_result):
     """Kill after round k, resume from snapshot → identical final state

@@ -1,0 +1,73 @@
+"""Unit tests for the frontier primitives (dequeue politeness window,
+distributed rank, bloom bitset merge, salted repartition)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from delver_spark.engine.bloom import BloomFilter
+from delver_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    assign_global_rank,
+    bloom_bits_for_urls,
+    dequeue,
+    salted_repartition,
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def test_dequeue_greedy_equivalence(spark):
+    # (priority, round, seq, url, host, depth, origin)
+    rows = [
+        (0, 0, 0, "u0", "h1", 0, None),
+        (0, 0, 1, "u1", "h1", 0, None),
+        (0, 0, 2, "u2", "h1", 0, None),  # h1 third → host-capped at B=2
+        (0, 0, 3, "u3", "h2", 0, None),
+        (1, 0, 4, "u4", "h3", 0, None),  # lower priority sorts later
+        (0, 1, 5, "u5", "h2", 0, None),
+    ]
+    got = dequeue(_frontier(spark, rows), per_host_budget=2, global_budget=4) \
+        .orderBy("pos").collect()
+    assert [r["url"] for r in got] == ["u0", "u1", "u3", "u5"]
+    assert [r["pos"] for r in got] == [0, 1, 2, 3]
+
+
+def test_dequeue_priority_first(spark):
+    rows = [(5, 0, 0, "low", "h1", 0, None), (0, 9, 9, "hi", "h2", 0, None)]
+    got = dequeue(_frontier(spark, rows), 1, 1).collect()
+    assert [r["url"] for r in got] == ["hi"]
+
+
+def test_assign_global_rank_matches_sort_order(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1000), rng.randrange(1000), f"v{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "a long, b long, v string")
+    chunk = 100
+    out = assign_global_rank(df, ["a", "b", "v"],
+                             F.floor(F.col("a") / chunk), "rn").collect()
+    got = [(r["a"], r["b"], r["v"]) for r in sorted(out, key=lambda r: r["rn"])]
+    assert got == sorted(rows)
+    assert sorted(r["rn"] for r in out) == list(range(5000))
+
+
+def test_bloom_bits_match_driver_side(spark):
+    urls = [f"http://d{i % 7}.test/p/{i}" for i in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    words = bloom_bits_for_urls(df, 2000, 0.01)
+    ref = BloomFilter(2000, 0.01)
+    ref.add_many(urls)
+    assert np.array_equal(words, ref.words)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    rows = [("hot.test", f"u{i}") for i in range(900)] + \
+           [("cold.test", f"c{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = salted_repartition(df, "host", n_partitions=8, n_salts=8)
+    sizes = out.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    biggest = max(r["count"] for r in sizes)
+    assert biggest < 500  # hot host no longer lands in a single partition

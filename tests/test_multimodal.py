@@ -1,0 +1,60 @@
+"""Multimodal plumbing: real image path, stubbed AV codecs with real
+Spark-side schemas/batch shapes (task spec: stub decode, test plumbing)."""
+
+import numpy as np
+import pytest
+
+from delver_spark.fixtures.codecs import encode
+from delver_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    video_frame_sample,
+)
+
+
+def test_image_features_and_resize(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    pix0 = None
+    for i in range(6):
+        pix = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+        if i == 0:
+            pix0 = pix
+        rows.append((f"img-{i}", encode(pix, "ppm"), "ppm"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r["image_id"]: r for r in image_features(df, thumb=(4, 4)).collect()}
+    assert len(out) == 6
+    r0 = out["img-0"]
+    assert (r0["w"], r0["h"]) == (16, 24)
+    assert abs(r0["mean_r"] - pix0[:, :, 0].mean()) < 1e-9
+    thumb = np.frombuffer(r0["thumb"], np.uint8).reshape(4, 4, 3)
+    assert thumb.shape == (4, 4, 3)
+
+
+def test_audio_stub_plumbing(spark):
+    samples = (np.sin(np.linspace(0, 20, 800)) * 10000).astype("<i2")
+    blob = (16000).to_bytes(4, "little") + samples.tobytes()
+    df = spark.createDataFrame([("a0", blob, "fake-pcm16")],
+                               "audio_id string, bytes binary, fmt string")
+    r = audio_features(df).collect()[0]
+    assert r["n_samples"] == 800 and r["sample_rate"] == 16000
+    assert r["rms_milli"] > 0
+
+
+def test_audio_real_format_raises(spark):
+    df = spark.createDataFrame([("a0", b"RIFF....", "wav")],
+                               "audio_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
+        audio_features(df).collect()
+
+
+def test_video_frame_sample(spark):
+    w, h, n = 4, 3, 6
+    frames = np.arange(n * w * h * 3, dtype=np.uint8).tobytes()
+    blob = (w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + n.to_bytes(4, "little") + frames)
+    df = spark.createDataFrame([("v0", blob, "fake-rawrgb")],
+                               "video_id string, bytes binary, fmt string")
+    out = video_frame_sample(df, every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert all(len(r["frame"]) == w * h * 3 for r in out)

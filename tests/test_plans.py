@@ -1,0 +1,75 @@
+"""Physical-plan assertions: predicate pushdown, column pruning, and
+broadcast joins must actually reach the scan (SURVEY §4.1; the 100 TB
+design depends on these, so they are pinned as tests)."""
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+import contextlib
+import io
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") <= "1998-09-02") \
+        .select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning(spark):
+    df = entrymod.queries()["f10_field_projection"](spark, SF)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema  # unused column not read
+
+
+def test_broadcast_join_for_tiny_dim(spark):
+    df = entrymod.queries()["j2_robots_lookup"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_anti_join_strategy(spark):
+    df = entrymod.queries()["j3_seen_anti_join"](spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_in_filter_pushdown_for_fetch(spark, tmp_path):
+    """The small-round fetch path pushes the batch's IN-list into the
+    payload scan (operators/crawl.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pages.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"url_canon": [f"u{i}" for i in range(100)],
+                             "payload": [b"x"] * 100}),
+                   str(d / "part-0.parquet"))
+    pages = spark.read.parquet(str(d))
+    pruned = pages.filter(F.col("url_canon").isin(["u1", "u2", "u3"]))
+    plan = _plan(pruned)
+    assert "PushedFilters" in plan and "url_canon" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_whole_stage_codegen_on_textstats(spark):
+    """Text analysis ops stay JVM-side (no Python in the plan)."""
+    df = entrymod.queries()["text_quality_score"](spark, SF)
+    plan = _plan(df)
+    # no BatchEvalPython / ArrowEvalPython: everything stays JVM-side where
+    # whole-stage codegen applies (AQE formatted plans list the operators)
+    assert "Python" not in plan
+    assert "Scan parquet" in plan and "Project" in plan
