@@ -288,6 +288,38 @@ def t2_stream_composite_filter(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+
+def f2_multi_filter(spark, sf):
+    """F2 multiFilter: AND of sub-filters in one predicate
+    (frontier/multi.go:19-49)."""
+    p = _t(spark, sf, "part")
+    return (p.filter(F.col("p_name").rlike("green")
+                     & F.col("p_size").between(10, 30)
+                     & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+            .select("p_partkey", "p_name", "p_size").orderBy("p_partkey"))
+
+
+def f4_null_filter(spark, sf):
+    """F4 nullFilter: always-true predicate (frontier/null.go:9-11)."""
+    r = _t(spark, sf, "region")
+    return r.filter(F.lit(True)).select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+def o6_first_by_name(spark, sf):
+    """O6 dashboard list order: ORDER BY name ASC LIMIT 1
+    (gateway/dashboard.go:25-28)."""
+    n = _t(spark, sf, "nation")
+    return n.orderBy("n_name").limit(1).select("n_nationkey", "n_name")
+
+
+def x14_base64_hostdir(spark, sf):
+    """X14 base64url host dir name (resource/maps/multi_domain.go:90 shape)."""
+    n = _t(spark, sf, "nation")
+    host = F.concat(F.lower(F.regexp_replace("n_name", " ", "")), F.lit(".test"))
+    return (n.select("n_nationkey", F.base64(host.cast("binary")).alias("host_b64"))
+            .orderBy("n_nationkey"))
+
+
 # --- training-data pipeline operators (documents/embeddings) ----------------
 # implementations live in delver_spark.operators.{dedup,similarity,textstats}
 
@@ -365,6 +397,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o2_politeness_window": o2_politeness_window,
     "o3_search_order": o3_search_order,
     "o4_refill_pick": o4_refill_pick,
+    "o6_first_by_name": o6_first_by_name,
     "a1_metric_date_histogram": a1_metric_date_histogram,
     "a2_tumbling_window_mean": a2_tumbling_window_mean,
     "a4_dedupe_first_occurrence": a4_dedupe_first_occurrence,
@@ -375,7 +408,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_seen_anti_join": j3_seen_anti_join,
     "j4_unvisited_semi_join": j4_unvisited_semi_join,
     "j5_stream_filter_cross": j5_stream_filter_cross,
+    "f2_multi_filter": f2_multi_filter,
     "f3_regex_filter": f3_regex_filter,
+    "f4_null_filter": f4_null_filter,
     "f6_same_domain_split": f6_same_domain_split,
     "f8_news_admission": f8_news_admission,
     "f9_content_type_gate": f9_content_type_gate,
@@ -385,6 +420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_md5_checksum": x11_md5_checksum,
     "x12_sld_tld": x12_sld_tld,
     "x13_json_extract": x13_json_extract,
+    "x14_base64_hostdir": x14_base64_hostdir,
     "t2_stream_composite_filter": t2_stream_composite_filter,
     "dedup_exact": dedup_exact,
     "dedup_simhash16": dedup_simhash16,
@@ -505,6 +541,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, o_orderstatus
             FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
             ORDER BY r_name, o_orderstatus
+        """,
+        "f2_multi_filter": """
+            SELECT p_partkey, p_name, p_size FROM part
+            WHERE regexp_matches(p_name, 'green') AND p_size BETWEEN 10 AND 30
+              AND p_brand IN ('Brand#11','Brand#22','Brand#33')
+            ORDER BY p_partkey
+        """,
+        "f4_null_filter": """
+            SELECT r_regionkey, r_name FROM region WHERE TRUE ORDER BY r_regionkey
+        """,
+        "o6_first_by_name": """
+            SELECT n_nationkey, n_name FROM nation ORDER BY n_name LIMIT 1
+        """,
+        "x14_base64_hostdir": """
+            SELECT n_nationkey,
+                   base64(encode(lower(replace(n_name,' ','')) || '.test')) AS host_b64
+            FROM nation ORDER BY n_nationkey
         """,
         "f3_regex_filter": """
             SELECT p_partkey, p_name FROM part
