@@ -52,6 +52,32 @@ from .frontier import (
 _STORE_SCHEMA_W_HOST = STORE_SCHEMA.add("host", "string", False)
 
 
+def _outlink_domain(host_col):
+    """GetSLDAndTLD (util/util.go:92-101) as a JVM column expression:
+    last two dot-tokens, single token as-is. Exactly mirrors
+    engine.urlnorm.sld_tld so the admission gate stays oracle-equal
+    while the domain never has to be computed in python or carried
+    through the extracted checkpoint."""
+    toks = F.split(host_col, "\\.")
+    return F.when(F.size(toks) <= 1, host_col) \
+        .otherwise(F.array_join(F.slice(toks, -2, 2), "."))
+
+
+def _explode_outlinks(extracted: DataFrame) -> DataFrame:
+    """Candidate rows: one per (page, outlink), with the outlink's
+    registrable domain derived JVM-side post-explode."""
+    return (extracted.filter("success")
+            .select(F.col("pos").alias("page_pos"),
+                    F.col("url_canon").alias("page_url"),
+                    F.col("depth").alias("page_depth"),
+                    F.col("domain").alias("page_domain"),
+                    F.col("partition_id"),
+                    F.explode("outlinks").alias("l"))
+            .select("page_pos", "page_url", "page_depth", "page_domain",
+                    "partition_id", "l.link_pos", "l.url", "l.host",
+                    _outlink_domain(F.col("l.host")).alias("domain")))
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
                  n_partitions: int = 8, collect_documents: bool = True,
@@ -164,6 +190,8 @@ class CrawlEngine:
 
         batch = dequeue(self.frontier, self.B, self.G).localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
+        arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        arrow_batch_default = self.spark.conf.get(arrow_conf)
         # ---- fetch (J1): small batches push an IN-filter into the parquet
         # scan (row-group pruning on url_canon stats) and broadcast the
         # pruned payload; huge batches (big-G rounds / scaling bench) go
@@ -180,6 +208,15 @@ class CrawlEngine:
             batch.select("enqueue_seq"), "enqueue_seq", "left_anti")
         self.frontier_count -= batch_count
 
+        # Payload rows are ~10 KB of binary each: at the default 10k-row
+        # Arrow batch size the JVM builds ~100 MB humongous allocations per
+        # in-flight batch and row->Arrow conversion collapses to ~40 MB/s
+        # aggregate (measured: noop mapInArrow round-trip 84 s on a 1.2 GB
+        # corpus at local[16]; 256-row batches -> 3.5x faster end-to-end).
+        # Scoped to the fetch/extract job only; restored right after so
+        # narrow-row stages (admission) keep big batches.
+        self.spark.conf.set(arrow_conf, "256")
+
         payload_cols = ["bytes", "fmt", "caption", "phash", "pix_md5"]
         if small_batch:
             payload = self.pages.filter(F.col("url_canon").isin(batch_urls))
@@ -194,18 +231,16 @@ class CrawlEngine:
                         batch.host, *payload_cols)
             extracted = fetched.mapInArrow(self.extractor, EXTRACT_SCHEMA) \
                 .localCheckpoint(eager=True)
-        else:
-            # big batch: NEVER shuffle payload bytes. Broadcast the key set,
-            # broadcast-hash-join it INTO the payload scan (narrow on pages),
-            # and run the extractor directly on the scan partitions; fetch
-            # misses take the same extractor with null payload columns.
+        elif self.golden is not None:
+            # big batch WITH golden pixels (tests only): broadcast the key
+            # set, broadcast-hash-join it INTO the payload scan (narrow on
+            # pages) — payload bytes still never shuffle; fetch misses take
+            # the same extractor with null payload columns.
             keys = batch.select("pos", "url", "depth", "host")
-            payload = self.pages
-            if self.golden is not None:
-                payload = payload.join(
-                    self.golden.withColumnRenamed("pixels", "golden_pixels"),
-                    "url_canon", "left")
-                payload_cols = payload_cols + ["golden_pixels"]
+            payload = self.pages.join(
+                self.golden.withColumnRenamed("pixels", "golden_pixels"),
+                "url_canon", "left")
+            payload_cols = payload_cols + ["golden_pixels"]
             hits = (payload.join(F.broadcast(keys),
                                  payload.url_canon == keys.url, "inner")
                     .select("pos", F.col("url").alias("url_canon"),
@@ -218,7 +253,51 @@ class CrawlEngine:
             extracted = (hits.mapInArrow(self.extractor, EXTRACT_SCHEMA)
                          .unionByName(misses.mapInArrow(self.extractor, EXTRACT_SCHEMA))
                          .localCheckpoint(eager=True))
+        else:
+            # big batch: payload bytes never cross ANY process boundary —
+            # the extract tasks read their parquet row-group splits directly
+            # and probe the G-bounded broadcast key map in place
+            # (sources/payload_scan.py has the measurements and the 100 TB
+            # story). Misses = anti-join on the url column only (JVM
+            # columnar scan, no payload IO).
+            from ..sources.payload_scan import fetch_extract_direct
+            kp = batch.select("url", "pos", "depth", "host").toPandas()
+            key_rows = list(zip(kp["url"], kp["pos"].astype(int),
+                                kp["depth"].astype(int), kp["host"]))
+            hits_df, fetch_key_bc = fetch_extract_direct(
+                self.spark, os.path.join(self.corpus_dir, "pages.parquet"),
+                key_rows, self.n_partitions,
+                emit_text=self.collect_documents)
+            hits_df = hits_df.localCheckpoint(eager=True)
+            n_hits = hits_df.count()
+            fetch_key_bc.destroy()
+            if n_hits == batch_count:
+                # common case: every dequeued url has a payload row — skip
+                # the miss anti-join (a full scan of the url column) and the
+                # extra union materialization entirely
+                extracted = hits_df
+            else:
+                misses = (batch.join(
+                              self.pages.select(F.col("url_canon").alias("u")),
+                              batch.url == F.col("u"), "left_anti")
+                          .select("pos", F.col("url").alias("url_canon"),
+                                  "depth", "host",
+                                  *[F.lit(None).alias(c) for c in payload_cols]))
+                extracted = (hits_df
+                             .unionByName(misses.mapInArrow(self.extractor,
+                                                            EXTRACT_SCHEMA))
+                             .localCheckpoint(eager=True))
+        self.spark.conf.set(arrow_conf, arrow_batch_default)
         _t = _mark('fetch_extract', _t)
+
+        if not small_batch:
+            # big-G rounds: the post-extract work is a DAG of independent
+            # Spark jobs — run them concurrently so driver-side job-launch
+            # latency (the dominant serial cost at this scale) overlaps
+            self._finish_round_big(extracted, frontier_rest, batch_count,
+                                   rnd, timings, _mark, _t)
+            self.round += 1
+            return True
 
         # ---- crawl-order / documents artifacts -------------------------------
         if self.collect_order:
@@ -249,16 +328,7 @@ class CrawlEngine:
         _t = _mark('order_artifacts', _t)
 
         # ---- admission (F6/F7): same-domain candidates ----------------------
-        cands = (extracted.filter("success")
-                 .select(F.col("pos").alias("page_pos"),
-                         F.col("url_canon").alias("page_url"),
-                         F.col("depth").alias("page_depth"),
-                         F.col("domain").alias("page_domain"),
-                         F.col("partition_id"),
-                         F.explode("outlinks").alias("l"))
-                 .select("page_pos", "page_url", "page_depth", "page_domain",
-                         "partition_id", "l.link_pos", "l.url", "l.host",
-                         "l.domain"))
+        cands = _explode_outlinks(extracted)
 
         same = cands.filter((F.col("domain") == F.col("page_domain"))
                             & (F.col("page_depth") < self.max_depth))
@@ -271,62 +341,21 @@ class CrawlEngine:
         # pages would have seen the SetMany bloom bit. Same-page
         # raw-distinct duplicates are all admitted (reference quirk,
         # dfs_basic.go:87-123).
-        if small_batch:
-            probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
-            f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
-                             .agg(F.min("pos").alias("f_pos"))
-            gated = (same
-                     .withColumn("in_bloom", probe(F.col("url")))
-                     .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
-            winners = (gated.filter(~F.col("in_bloom")
-                                    & (F.col("f_pos").isNull()
-                                       | (F.col("f_pos") > F.col("page_pos"))))
-                       .withColumn("min_pp", F.min("page_pos").over(
-                           Window.partitionBy("url")))
-                       .filter(F.col("page_pos") == F.col("min_pp"))
-                       .drop("in_bloom", "f_url", "f_pos", "min_pp"))
-            ranked = winners.withColumn("rn", F.row_number().over(
-                Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
-        else:
-            # big-G fused admission: ONE shuffle by url colocates all
-            # proposals of a url, then a single Arrow pass applies the
-            # bloom probe (broadcast bitset), the fetched-pos gate
-            # (broadcast dict), and min-page winner selection — no window,
-            # no per-candidate join, no separate probe pass.
-            probe_bc = self.spark.sparkContext.broadcast(self.bloom.to_bytes())
-            f_pos_map = {r["url_canon"]: r["f_pos"] for r in
-                         extracted.groupBy("url_canon")
-                         .agg(F.min("pos").alias("f_pos")).collect()}
-            fpos_bc = self.spark.sparkContext.broadcast(f_pos_map)
-
-            def admit(it):
-                bf = BloomFilter.from_bytes(probe_bc.value)
-                fpos = fpos_bc.value
-                for pdf in it:
-                    if len(pdf) == 0:
-                        continue
-                    urls = pdf["url"]
-                    in_bloom = bf.contains_batch(urls.tolist())
-                    fp = urls.map(fpos)
-                    ok = ~in_bloom & (fp.isna() | (fp > pdf["page_pos"])).to_numpy()
-                    elig = pdf[ok]
-                    if len(elig) == 0:
-                        continue
-                    min_pp = elig.groupby("url")["page_pos"].transform("min")
-                    yield elig[elig["page_pos"] == min_pp]
-
-            winners = (same.repartition(
-                           max(self.spark.sparkContext.defaultParallelism, 4),
-                           F.col("url"))
-                       .mapInPandas(admit, same.schema))
-            # scalable global sequence: pid-sharded sort + per-pid offsets in
-            # one Arrow pass — no single-partition window at big G
-            from .frontier import assign_global_rank
-            par = max(self.spark.sparkContext.defaultParallelism, 4)
-            chunk = max(1, (batch_count + par - 1) // par)
-            ranked = assign_global_rank(
-                winners, ["page_pos", "link_pos"],
-                F.floor(F.col("page_pos") / F.lit(chunk)), "rn")
+        probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
+        f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
+                         .agg(F.min("pos").alias("f_pos"))
+        gated = (same
+                 .withColumn("in_bloom", probe(F.col("url")))
+                 .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
+        winners = (gated.filter(~F.col("in_bloom")
+                                & (F.col("f_pos").isNull()
+                                   | (F.col("f_pos") > F.col("page_pos"))))
+                   .withColumn("min_pp", F.min("page_pos").over(
+                       Window.partitionBy("url")))
+                   .filter(F.col("page_pos") == F.col("min_pp"))
+                   .drop("in_bloom", "f_url", "f_pos", "min_pp"))
+        ranked = winners.withColumn("rn", F.row_number().over(
+            Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
         admitted = (ranked.select(
                         F.lit(0).alias("priority"),
                         F.lit(rnd).alias("enqueue_round"),
@@ -394,6 +423,215 @@ class CrawlEngine:
 
         self.round += 1
         return True
+
+    # ---------------------------------------------------- big-G round finish
+    def _finish_round_big(self, extracted: DataFrame, frontier_rest: DataFrame,
+                          batch_count: int, rnd: int, timings, _mark, _t):
+        """Post-extract work for big-G rounds, as a concurrent job DAG.
+
+        The jobs {order artifacts, lineage candidate counts, bloom bits of
+        fetched urls} depend only on ``extracted``; they run on a thread
+        pool WHILE the critical path (f_pos -> fused Arrow admission ->
+        sequence assignment) runs its shuffle. Likewise {bloom bits of
+        admitted urls, per-partition admitted counts} overlap the frontier
+        union checkpoint. Driver-side job-launch latency (~0.3-0.5 s x 9
+        jobs) is the dominant serial cost of a round at this scale; the
+        overlap removes most of it. All merges (lineage dict, bitmap OR)
+        happen on the driver after the gather, so the result is
+        bit-identical to the serial order (tests/test_crawl_spark.py
+        test_big_g_path_matches_oracle pins this)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        # lazy definitions shared by the jobs
+        cands = _explode_outlinks(extracted)
+        same = (cands.filter((F.col("domain") == F.col("page_domain"))
+                             & (F.col("page_depth") < self.max_depth))
+                # page_domain/domain are spent after the gate: don't carry
+                # them through the admission shuffle
+                .drop("page_domain", "domain"))
+        stash = cands.filter(F.col("domain") != F.col("page_domain"))
+        fetch_seq0 = self.fetch_seq
+
+        def job_order():
+            if self.collect_order:
+                ext_pd = extracted.drop("outlinks").toPandas().sort_values("pos")
+                by_part = {int(k): int(v) for k, v in
+                           ext_pd.groupby("partition_id").size().items()}
+                rows = [{"seq": fetch_seq0 + int(r.pos), "url_canon": r.url_canon,
+                         "depth": int(r.depth), "round": rnd, "host": r.host,
+                         "success": bool(r.success)}
+                        for r in ext_pd.itertuples()]
+                doc = None
+                if self.collect_documents:
+                    doc = ext_pd[ext_pd["success"]].copy()
+                    doc["round"] = rnd
+                return by_part, rows, doc
+            by_part = {int(r["partition_id"]): int(r["count"])
+                       for r in extracted.groupBy("partition_id")
+                       .count().collect()}
+            d = self.store.state_dir("crawl_order", rnd)
+            (extracted.select(
+                (F.col("pos") + F.lit(fetch_seq0)).alias("seq"),
+                "url_canon", "depth", F.lit(rnd).alias("round"), "host",
+                "success")
+             .write.mode("overwrite").parquet(d))
+            return by_part, None, None
+
+        def job_cand_counts():
+            return (cands.groupBy("partition_id").agg(
+                F.sum(F.when((F.col("domain") == F.col("page_domain"))
+                             & (F.col("page_depth") < self.max_depth), 1)
+                      .otherwise(0)).alias("same_n"),
+                F.sum(F.when(F.col("domain") != F.col("page_domain"), 1)
+                      .otherwise(0)).alias("stash_n")).collect())
+
+        def job_bits_fetched():
+            return bloom_bits_for_urls(extracted.select("url_canon"),
+                                       self.bloom.max_n, self.bloom.p)
+
+        pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            fut_order = pool.submit(job_order)
+            fut_cand = pool.submit(job_cand_counts)
+            fut_bits_f = pool.submit(job_bits_fetched)
+
+            # ---- critical path: fused Arrow admission (F6/F7) --------------
+            # ONE shuffle by url colocates all proposals of a url TOGETHER
+            # WITH a marker row per fetched url (cogroup-via-union: urls
+            # are unique in `extracted`, so the fetched-pos gate needs no
+            # groupBy stage, no driver collect, and no O(batch)-sized
+            # broadcast — only the bloom bitset is broadcast). A single
+            # Arrow pass over each whole partition then applies the bloom
+            # probe, the fetched-pos gate, and min-page winner selection.
+            # The pass MUST see the partition as one frame: Arrow slices
+            # partitions into batches, and a per-batch min-page would admit
+            # the same url from two pages (tests pin this with a tiny
+            # Arrow batch size).
+            probe_bc = sc.broadcast(self.bloom.to_bytes())
+            same_schema = same.schema
+            cands_tagged = same.withColumn("f_pos", F.lit(None).cast("long"))
+            markers = extracted.select(
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in same_schema.fields if f.name != "url"],
+                F.col("url_canon").alias("url"),
+                F.col("pos").cast("long").alias("f_pos"))
+
+            def admit(it):
+                bf = BloomFilter.from_bytes(probe_bc.value)
+                parts = [p for p in it if len(p)]
+                if not parts:
+                    return
+                pdf = pd.concat(parts, ignore_index=True) \
+                    if len(parts) > 1 else parts[0]
+                is_marker = pdf["f_pos"].notna()
+                # the same url can be fetched twice in one round (reference
+                # same-page duplicate quirk) — gate on its FIRST position
+                fpos = pdf.loc[is_marker].groupby("url")["f_pos"].min()
+                cand = pdf.loc[~is_marker]
+                if not len(cand):
+                    return
+                in_bloom = bf.contains_batch(cand["url"].tolist())
+                fp = cand["url"].map(fpos)
+                ok = ~in_bloom & (fp.isna() | (fp > cand["page_pos"])).to_numpy()
+                elig = cand[ok]
+                if not len(elig):
+                    return
+                min_pp = elig.groupby("url")["page_pos"].transform("min")
+                out = elig[elig["page_pos"] == min_pp].drop(columns=["f_pos"])
+                # the union with all-null marker rows floats the int
+                # columns; restore the declared types for Arrow
+                yield out.astype({"page_pos": "int64", "page_depth": "int32",
+                                  "partition_id": "int32",
+                                  "link_pos": "int32"}, copy=False)
+
+            winners = (cands_tagged.unionByName(markers)
+                       .repartition(max(sc.defaultParallelism, 4),
+                                    F.col("url"))
+                       .mapInPandas(admit, same_schema))
+            # scalable global sequence: pid-sharded sort + per-pid offsets
+            # in one Arrow pass — no single-partition window at big G
+            from .frontier import assign_global_rank
+            par = max(sc.defaultParallelism, 4)
+            chunk = max(1, (batch_count + par - 1) // par)
+            ranked = assign_global_rank(
+                winners, ["page_pos", "link_pos"],
+                F.floor(F.col("page_pos") / F.lit(chunk)), "rn")
+            admitted = (ranked.select(
+                            F.lit(0).alias("priority"),
+                            F.lit(rnd).alias("enqueue_round"),
+                            (F.lit(self.seq) + F.col("rn")).alias("enqueue_seq"),
+                            F.col("url"), F.col("host"),
+                            (F.col("page_depth") + 1).alias("depth"),
+                            F.col("page_url").alias("origin"),
+                            F.col("partition_id"), F.col("page_pos"))
+                        .localCheckpoint(eager=True))
+            admitted_count = admitted.count()
+            _t = _mark('admission', _t)
+            self.seq += admitted_count
+
+            fut_bits_a = pool.submit(
+                bloom_bits_for_urls, admitted.select("url"),
+                self.bloom.max_n, self.bloom.p)
+            fut_adm_counts = pool.submit(
+                lambda: admitted.groupBy("partition_id").count().collect())
+
+            # ---- state updates (overlap with the two jobs above) -----------
+            self.frontier = frontier_rest.unionByName(
+                admitted.drop("partition_id", "page_pos")) \
+                .localCheckpoint(eager=True)
+            self.frontier_count += admitted_count
+
+            stash_rows = stash.select(
+                "domain", "url",
+                F.col("page_url").alias("origin"),
+                (F.lit(rnd) * F.lit(1 << 40)
+                 + F.col("page_pos") * F.lit(1 << 20)
+                 + F.col("link_pos")).alias("stash_key"),
+                "host")
+            self.url_store = self.url_store.unionByName(stash_rows)
+            self._store_unions += 1
+            if self._store_unions >= 4:  # bound the lazy union chain
+                self.url_store = self.url_store.localCheckpoint(eager=True)
+                self._store_unions = 0
+            _t = _mark('state_updates', _t)
+
+            # ---- gather + driver-side merges -------------------------------
+            fetched_by_part, order_rows, doc = fut_order.result()
+            if order_rows is not None:
+                self.crawl_order.extend(order_rows)
+            if doc is not None:
+                self.documents.append(doc)
+            self.fetch_seq += batch_count
+
+            agg = {p: {"fetched": n, "deduped": 0, "enqueued": 0, "stashed": 0}
+                   for p, n in fetched_by_part.items()}
+            for r in fut_cand.result():
+                c = agg.setdefault(int(r["partition_id"]),
+                                   {"fetched": 0, "deduped": 0,
+                                    "enqueued": 0, "stashed": 0})
+                c["deduped"] += int(r["same_n"])
+                c["stashed"] += int(r["stash_n"])
+            for r in fut_adm_counts.result():
+                agg[int(r["partition_id"])]["enqueued"] += int(r["count"])
+                agg[int(r["partition_id"])]["deduped"] -= int(r["count"])
+            for part in sorted(agg):
+                self.lineage.append(
+                    {"round": rnd, "partition": int(part), **agg[part]})
+
+            bits = fut_bits_f.result() | fut_bits_a.result()
+            new_n = self.bloom.n + batch_count + admitted_count
+            if new_n > self.bloom.max_n:
+                raise RuntimeError(
+                    f"bloom sized too small for corpus (n={new_n} > maxN="
+                    f"{self.bloom.max_n}); reference would silently drop "
+                    f"inserts")
+            self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
+            probe_bc.destroy()
+            _t = _mark('bloom_merge', _t)
+        finally:
+            pool.shutdown(wait=True)
 
     # ------------------------------------------------------------------- run
     def run(self, max_rounds: int | None = None, checkpoint_every: int = 0) -> dict:

@@ -33,11 +33,15 @@ from ..engine.urlnorm import canonicalize, host_of, sld_tld
 from ..fixtures.codecs import decode, phash64, psnr
 from ..oracle.crawler import partition_of
 
+# the outlink's registrable domain is NOT stored: it is derived JVM-side
+# after explode (exact GetSLDAndTLD split semantics, util/util.go:92-101)
+# — see crawl.py OUTLINK_DOMAIN. Dropping it saves ~30 B x fan-out per
+# page in the extracted checkpoint and the admission shuffle, plus one
+# python sld_tld call per outlink.
 OUTLINK_TYPE = T.ArrayType(T.StructType([
     T.StructField("link_pos", T.IntegerType()),
     T.StructField("url", T.StringType()),
     T.StructField("host", T.StringType()),
-    T.StructField("domain", T.StringType()),
 ]))
 
 EXTRACT_SCHEMA = T.StructType([
@@ -203,8 +207,7 @@ def _extract(it: Iterator[pd.DataFrame], n_partitions: int) -> Iterator[pd.DataF
                 if lc is None:
                     continue
                 lh = host_of(lc)
-                ol.append({"link_pos": lp, "url": lc, "host": lh,
-                           "domain": sld_tld(lh)})
+                ol.append({"link_pos": lp, "url": lc, "host": lh})
             out["outlinks"][i] = ol
 
         hosts = pdf["host"].tolist()

@@ -1,0 +1,131 @@
+"""Direct payload scan: the fetch+extract stage reads parquet row-group
+splits INSIDE the Python extract tasks, so image bytes never cross the
+JVM<->Python Arrow socket.
+
+Why (measured on this host, 1.2 GB / 100k-page corpus, local[16]):
+the conventional plan — JVM parquet scan -> broadcast-hash-join ->
+row->Arrow conversion -> socket -> pandas — moves every payload byte
+through ~5 copies and tops out ~40-90 MB/s aggregate regardless of core
+count (a noop ``mapInArrow`` round-trip alone took 84 s). Reading the
+row group with pyarrow in the task that decodes it is zero-copy end to
+end: 28 s -> 7 s for the full stage, and the 4->16-core scaling of the
+stage goes from 0.58 to ~0.8 efficiency.
+
+At 100 TB this is the standard "task reads its own data files from
+object storage" design (SURVEY J1 maps delver's object-store Get,
+worker/extractor/composite.go:175-181, to a broadcast join of the
+scheduled batch against the payload table — here the join's build side
+is the broadcast key map and the probe side is the parquet scan itself,
+executed where the data lands). The dequeued batch is bounded by the
+global budget G, so the broadcast stays executor-memory-sized by
+construction; the split list is Iceberg's file/row-group manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import EXTRACT_SCHEMA, _binary_views, _extract
+
+PAYLOAD_COLS = ["url_canon", "bytes", "fmt", "caption", "phash", "pix_md5"]
+
+# per-python-worker cache of the broadcast key set's hash index (one
+# entry; cleared when a new round's broadcast arrives)
+_PROBE_CACHE: dict = {}
+
+
+def payload_splits(pages_path: str) -> list[tuple[str, int]]:
+    """(file, row_group) splits of a parquet directory or single file —
+    the poor man's Iceberg manifest (footer metadata only, no data read)."""
+    if os.path.isdir(pages_path):
+        files = sorted(
+            os.path.join(pages_path, f) for f in os.listdir(pages_path)
+            if f.endswith(".parquet"))
+    else:
+        files = [pages_path]
+    splits: list[tuple[str, int]] = []
+    for f in files:
+        splits.append((f, pq.ParquetFile(f).metadata.num_row_groups))
+    return [(f, rg) for f, n in splits for rg in range(n)]
+
+
+def fetch_extract_direct(spark: SparkSession, pages_path: str,
+                         key_rows: list[tuple], n_partitions: int,
+                         emit_text: bool = False) -> DataFrame:
+    """Fetch (J1) + decode/extract (X1-X11) in ONE Python pass per
+    row-group split.
+
+    ``key_rows``: (url, pos, depth, host) for the dequeued batch — the
+    broadcast build side of the fetch join. Returns ``(df, key_bc)``: a
+    DataFrame with EXTRACT_SCHEMA covering the HIT rows only (payload
+    found; misses are the caller's cheap anti-join on the url column) and
+    the key broadcast, which the caller should ``destroy()`` once the
+    result is materialized so per-round key sets don't accumulate in the
+    workers.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    splits = payload_splits(pages_path)
+    # arrays, not a dict: ~3x cheaper to pickle/unpickle at G=10^5..10^6,
+    # and pd.Index gives a C-level vectorized hash probe per row group
+    key_bc = spark.sparkContext.broadcast((
+        np.array([r[0] for r in key_rows], dtype=object),
+        np.array([r[1] for r in key_rows], dtype=np.int64),
+        np.array([r[2] for r in key_rows], dtype=np.int32),
+        np.array([r[3] for r in key_rows], dtype=object)))
+    arrow_schema = to_arrow_schema(EXTRACT_SCHEMA)
+
+    import uuid
+    probe_token = uuid.uuid4().hex  # per-call cache key, never reused
+
+    def scan_extract(it):
+        urls_k, pos_k, depth_k, host_k = key_bc.value
+        # cache the built hash table across tasks of the same worker
+        key_index = _PROBE_CACHE.get(probe_token)
+        if key_index is None:
+            key_index = pd.Index(urls_k)
+            _PROBE_CACHE.clear()
+            _PROBE_CACHE[probe_token] = key_index
+        for rb in it:
+            names = rb.schema.names
+            paths = rb.column(names.index("path")).to_pylist()
+            rgs = rb.column(names.index("rg")).to_pylist()
+            for path, rg in zip(paths, rgs):
+                tbl = pq.ParquetFile(path).read_row_group(
+                    int(rg), columns=PAYLOAD_COLS)
+                urls = tbl.column("url_canon").to_pandas()
+                loc = key_index.get_indexer(urls)
+                hit_idx = np.nonzero(loc >= 0)[0]
+                if not len(hit_idx):
+                    continue
+                ks = loc[hit_idx]
+                sub = tbl.take(hit_idx)
+                inp = pd.DataFrame({
+                    "pos": pd.Series(pos_k[ks], dtype="int64"),
+                    "url_canon": urls.iloc[hit_idx].to_numpy(),
+                    "depth": pd.Series(depth_k[ks], dtype="int32"),
+                    "host": host_k[ks],
+                    "bytes": pd.Series(
+                        _binary_views(sub.column("bytes").combine_chunks()),
+                        dtype=object),
+                    "fmt": sub.column("fmt").to_pylist(),
+                    "caption": sub.column("caption").to_pylist(),
+                    "phash": sub.column("phash").to_pandas(),
+                    "pix_md5": sub.column("pix_md5").to_pylist(),
+                })
+                for out in _extract(iter([inp]), n_partitions):
+                    if not emit_text:
+                        out["text"] = None
+                    yield pa.RecordBatch.from_pandas(
+                        out, schema=arrow_schema, preserve_index=False)
+
+    sdf = spark.createDataFrame(splits, "path string, rg int") \
+        .repartition(len(splits))
+    df = sdf.mapInArrow(scan_extract, EXTRACT_SCHEMA)
+    return df, key_bc

@@ -85,6 +85,34 @@ def test_big_g_path_matches_oracle(spark, tmp_path_factory):
                           eng.bloom.bit_positions())
 
 
+def test_big_g_admission_url_groups_span_arrow_batches(spark, tmp_path_factory):
+    """Regression: the fused admission pass must see each shuffle
+    partition as ONE frame. With the default 10k-row Arrow batch a
+    partition arrives in one piece at test scale, hiding a bug where
+    per-batch min-page selection admits the same url from two different
+    pages (a double-fetch at real scale). Force 16-row batches so url
+    groups straddle batch boundaries."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_bigg_small_arrow"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=11, max_rounds=5,
+                    global_budget=20000, per_host_budget=50)
+    oracle = run_oracle(d)
+    wd = str(tmp_path_factory.mktemp("crawl_bigg_small_arrow"))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        eng = CrawlEngine(spark, d, wd)
+        eng.run()
+    finally:
+        spark.conf.set(key, old)
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
 def test_resume_equals_uninterrupted(spark, unit_corpus, tmp_path_factory,
                                      oracle_result):
     """Kill after round k, resume from snapshot → identical final state
