@@ -45,7 +45,6 @@ from .frontier import (
     STORE_SCHEMA,
     bloom_bits_for_urls,
     dequeue,
-    make_bloom_probe,
     make_robots_udf,
 )
 
@@ -290,144 +289,19 @@ class CrawlEngine:
         self.spark.conf.set(arrow_conf, arrow_batch_default)
         _t = _mark('fetch_extract', _t)
 
-        if not small_batch:
-            # big-G rounds: the post-extract work is a DAG of independent
-            # Spark jobs — run them concurrently so driver-side job-launch
-            # latency (the dominant serial cost at this scale) overlaps
-            self._finish_round_big(extracted, frontier_rest, batch_count,
-                                   rnd, timings, _mark, _t)
-            self.round += 1
-            return True
-
-        # ---- crawl-order / documents artifacts -------------------------------
-        if self.collect_order:
-            ext_pd = extracted.drop("outlinks").toPandas().sort_values("pos")
-            fetched_by_part = {int(r["partition_id"]): int(r["n"])
-                               for r in ext_pd.groupby("partition_id").size()
-                               .reset_index(name="n").to_dict("records")}
-            for _, r in ext_pd.iterrows():
-                self.crawl_order.append({
-                    "seq": self.fetch_seq + int(r["pos"]), "url_canon": r["url_canon"],
-                    "depth": int(r["depth"]), "round": rnd, "host": r["host"],
-                    "success": bool(r["success"]),
-                })
-            if self.collect_documents:
-                doc = ext_pd[ext_pd["success"]].copy()
-                doc["round"] = rnd
-                self.documents.append(doc)
-        else:
-            fetched_by_part = {int(r["partition_id"]): int(r["count"])
-                               for r in extracted.groupBy("partition_id")
-                               .count().collect()}
-            d = self.store.state_dir("crawl_order", rnd)
-            (extracted.select(
-                (F.col("pos") + F.lit(self.fetch_seq)).alias("seq"),
-                "url_canon", "depth", F.lit(rnd).alias("round"), "host", "success")
-             .write.mode("overwrite").parquet(d))
-        self.fetch_seq += batch_count
-        _t = _mark('order_artifacts', _t)
-
-        # ---- admission (F6/F7): same-domain candidates ----------------------
-        cands = _explode_outlinks(extracted)
-
-        same = cands.filter((F.col("domain") == F.col("page_domain"))
-                            & (F.col("page_depth") < self.max_depth))
-        stash = cands.filter(F.col("domain") != F.col("page_domain"))
-
-        # Admission gates (sequential-oracle equivalence): a candidate wins
-        # iff (a) not in the previous round's bloom, (b) its url was not
-        # fetched this round at an earlier-or-equal page position, and
-        # (c) it comes from the FIRST page that proposes the url — later
-        # pages would have seen the SetMany bloom bit. Same-page
-        # raw-distinct duplicates are all admitted (reference quirk,
-        # dfs_basic.go:87-123).
-        probe, probe_bc = make_bloom_probe(self.spark, self.bloom)
-        f_pos = extracted.groupBy(F.col("url_canon").alias("f_url")) \
-                         .agg(F.min("pos").alias("f_pos"))
-        gated = (same
-                 .withColumn("in_bloom", probe(F.col("url")))
-                 .join(F.broadcast(f_pos), same.url == f_pos.f_url, "left"))
-        winners = (gated.filter(~F.col("in_bloom")
-                                & (F.col("f_pos").isNull()
-                                   | (F.col("f_pos") > F.col("page_pos"))))
-                   .withColumn("min_pp", F.min("page_pos").over(
-                       Window.partitionBy("url")))
-                   .filter(F.col("page_pos") == F.col("min_pp"))
-                   .drop("in_bloom", "f_url", "f_pos", "min_pp"))
-        ranked = winners.withColumn("rn", F.row_number().over(
-            Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
-        admitted = (ranked.select(
-                        F.lit(0).alias("priority"),
-                        F.lit(rnd).alias("enqueue_round"),
-                        (F.lit(self.seq) + F.col("rn")).alias("enqueue_seq"),
-                        F.col("url"), F.col("host"),
-                        (F.col("page_depth") + 1).alias("depth"),
-                        F.col("page_url").alias("origin"),
-                        F.col("partition_id"), F.col("page_pos"))
-                    .localCheckpoint(eager=True))
-        admitted_count = admitted.count()
-        _t = _mark('admission', _t)
-        self.seq += admitted_count
-
-        # ---- lineage counters (A3): one agg over tagged candidates ----------
-        agg = {p: {"fetched": n, "deduped": 0, "enqueued": 0, "stashed": 0}
-               for p, n in fetched_by_part.items()}
-        cand_counts = (cands.groupBy("partition_id").agg(
-            F.sum(F.when((F.col("domain") == F.col("page_domain"))
-                         & (F.col("page_depth") < self.max_depth), 1)
-                  .otherwise(0)).alias("same_n"),
-            F.sum(F.when(F.col("domain") != F.col("page_domain"), 1)
-                  .otherwise(0)).alias("stash_n")).collect())
-        for r in cand_counts:
-            c = agg.setdefault(int(r["partition_id"]),
-                               {"fetched": 0, "deduped": 0, "enqueued": 0, "stashed": 0})
-            c["deduped"] += int(r["same_n"])
-            c["stashed"] += int(r["stash_n"])
-        for r in admitted.groupBy("partition_id").count().collect():
-            agg[int(r["partition_id"])]["enqueued"] += int(r["count"])
-            agg[int(r["partition_id"])]["deduped"] -= int(r["count"])
-        for part in sorted(agg):
-            self.lineage.append({"round": rnd, "partition": int(part), **agg[part]})
-        _t = _mark('lineage', _t)
-
-        # ---- state updates (single materialization per table) ---------------
-        self.frontier = frontier_rest.unionByName(
-            admitted.drop("partition_id", "page_pos")).localCheckpoint(eager=True)
-        self.frontier_count += admitted_count
-
-        stash_rows = stash.select(
-            "domain", "url",
-            F.col("page_url").alias("origin"),
-            (F.lit(rnd) * F.lit(1 << 40)
-             + F.col("page_pos") * F.lit(1 << 20)
-             + F.col("link_pos")).alias("stash_key"),
-            "host")
-        self.url_store = self.url_store.unionByName(stash_rows)
-        self._store_unions += 1
-        if self._store_unions >= 4:  # bound the lazy union chain
-            self.url_store = self.url_store.localCheckpoint(eager=True)
-            self._store_unions = 0
-        _t = _mark('state_updates', _t)
-
-        # ---- bloom merge: treeAggregate of per-partition bitsets -------------
-        insert_urls = extracted.select("url_canon").unionAll(admitted.select("url"))
-        bits = bloom_bits_for_urls(insert_urls, self.bloom.max_n, self.bloom.p)
-        new_n = self.bloom.n + batch_count + admitted_count
-        if new_n > self.bloom.max_n:
-            raise RuntimeError(
-                f"bloom sized too small for corpus (n={new_n} > maxN="
-                f"{self.bloom.max_n}); reference would silently drop inserts")
-        self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
-        probe_bc.destroy()
-        _t = _mark('bloom_merge', _t)
-
+        # post-extract work is a DAG of independent Spark jobs — run them
+        # concurrently so driver-side job-launch latency (the dominant
+        # serial per-round cost) overlaps; one admission code path for
+        # every round size
+        self._finish_round(extracted, frontier_rest, batch_count,
+                           rnd, timings, _mark, _t)
         self.round += 1
         return True
 
-    # ---------------------------------------------------- big-G round finish
-    def _finish_round_big(self, extracted: DataFrame, frontier_rest: DataFrame,
+    # ---------------------------------------------------- round finish
+    def _finish_round(self, extracted: DataFrame, frontier_rest: DataFrame,
                           batch_count: int, rnd: int, timings, _mark, _t):
-        """Post-extract work for big-G rounds, as a concurrent job DAG.
+        """Post-extract work for every round, as a concurrent job DAG.
 
         The jobs {order artifacts, lineage candidate counts, bloom bits of
         fetched urls} depend only on ``extracted``; they run on a thread
@@ -487,9 +361,16 @@ class CrawlEngine:
                 F.sum(F.when(F.col("domain") != F.col("page_domain"), 1)
                       .otherwise(0)).alias("stash_n")).collect())
 
+        # partitioning scaled to the round: toy rounds (bench.py's 2k-G
+        # corpus, unit tests) run the SAME plan at 1 partition — no
+        # 32-task shuffles over 2k rows; big-G rounds get full width
+        par = max(sc.defaultParallelism, 4)
+        n_parts = max(1, min(par, batch_count // 2000))
+
         def job_bits_fetched():
-            return bloom_bits_for_urls(extracted.select("url_canon"),
-                                       self.bloom.max_n, self.bloom.p)
+            return bloom_bits_for_urls(
+                extracted.select("url_canon"), self.bloom.max_n,
+                self.bloom.p, partitions=min(par, batch_count // 20000 + 1))
 
         pool = ThreadPoolExecutor(max_workers=4)
         try:
@@ -547,17 +428,22 @@ class CrawlEngine:
                                   "link_pos": "int32"}, copy=False)
 
             winners = (cands_tagged.unionByName(markers)
-                       .repartition(max(sc.defaultParallelism, 4),
-                                    F.col("url"))
+                       .repartition(n_parts, F.col("url"))
                        .mapInPandas(admit, same_schema))
             # scalable global sequence: pid-sharded sort + per-pid offsets
-            # in one Arrow pass — no single-partition window at big G
-            from .frontier import assign_global_rank
-            par = max(sc.defaultParallelism, 4)
-            chunk = max(1, (batch_count + par - 1) // par)
-            ranked = assign_global_rank(
-                winners, ["page_pos", "link_pos"],
-                F.floor(F.col("page_pos") / F.lit(chunk)), "rn")
+            # in one Arrow pass — no single-partition window at big G.
+            # Toy rounds are already one partition: a plain window rank
+            # there is the same work in a third of the jobs.
+            if n_parts == 1:
+                ranked = winners.withColumn("rn", F.row_number().over(
+                    Window.orderBy("page_pos", "link_pos")).cast("long") - 1)
+            else:
+                from .frontier import assign_global_rank
+                chunk = max(1, (batch_count + par - 1) // par)
+                ranked = assign_global_rank(
+                    winners, ["page_pos", "link_pos"],
+                    F.floor(F.col("page_pos") / F.lit(chunk)), "rn",
+                    partitions=n_parts)
             admitted = (ranked.select(
                             F.lit(0).alias("priority"),
                             F.lit(rnd).alias("enqueue_round"),
@@ -573,7 +459,8 @@ class CrawlEngine:
 
             fut_bits_a = pool.submit(
                 bloom_bits_for_urls, admitted.select("url"),
-                self.bloom.max_n, self.bloom.p)
+                self.bloom.max_n, self.bloom.p,
+                min(par, admitted_count // 20000 + 1))
             fut_adm_counts = pool.submit(
                 lambda: admitted.groupBy("partition_id").count().collect())
 

@@ -74,7 +74,8 @@ def make_bloom_probe(spark: SparkSession, bloom: BloomFilter):
     return probe, bc
 
 
-def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float) -> np.ndarray:
+def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float,
+                        partitions: int | None = None) -> np.ndarray:
     """Per-partition numpy bitsets OR-merged via treeAggregate(depth=2)
     (SURVEY §4.2.3). ``urls_df`` must have a single string column.
 
@@ -83,6 +84,11 @@ def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float) -> np.ndarray:
     RDD treeAggregate."""
     proto = BloomFilter(max_n, p)
     nwords = len(proto.words)
+    if partitions is not None:
+        # callers that know the url count bound the number of bitsets
+        # (each is m/8 bytes through the treeAggregate) — small rounds
+        # want ONE bitset, not one per scan partition
+        urls_df = urls_df.coalesce(max(1, partitions))
 
     def build(it):
         local = BloomFilter(max_n, p)
