@@ -62,6 +62,16 @@ class BloomFilter:
     def probes_batch(self, items) -> np.ndarray:
         """(n, k) uint64 probe positions for a batch — vectorized."""
         upper, lower = hash128_batch(items)
+        return self._probes_from_hash(upper, lower)
+
+    def probes_batch_buf(self, buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Zero-copy variant over a concatenated utf-8 buffer + lengths
+        (e.g. straight out of an Arrow string array's buffers)."""
+        from .murmur import hash128_batch_buf
+        upper, lower = hash128_batch_buf(buf, lens)
+        return self._probes_from_hash(upper, lower)
+
+    def _probes_from_hash(self, upper: np.ndarray, lower: np.ndarray) -> np.ndarray:
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         pos = lower[:, None] + i * upper[:, None] + i * i
         return pos % _U(self.m)

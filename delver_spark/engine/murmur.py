@@ -121,13 +121,25 @@ def hash128_batch(items: list[bytes] | np.ndarray, seed: int = 0):
         return e, e.copy()
     enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in items]
     lens = np.fromiter((len(s) for s in enc), count=n, dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    return hash128_batch_buf(buf, lens, seed)
+
+
+def hash128_batch_buf(buf: np.ndarray, lens: np.ndarray, seed: int = 0):
+    """Core of :func:`hash128_batch` over a CONCATENATED byte buffer plus
+    per-item lengths — the zero-copy entry point for Arrow string arrays
+    (``buf`` = the data buffer, ``lens`` = ``np.diff(offsets)``), so a
+    million urls hash without a single per-string Python object."""
+    n = len(lens)
+    if n == 0:
+        e = np.zeros(0, dtype=np.uint64)
+        return e, e.copy()
     maxlen = int(lens.max()) if n else 0
     # pad so every row has a (possibly zero) tail block beyond its full blocks
     padded = (maxlen // 16 + 1) * 16
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
     mat = np.zeros((n, padded), dtype=np.uint8)
     mask = np.arange(padded)[None, :] < lens[:, None]
-    mat[mask] = buf
+    mat[mask] = buf[:int(lens.sum())]
     words = mat.view("<u8")  # shape (n, padded // 8)
 
     h1 = np.full(n, seed, dtype=np.uint64)

@@ -322,9 +322,14 @@ class CrawlEngine:
         cands = _explode_outlinks(extracted)
         same = (cands.filter((F.col("domain") == F.col("page_domain"))
                              & (F.col("page_depth") < self.max_depth))
-                # page_domain/domain are spent after the gate: don't carry
-                # them through the admission shuffle
-                .drop("page_domain", "domain"))
+                # page_domain/domain are spent after the gate, and the
+                # proposing page's url (the eventual `origin`) is
+                # re-attached AFTER admission by a broadcast join on
+                # page_pos — none of them ride the admission shuffle
+                # (page_url alone is ~45 B x fan-out x batch of the
+                # shuffle and of the per-batch Arrow->pandas string
+                # allocation, which anti-scales with worker count)
+                .drop("page_domain", "domain", "page_url"))
         stash = cands.filter(F.col("domain") != F.col("page_domain"))
         fetch_seq0 = self.fetch_seq
 
@@ -444,13 +449,18 @@ class CrawlEngine:
                     winners, ["page_pos", "link_pos"],
                     F.floor(F.col("page_pos") / F.lit(chunk)), "rn",
                     partitions=n_parts)
-            admitted = (ranked.select(
+            origin_by_pos = extracted.select(
+                F.col("pos").alias("page_pos"),
+                F.col("url_canon").alias("origin"))
+            admitted = (ranked
+                        .join(F.broadcast(origin_by_pos), "page_pos")
+                        .select(
                             F.lit(0).alias("priority"),
                             F.lit(rnd).alias("enqueue_round"),
                             (F.lit(self.seq) + F.col("rn")).alias("enqueue_seq"),
                             F.col("url"), F.col("host"),
                             (F.col("page_depth") + 1).alias("depth"),
-                            F.col("page_url").alias("origin"),
+                            F.col("origin"),
                             F.col("partition_id"), F.col("page_pos"))
                         .localCheckpoint(eager=True))
             admitted_count = admitted.count()

@@ -91,17 +91,31 @@ def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float,
         urls_df = urls_df.coalesce(max(1, partitions))
 
     def build(it):
+        import pyarrow as pa
+
         local = BloomFilter(max_n, p)
         any_rows = False
-        for pdf in it:
-            vals = pdf.iloc[:, 0].tolist()
-            if vals:
-                any_rows = True
-                local._set_positions(local.probes_batch(vals))
+        for rb in it:
+            arr = rb.column(0)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if len(arr) == 0:
+                continue
+            any_rows = True
+            # hash straight from the Arrow string buffers — zero python
+            # string objects for the whole batch
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                                    count=len(arr) + 1 + arr.offset)[arr.offset:]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+            lens = np.diff(offsets).astype(np.int64)
+            local._set_positions(local.probes_batch_buf(data, lens))
         if any_rows:
-            yield pd.DataFrame({"words": [local.words.tobytes()]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([local.words.tobytes()], type=pa.binary())],
+                names=["words"])
 
-    bitsets = urls_df.mapInPandas(build, "words binary")
+    bitsets = urls_df.mapInArrow(build, "words binary")
     rdd = bitsets.rdd.map(lambda r: np.frombuffer(r[0], dtype=np.uint64))
     zero = np.zeros(nwords, dtype=np.uint64)
     return rdd.treeAggregate(zero, lambda a, b: a | b, lambda a, b: a | b, depth=2)
