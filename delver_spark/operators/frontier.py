@@ -45,11 +45,41 @@ STORE_SCHEMA = T.StructType([
 ORDER_COLS = ["priority", "enqueue_round", "enqueue_seq"]
 
 
-def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int) -> DataFrame:
+def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
+            hot_host_threshold: int | None = None,
+            n_salts: int = 64) -> DataFrame:
     """Greedy dequeue under per-host + global budgets in
     (priority, enqueue_round, enqueue_seq) order — provably equal to the
     oracle's sequential greedy (first-B-per-host ∩ global-top-G).
-    Returns the batch with a 0-based ``pos`` column in global order."""
+    Returns the batch with a 0-based ``pos`` column in global order.
+
+    Skew safety at 10^10 rows: the per-host ranking window shuffles every
+    row of a host into one task, so a 10^8-row hot host would be one
+    straggler task. With ``hot_host_threshold`` set, hosts above it are
+    first cut by a SALTED two-phase ranking — per-(host, salt) top-B is a
+    superset of per-host top-B, so ranking each salt shard and keeping B
+    leaves <= n_salts x B exact candidates per hot host for the final
+    window. All JVM (two shuffles over the hot rows only; the cold path
+    is untouched). Python-side pruning was measured and rejected: ANY
+    python pass pays the full-frontier Arrow IPC round trip, which costs
+    more than the JVM window shuffle it would save (10 s vs 2.8 s at
+    10^7 rows — see bench_frontier.py)."""
+    if hot_host_threshold:
+        cnt = frontier.groupBy("host").agg(F.count("*").alias("c"))
+        hot_hosts = [r["host"] for r in
+                     cnt.filter(F.col("c") > hot_host_threshold)
+                     .select("host").collect()]
+        if hot_hosts:
+            is_hot = F.col("host").isin(hot_hosts)
+            w_salt = Window.partitionBy("host", "_salt") \
+                .orderBy(*[F.col(c) for c in ORDER_COLS])
+            pruned_hot = (frontier.filter(is_hot)
+                          .withColumn("_salt", F.pmod(
+                              F.hash("enqueue_seq"), F.lit(n_salts)))
+                          .withColumn("_r", F.row_number().over(w_salt))
+                          .filter(F.col("_r") <= per_host_budget)
+                          .drop("_r", "_salt"))
+            frontier = frontier.filter(~is_hot).unionByName(pruned_hot)
     w_host = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
     eligible = (frontier
                 .withColumn("host_rank", F.row_number().over(w_host))

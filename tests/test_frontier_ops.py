@@ -34,6 +34,31 @@ def test_dequeue_greedy_equivalence(spark):
     assert [r["pos"] for r in got] == [0, 1, 2, 3]
 
 
+def test_dequeue_hot_host_guard_exact(spark):
+    """The salted two-phase ranking for hot hosts must return the
+    bit-identical batch (rows AND pos) as the plain window."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seq = 0
+    for _ in range(3000):  # hot host: 3k rows
+        rows.append((rng.choice([0, 1]), rng.randint(0, 3), seq,
+                     f"u{seq}", "hot.test", 0, None))
+        seq += 1
+    for i in range(500):  # 50 cold hosts
+        rows.append((rng.choice([0, 1]), rng.randint(0, 3), seq,
+                     f"u{seq}", f"c{i % 50}.test", 0, None))
+        seq += 1
+    f = _frontier(spark, rows)
+    plain = dequeue(f, per_host_budget=5, global_budget=200) \
+        .orderBy("pos").collect()
+    guarded = dequeue(f, per_host_budget=5, global_budget=200,
+                      hot_host_threshold=1000, n_salts=8) \
+        .orderBy("pos").collect()
+    assert [tuple(r) for r in guarded] == [tuple(r) for r in plain]
+
+
 def test_dequeue_priority_first(spark):
     rows = [(5, 0, 0, "low", "h1", 0, None), (0, 9, 9, "hi", "h2", 0, None)]
     got = dequeue(_frontier(spark, rows), 1, 1).collect()
