@@ -260,12 +260,10 @@ class CrawlEngine:
             # story). Misses = anti-join on the url column only (JVM
             # columnar scan, no payload IO).
             from ..sources.payload_scan import fetch_extract_direct
-            kp = batch.select("url", "pos", "depth", "host").toPandas()
-            key_rows = list(zip(kp["url"], kp["pos"].astype(int),
-                                kp["depth"].astype(int), kp["host"]))
+            keys_tbl = batch.select("url", "pos", "depth", "host").toArrow()
             hits_df, fetch_key_bc = fetch_extract_direct(
                 self.spark, os.path.join(self.corpus_dir, "pages.parquet"),
-                key_rows, self.n_partitions,
+                keys_tbl, self.n_partitions,
                 emit_text=self.collect_documents)
             hits_df = hits_df.localCheckpoint(eager=True)
             n_hits = hits_df.count()
@@ -405,36 +403,46 @@ class CrawlEngine:
                 F.col("pos").cast("long").alias("f_pos"))
 
             def admit(it):
+                # Arrow-native: hash urls zero-copy from the string
+                # buffers, group by the 128-bit hash in numpy, keep
+                # winners with Table.filter — no python string ever
+                # materializes (frontier.admission_keep_mask has the
+                # gate semantics and the collision argument).
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                from ..engine.murmur import hash128_batch_buf
+                from .frontier import admission_keep_mask
                 bf = BloomFilter.from_bytes(probe_bc.value)
-                parts = [p for p in it if len(p)]
-                if not parts:
+                tbls = [pa.Table.from_batches([rb]) for rb in it]
+                if not tbls:
                     return
-                pdf = pd.concat(parts, ignore_index=True) \
-                    if len(parts) > 1 else parts[0]
-                is_marker = pdf["f_pos"].notna()
-                # the same url can be fetched twice in one round (reference
-                # same-page duplicate quirk) — gate on its FIRST position
-                fpos = pdf.loc[is_marker].groupby("url")["f_pos"].min()
-                cand = pdf.loc[~is_marker]
-                if not len(cand):
+                t = pa.concat_tables(tbls).combine_chunks()
+                if t.num_rows == 0:
                     return
-                in_bloom = bf.contains_batch(cand["url"].tolist())
-                fp = cand["url"].map(fpos)
-                ok = ~in_bloom & (fp.isna() | (fp > cand["page_pos"])).to_numpy()
-                elig = cand[ok]
-                if not len(elig):
+                urls = t.column("url")
+                arr = urls.chunk(0) if urls.num_chunks else urls.combine_chunks()
+                bufs = arr.buffers()
+                offsets = np.frombuffer(
+                    bufs[1], dtype=np.int32,
+                    count=len(arr) + 1 + arr.offset)[arr.offset:]
+                data = np.frombuffer(bufs[2],
+                                     dtype=np.uint8)[offsets[0]:offsets[-1]]
+                h1, h2 = hash128_batch_buf(
+                    data, np.diff(offsets).astype(np.int64))
+                f_pos = pc.fill_null(t.column("f_pos"), -1).to_numpy()
+                is_marker = f_pos >= 0
+                page_pos = pc.fill_null(t.column("page_pos"), -1).to_numpy()
+                keep = admission_keep_mask(h1, h2, page_pos, f_pos,
+                                           is_marker, bf)
+                if not keep.any():
                     return
-                min_pp = elig.groupby("url")["page_pos"].transform("min")
-                out = elig[elig["page_pos"] == min_pp].drop(columns=["f_pos"])
-                # the union with all-null marker rows floats the int
-                # columns; restore the declared types for Arrow
-                yield out.astype({"page_pos": "int64", "page_depth": "int32",
-                                  "partition_id": "int32",
-                                  "link_pos": "int32"}, copy=False)
+                out = t.filter(pa.array(keep)).drop_columns(["f_pos"])
+                yield from out.combine_chunks().to_batches()
 
             winners = (cands_tagged.unionByName(markers)
                        .repartition(n_parts, F.col("url"))
-                       .mapInPandas(admit, same_schema))
+                       .mapInArrow(admit, same_schema))
             # scalable global sequence: pid-sharded sort + per-pid offsets
             # in one Arrow pass — no single-partition window at big G.
             # Toy rounds are already one partition: a plain window rank

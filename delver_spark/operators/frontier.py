@@ -151,6 +151,58 @@ def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float,
     return rdd.treeAggregate(zero, lambda a, b: a | b, lambda a, b: a | b, depth=2)
 
 
+_SENTINEL = np.int64(1 << 62)
+
+
+def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
+                        page_pos: np.ndarray, f_pos: np.ndarray,
+                        is_marker: np.ndarray,
+                        bloom: BloomFilter) -> np.ndarray:
+    """Vectorized winner selection for the fused admission pass
+    (crawl.py): rows are candidate proposals and fetched-url marker rows
+    colocated by url. Returns the boolean keep mask (True = admitted
+    candidate row).
+
+    Gates (sequential-oracle equivalence, dfs_basic.go:61-123): admit a
+    candidate iff (a) its url is not in the previous round's bloom,
+    (b) no marker for the url has position <= the proposing page's, and
+    (c) the proposal comes from the FIRST page proposing the url (all
+    same-page duplicates of that page win — reference quirk).
+
+    Grouping key is the url's murmur3 x64_128 (h1, h2) — NOT the string.
+    The bloom's probe positions derive solely from (h1, h2)
+    (bloom.go:212-226), so two urls colliding in all 128 bits are already
+    indistinguishable to the seen-set in the reference itself; using the
+    hash as the group key adds no new collision class in practice
+    (P ~ n^2 / 2^129) and lets the whole pass run without materializing
+    a single python string."""
+    n = len(h1)
+    idx = np.lexsort((h2, h1))
+    h1s, h2s = h1[idx], h2[idx]
+    new_run = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_id_sorted = np.cumsum(new_run) - 1
+    run_id = np.empty(n, dtype=np.int64)
+    run_id[idx] = run_id_sorted
+
+    # per-run min marker position (sentinel when the run has no marker)
+    fm = np.where(is_marker, f_pos, _SENTINEL)
+    run_fp_min = np.minimum.reduceat(fm[idx], run_starts)
+
+    # gate (a): bloom membership straight from the hashes
+    pos = bloom._probes_from_hash(h1, h2)
+    bits = (bloom.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    in_bloom = bits.all(axis=1)
+
+    elig = (~is_marker) & (~in_bloom) & (run_fp_min[run_id] > page_pos)
+
+    # gate (c): min proposing page among eligible proposals of the run
+    pp = np.where(elig, page_pos, _SENTINEL)
+    run_pp_min = np.minimum.reduceat(pp[idx], run_starts)
+    return elig & (page_pos == run_pp_min[run_id])
+
+
 def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
                        out_col: str = "rn", partitions: int | None = None) -> DataFrame:
     """Distributed 0-based global rank by ``order_cols`` (must be a unique

@@ -54,50 +54,50 @@ def payload_splits(pages_path: str) -> list[tuple[str, int]]:
 
 
 def fetch_extract_direct(spark: SparkSession, pages_path: str,
-                         key_rows: list[tuple], n_partitions: int,
+                         keys_tbl, n_partitions: int,
                          emit_text: bool = False) -> DataFrame:
     """Fetch (J1) + decode/extract (X1-X11) in ONE Python pass per
     row-group split.
 
-    ``key_rows``: (url, pos, depth, host) for the dequeued batch — the
-    broadcast build side of the fetch join. Returns ``(df, key_bc)``: a
-    DataFrame with EXTRACT_SCHEMA covering the HIT rows only (payload
-    found; misses are the caller's cheap anti-join on the url column) and
-    the key broadcast, which the caller should ``destroy()`` once the
-    result is materialized so per-round key sets don't accumulate in the
-    workers.
+    ``keys_tbl``: pyarrow Table (url, pos, depth, host) for the dequeued
+    batch — the broadcast build side of the fetch join, shipped as Arrow
+    (pickles via IPC bytes; no per-key python objects on the driver).
+    Returns ``(df, key_bc)``: a DataFrame with EXTRACT_SCHEMA covering
+    the HIT rows only (payload found; misses are the caller's cheap
+    anti-join on the url column) and the key broadcast, which the caller
+    should ``destroy()`` once the result is materialized so per-round
+    key sets don't accumulate in the workers.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.types import to_arrow_schema
 
     splits = payload_splits(pages_path)
-    # arrays, not a dict: ~3x cheaper to pickle/unpickle at G=10^5..10^6,
-    # and pd.Index gives a C-level vectorized hash probe per row group
-    key_bc = spark.sparkContext.broadcast((
-        np.array([r[0] for r in key_rows], dtype=object),
-        np.array([r[1] for r in key_rows], dtype=np.int64),
-        np.array([r[2] for r in key_rows], dtype=np.int32),
-        np.array([r[3] for r in key_rows], dtype=object)))
+    key_bc = spark.sparkContext.broadcast(keys_tbl)
     arrow_schema = to_arrow_schema(EXTRACT_SCHEMA)
 
     import uuid
     probe_token = uuid.uuid4().hex  # per-call cache key, never reused
 
     def scan_extract(it):
-        urls_k, pos_k, depth_k, host_k = key_bc.value
-        # cache the built hash table across tasks of the same worker
-        key_index = _PROBE_CACHE.get(probe_token)
-        if key_index is None:
-            key_index = pd.Index(urls_k)
+        # build the probe side once per worker: pd.Index gives a C-level
+        # vectorized hash probe per row group
+        cached = _PROBE_CACHE.get(probe_token)
+        if cached is None:
+            kt = key_bc.value
+            cached = (pd.Index(kt.column("url").to_pandas()),
+                      kt.column("pos").to_numpy(),
+                      kt.column("depth").to_numpy(),
+                      kt.column("host").to_pandas().to_numpy())
             _PROBE_CACHE.clear()
-            _PROBE_CACHE[probe_token] = key_index
+            _PROBE_CACHE[probe_token] = cached
+        key_index, pos_k, depth_k, host_k = cached
         for rb in it:
             names = rb.schema.names
             paths = rb.column(names.index("path")).to_pylist()
             rgs = rb.column(names.index("rg")).to_pylist()
             for path, rg in zip(paths, rgs):
-                tbl = pq.ParquetFile(path).read_row_group(
+                tbl = pq.ParquetFile(path, memory_map=True).read_row_group(
                     int(rg), columns=PAYLOAD_COLS)
                 urls = tbl.column("url_canon").to_pandas()
                 loc = key_index.get_indexer(urls)
