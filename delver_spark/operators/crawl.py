@@ -11,6 +11,21 @@ Each round (SURVEY §3.1 "Spark translation"):
   (append-only url_store) → assign enqueue_seq → union frontier delta →
   treeAggregate bloom merge → snapshot commit (T8).
 
+Hot-host skew strategy (BASELINE.json north_star: "explicit salted
+repartitioning on hash(host)"), by stage:
+  - fetch/extract: partitioned by payload row-group SPLITS, not by host —
+    a host's pages are spread across splits by construction, so no
+    per-host hotspot can exist in the heavy stage at all (stronger than
+    salting; `sources/payload_scan.py`);
+  - dequeue: per-host politeness window with the opt-in SALTED two-phase
+    ranking for detected hot hosts (`frontier.dequeue(hot_host_threshold)`,
+    exact — see its docstring and bench_frontier.py);
+  - admission: shuffled by url (uniform by canonicalized-url hash, not by
+    host) — hot hosts do not concentrate;
+  - residual shuffle skew: AQE skew-join/coalesce is on (session.py);
+    `frontier.salted_repartition` remains the generic salting primitive
+    for order-insensitive host-keyed stages.
+
 State is distributed (frontier / url_store DataFrames, localCheckpoint'd
 per round to truncate lineage); only round-bounded artifacts (the <= G
 fetched rows, counters) touch the driver. The url_store is APPEND-ONLY —
