@@ -100,8 +100,14 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
         eng.frontier_count = eng.frontier.count()
         eng.seq = eng.frontier_count
 
+        # SPARK_GRAFT_SCALE_ROUNDS > 1 splits the drain into that many
+        # sustained rounds (repeated frontier rewrite + bloom growth)
+        # instead of one mega-round
+        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 1))
+        eng.G = (eng.frontier_count + n_rounds - 1) // n_rounds
         t0 = time.perf_counter()
-        assert eng.run_round()
+        for _ in range(n_rounds):
+            assert eng.run_round()
         dt = time.perf_counter() - t0
         return dt, eng.fetch_seq
     finally:

@@ -72,8 +72,23 @@ def fetch_extract_direct(spark: SparkSession, pages_path: str,
     import pandas as pd
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    import pyarrow.compute as pc
+
     splits = payload_splits(pages_path)
-    key_bc = spark.sparkContext.broadcast(keys_tbl)
+    # the frontier can hold the same url more than once (reference
+    # same-page duplicate admission quirk, dfs_basic.go:87-123), so one
+    # batch may dequeue a url twice — each occurrence is its own fetch
+    # with its own pos. Split the keys into a unique primary set (the
+    # fast path) plus the rare duplicate rows, probed separately.
+    n_keys = keys_tbl.num_rows
+    if pc.count_distinct(keys_tbl.column("url")).as_py() == n_keys:
+        primary_tbl, extras_tbl = keys_tbl, keys_tbl.slice(0, 0)
+    else:
+        kp = keys_tbl.to_pandas()
+        first = ~kp["url"].duplicated(keep="first")
+        primary_tbl = pa.Table.from_pandas(kp[first], preserve_index=False)
+        extras_tbl = pa.Table.from_pandas(kp[~first], preserve_index=False)
+    key_bc = spark.sparkContext.broadcast((primary_tbl, extras_tbl))
     arrow_schema = to_arrow_schema(EXTRACT_SCHEMA)
 
     import uuid
@@ -84,14 +99,15 @@ def fetch_extract_direct(spark: SparkSession, pages_path: str,
         # vectorized hash probe per row group
         cached = _PROBE_CACHE.get(probe_token)
         if cached is None:
-            kt = key_bc.value
+            kt, ext = key_bc.value
             cached = (pd.Index(kt.column("url").to_pandas()),
                       kt.column("pos").to_numpy(),
                       kt.column("depth").to_numpy(),
-                      kt.column("host").to_pandas().to_numpy())
+                      kt.column("host").to_pandas().to_numpy(),
+                      ext.to_pandas())
             _PROBE_CACHE.clear()
             _PROBE_CACHE[probe_token] = cached
-        key_index, pos_k, depth_k, host_k = cached
+        key_index, pos_k, depth_k, host_k, extras = cached
         for rb in it:
             names = rb.schema.names
             paths = rb.column(names.index("path")).to_pylist()
@@ -102,15 +118,31 @@ def fetch_extract_direct(spark: SparkSession, pages_path: str,
                 urls = tbl.column("url_canon").to_pandas()
                 loc = key_index.get_indexer(urls)
                 hit_idx = np.nonzero(loc >= 0)[0]
+                ks = loc[hit_idx]
+                pos_a = pos_k[ks]
+                depth_a = depth_k[ks]
+                host_a = host_k[ks]
+                if len(extras):
+                    # rare duplicate dequeues of the same url: one extra
+                    # fetch row per duplicate occurrence in this row group
+                    eloc = pd.Index(urls).get_indexer(extras["url"])
+                    em = eloc >= 0
+                    if em.any():
+                        hit_idx = np.concatenate([hit_idx, eloc[em]])
+                        pos_a = np.concatenate(
+                            [pos_a, extras.loc[em, "pos"].to_numpy()])
+                        depth_a = np.concatenate(
+                            [depth_a, extras.loc[em, "depth"].to_numpy()])
+                        host_a = np.concatenate(
+                            [host_a, extras.loc[em, "host"].to_numpy()])
                 if not len(hit_idx):
                     continue
-                ks = loc[hit_idx]
                 sub = tbl.take(hit_idx)
                 inp = pd.DataFrame({
-                    "pos": pd.Series(pos_k[ks], dtype="int64"),
+                    "pos": pd.Series(pos_a, dtype="int64"),
                     "url_canon": urls.iloc[hit_idx].to_numpy(),
-                    "depth": pd.Series(depth_k[ks], dtype="int32"),
-                    "host": host_k[ks],
+                    "depth": pd.Series(depth_a, dtype="int32"),
+                    "host": host_a,
                     "bytes": pd.Series(
                         _binary_views(sub.column("bytes").combine_chunks()),
                         dtype=object),
