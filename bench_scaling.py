@@ -98,6 +98,7 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
         eng.frontier = rows.repartition(cpus * 4, "host") \
             .localCheckpoint(eager=True)
         eng.frontier_count = eng.frontier.count()
+        eng._base_count = eng.frontier_count
         eng.seq = eng.frontier_count
 
         # SPARK_GRAFT_SCALE_ROUNDS > 1 splits the drain into that many
@@ -146,7 +147,7 @@ def hw_ceiling() -> float:
     import multiprocessing as mp
 
     lo, hi = min(CPU_LEVELS), max(CPU_LEVELS)
-    pin = os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") != "0"
+    pin = os.environ.get("SPARK_GRAFT_PIN_CPUS", "0") != "0"
     times = {}
     for procs in (lo, hi):
         if pin:  # same proportional-cpuset rule as one_round

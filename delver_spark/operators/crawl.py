@@ -131,8 +131,21 @@ class CrawlEngine:
         self.extractor = make_extractor_arrow(n_partitions,
                                               emit_text=collect_documents)
 
-        # mutable state
+        # mutable state. The frontier is held MOR-style (Iceberg
+        # merge-on-read semantics over localCheckpoints): `frontier` is
+        # the compacted BASE; dequeued seqs accumulate as TOMBSTONES
+        # (broadcast anti-joined at read time — a map-side filter, no
+        # shuffle while they fit a broadcast); admitted rows accumulate
+        # as DELTAS. The round's state transition is therefore O(G),
+        # not an O(frontier) rewrite; compaction folds the view into a
+        # new base when tombstones exceed ~30% of it. On the 10^10
+        # deployment this maps 1:1 to Iceberg MOR delete files + appends
+        # + background compaction.
         self.frontier: DataFrame | None = None
+        self._frontier_delta: DataFrame | None = None
+        self._tombstones: DataFrame | None = None
+        self._tomb_count = 0
+        self._base_count = 0
         self.url_store: DataFrame = spark.createDataFrame([], _STORE_SCHEMA_W_HOST)
         self.frontier_count = 0
         self.seq = 0
@@ -157,6 +170,31 @@ class CrawlEngine:
         self.frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
             .localCheckpoint(eager=True)
         self.frontier_count = len(rows)
+        self._base_count = len(rows)
+
+    # ----------------------------------------------------------------- view
+    def _frontier_view(self) -> DataFrame:
+        v = self.frontier
+        if self._frontier_delta is not None:
+            v = v.unionByName(self._frontier_delta)
+        if self._tombstones is not None:
+            v = v.join(F.broadcast(self._tombstones), "enqueue_seq",
+                       "left_anti")
+        return v
+
+    def _append_delta(self, rows: DataFrame, n: int):
+        """rows must already be materialized (checkpointed)."""
+        self._frontier_delta = rows if self._frontier_delta is None \
+            else self._frontier_delta.unionByName(rows)
+        self.frontier_count += n
+
+    def _maybe_compact(self):
+        if self._tomb_count > max(4096, int(0.3 * self._base_count)):
+            self.frontier = self._frontier_view().localCheckpoint(eager=True)
+            self._frontier_delta = None
+            self._tombstones = None
+            self._tomb_count = 0
+            self._base_count = self.frontier_count
 
     # ---------------------------------------------------------------- refill
     def _refill(self, rnd: int) -> int:
@@ -181,8 +219,7 @@ class CrawlEngine:
                .localCheckpoint(eager=True))
         n = pub.count()
         self.seq += n
-        self.frontier = self.frontier.unionByName(pub).localCheckpoint(eager=True)
-        self.frontier_count += n
+        self._append_delta(pub, n)
         self.url_store = self.url_store.filter(F.col("domain") != first) \
             .localCheckpoint(eager=True)
         return n
@@ -202,7 +239,8 @@ class CrawlEngine:
             if self._refill(rnd) == 0:
                 return False
 
-        batch = dequeue(self.frontier, self.B, self.G).localCheckpoint(eager=True)
+        batch = dequeue(self._frontier_view(), self.B, self.G) \
+            .localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
         arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
         arrow_batch_default = self.spark.conf.get(arrow_conf)
@@ -218,8 +256,12 @@ class CrawlEngine:
             batch_count = batch.count()
         if batch_count == 0:
             return False
-        frontier_rest = self.frontier.join(
-            batch.select("enqueue_seq"), "enqueue_seq", "left_anti")
+        # MOR delete: the dequeued seqs become tombstones (batch is
+        # checkpointed, so this union holds only materialized frames)
+        seqs = batch.select("enqueue_seq")
+        self._tombstones = seqs if self._tombstones is None \
+            else self._tombstones.unionByName(seqs)
+        self._tomb_count += batch_count
         self.frontier_count -= batch_count
 
         # Payload rows are ~10 KB of binary each: at the default 10k-row
@@ -306,14 +348,13 @@ class CrawlEngine:
         # concurrently so driver-side job-launch latency (the dominant
         # serial per-round cost) overlaps; one admission code path for
         # every round size
-        self._finish_round(extracted, frontier_rest, batch_count,
-                           rnd, timings, _mark, _t)
+        self._finish_round(extracted, batch_count, rnd, timings, _mark, _t)
         self.round += 1
         return True
 
     # ---------------------------------------------------- round finish
-    def _finish_round(self, extracted: DataFrame, frontier_rest: DataFrame,
-                          batch_count: int, rnd: int, timings, _mark, _t):
+    def _finish_round(self, extracted: DataFrame, batch_count: int,
+                      rnd: int, timings, _mark, _t):
         """Post-extract work for every round, as a concurrent job DAG.
 
         The jobs {order artifacts, lineage candidate counts, bloom bits of
@@ -498,10 +539,10 @@ class CrawlEngine:
                 lambda: admitted.groupBy("partition_id").count().collect())
 
             # ---- state updates (overlap with the two jobs above) -----------
-            self.frontier = frontier_rest.unionByName(
-                admitted.drop("partition_id", "page_pos")) \
-                .localCheckpoint(eager=True)
-            self.frontier_count += admitted_count
+            # MOR append + maybe-compact instead of an O(frontier) rewrite
+            self._append_delta(admitted.drop("partition_id", "page_pos"),
+                               admitted_count)
+            self._maybe_compact()
 
             stash_rows = stash.select(
                 "domain", "url",
@@ -572,7 +613,7 @@ class CrawlEngine:
         rnd = self.round
         fdir = self.store.state_dir("frontier", rnd)
         sdir = self.store.state_dir("url_store", rnd)
-        self.frontier.write.mode("overwrite").parquet(fdir)
+        self._frontier_view().write.mode("overwrite").parquet(fdir)
         self.url_store.write.mode("overwrite").parquet(sdir)
         self.store.save_bloom(rnd, self.bloom.to_bytes())
         if self.crawl_order:
@@ -617,6 +658,7 @@ class CrawlEngine:
         eng.bloom = BloomFilter.from_bytes(eng.store.load_bloom(m["round"]))
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA) \
             .parquet(m["frontier_dir"]).localCheckpoint(eager=True)
+        eng._base_count = eng.frontier_count
         eng.url_store = spark.read.schema(_STORE_SCHEMA_W_HOST) \
             .parquet(m["url_store_dir"]).localCheckpoint(eager=True)
         return eng

@@ -42,6 +42,7 @@ def profiled_round(cpus: int, corpus: str):
         eng.frontier = rows.repartition(cpus * 4, "host") \
             .localCheckpoint(eager=True)
         eng.frontier_count = eng.frontier.count()
+        eng._base_count = eng.frontier_count
         eng.seq = eng.frontier_count
 
         timings = {}
