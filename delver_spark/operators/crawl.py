@@ -95,12 +95,18 @@ def _explode_outlinks(extracted: DataFrame) -> DataFrame:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
                  n_partitions: int = 8, collect_documents: bool = True,
-                 collect_order: bool = True):
+                 collect_order: bool = True,
+                 hot_host_threshold: int | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
         self.n_partitions = n_partitions
         self.collect_documents = collect_documents
+        # rows-per-host count above which the dequeue pre-cuts a host with
+        # the exact salted two-phase ranking (frontier.dequeue docstring).
+        # None = plain window, correct at any scale and faster until a
+        # single host reaches ~10^7 frontier rows.
+        self.hot_host_threshold = hot_host_threshold
         # collect_order=False keeps even the crawl-order/documents artifacts
         # fully distributed (Spark parquet writes) — used for the large-G
         # scaling benchmark where nothing should bottleneck on the driver
@@ -239,7 +245,8 @@ class CrawlEngine:
             if self._refill(rnd) == 0:
                 return False
 
-        batch = dequeue(self._frontier_view(), self.B, self.G) \
+        batch = dequeue(self._frontier_view(), self.B, self.G,
+                        hot_host_threshold=self.hot_host_threshold) \
             .localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
         arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
