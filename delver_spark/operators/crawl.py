@@ -152,6 +152,7 @@ class CrawlEngine:
         self._tombstones: DataFrame | None = None
         self._tomb_count = 0
         self._base_count = 0
+        self._compact_floor = 4096  # tests lower this to force compaction
         self.url_store: DataFrame = spark.createDataFrame([], _STORE_SCHEMA_W_HOST)
         self.frontier_count = 0
         self.seq = 0
@@ -195,7 +196,8 @@ class CrawlEngine:
         self.frontier_count += n
 
     def _maybe_compact(self):
-        if self._tomb_count > max(4096, int(0.3 * self._base_count)):
+        if self._tomb_count > max(self._compact_floor,
+                                  int(0.3 * self._base_count)):
             self.frontier = self._frontier_view().localCheckpoint(eager=True)
             self._frontier_delta = None
             self._tombstones = None

@@ -113,6 +113,27 @@ def test_big_g_admission_url_groups_span_arrow_batches(spark, tmp_path_factory):
                           eng.bloom.bit_positions())
 
 
+def test_mor_compaction_every_round_stays_exact(spark, tmp_path_factory):
+    """The frontier's merge-on-read state (tombstones + deltas) compacts
+    into a new base when tombstones exceed the floor. Force compaction
+    EVERY round (floor=1) on a big-G corpus whose per-host budget
+    actually binds — results must stay bit-identical to the oracle."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_compact"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=29, max_rounds=6,
+                    global_budget=20000, per_host_budget=3)
+    oracle = run_oracle(d)
+    wd = str(tmp_path_factory.mktemp("crawl_compact"))
+    eng = CrawlEngine(spark, d, wd)
+    eng._compact_floor = 1
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
 def test_resume_equals_uninterrupted(spark, unit_corpus, tmp_path_factory,
                                      oracle_result):
     """Kill after round k, resume from snapshot → identical final state
