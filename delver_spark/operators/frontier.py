@@ -255,6 +255,64 @@ def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
     return sorted_df.mapInPandas(add_rank, schema)
 
 
+def bloom_words_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
+    """The bloom bitmap as a DataFrame of (word_idx:long, word:long) —
+    the distributed representation for scales where the bitmap no longer
+    broadcasts (10^10 keys at p=0.001 is a ~26 GB bitmap; broadcast is
+    the right plan up to ~10^9). Words are the same uint64 lanes the
+    in-memory filter uses, reinterpreted as int64."""
+    import pandas as pd
+    widx = np.flatnonzero(bloom.words)  # sparse: only non-zero words
+    pdf = pd.DataFrame({"word_idx": widx.astype(np.int64),
+                        "word": bloom.words[widx].view(np.int64)})
+    return spark.createDataFrame(pdf, "word_idx long, word long")
+
+
+def bloom_probe_distributed(cands: DataFrame, url_col: str,
+                            words: DataFrame, max_n: int,
+                            p: float) -> DataFrame:
+    """Membership probe with BIT-IDENTICAL semantics to the in-memory
+    filter, but against the distributed bitmap: each candidate explodes
+    into its k probe positions, positions join the words table on
+    word_idx (zero words are absent — a miss is a zero word), and a
+    candidate is a member iff every probe bit is set. Cost is O(k x G)
+    join rows per round — G-bounded, never O(bitmap). Returns ``cands``
+    plus an ``in_bloom`` boolean column.
+
+    This is the 10^10-scale fallback for SURVEY J3; the broadcast probe
+    (make_bloom_probe / the fused admission pass) is the fast path while
+    the bitmap fits executor memory."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    proto = BloomFilter(max_n, p)
+    k = proto.k
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_positions(urls: pd.Series) -> pd.Series:
+        local = BloomFilter(max_n, p)
+        pos = local.probes_batch(urls.tolist())  # (n, k) uint64
+        return pd.Series(list(pos.astype(np.int64)))
+
+    probes = (cands.withColumn("_pos", probe_positions(F.col(url_col)))
+              .withColumn("_p", F.explode("_pos")).drop("_pos")
+              .withColumn("_widx", (F.col("_p") / F.lit(64)).cast("long"))
+              .withColumn("_bit", F.col("_p") % F.lit(64)))
+    joined = probes.join(words.withColumnRenamed("word_idx", "_widx"),
+                         "_widx", "left")
+    # SQL shiftright accepts a column shift amount; arithmetic shift's
+    # sign extension never touches bit 0 for shifts < 64, and at bit 63
+    # the sign IS the probed bit — so `& 1` is exact for all 64 lanes
+    bit_set = F.when(
+        F.col("word").isNotNull()
+        & (F.expr("shiftright(word, CAST(_bit AS INT)) & 1") == 1),
+        1).otherwise(0)
+    group_cols = [c for c in cands.columns]
+    return (joined.withColumn("_hit", bit_set)
+            .groupBy(*group_cols)
+            .agg((F.sum("_hit") == F.lit(k)).alias("in_bloom")))
+
+
 def make_robots_udf(spark: SparkSession, rules_by_host: dict):
     """Vectorized robots gate (SURVEY F5/J2): broadcast tiny rules table,
     longest-prefix Allow/Disallow per batch."""
