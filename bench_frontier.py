@@ -6,8 +6,7 @@ pure scheduling operators with NO payload attached:
 
   - politeness dequeue (per-host top-B window + global top-G) over a
     Zipf-skewed frontier with one deliberately hot host (~10% of all
-    rows), with and without the map-side prune that makes the host
-    window skew-proof;
+    rows), plain and with the exact salted hot-host guard;
   - the frontier delta update (dequeued anti-join + admitted union +
     checkpoint), i.e. one round's state transition.
 

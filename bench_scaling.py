@@ -3,11 +3,13 @@
 scaling efficiency >= 0.8 from N to 4N executors; sandbox proxy per
 BASELINE.md: local[8] vs local[32] on the SAME input).
 
-The job: ONE large crawl round — dequeue the entire pre-filled frontier
-(politeness window), distributed payload join, mapInPandas decode+extract,
-bloom-gated admission with distributed sequence assignment, treeAggregate
-bloom merge, distributed crawl-order write. All stages are data-parallel;
-driver work is O(counters).
+The job: drain the pre-filled frontier (one mega-round by default,
+SPARK_GRAFT_SCALE_ROUNDS for a sustained multi-round drain) — politeness
+dequeue, direct payload scan + decode + extract (bytes never cross the
+JVM<->python boundary), hash-grouped Arrow admission, distributed
+sequence assignment, treeAggregate bloom merge, distributed crawl-order
+write, MOR frontier commit. All stages are data-parallel; driver work is
+O(counters).
 
 Prints one JSON line and appends a row to BENCH/BASELINE.md.
 """
