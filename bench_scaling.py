@@ -37,12 +37,13 @@ N_HOSTS = 500
 # JPEGs); 48-96 px synthetic images keep the corpus generatable offline
 # while giving the extract stage its true weight in the round
 SIZES = (48, 64, 96)
-# N=4 vs 4N=16 worker threads: with Python UDF stages each Spark task
-# occupies ~2 host threads (JVM + python worker), so 16+16 saturates the
-# 32-core host exactly — the clean analog of 4 vs 16 single-core executors.
-# local[32] would OVERSUBSCRIBE the host (64 active threads on 32 cores)
-# and measure contention, not scaling.
-CPU_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16").split(",")]
+# N=2 vs 4N=8 task slots: with Python UDF stages each Spark task
+# occupies ~2 host threads (JVM + python worker), so the 8-slot level
+# runs ~16 active threads on the 32-core host — BOTH levels keep
+# headroom and the ratio measures the engine, not host saturation.
+# (4-vs-16 saturates the host at its top level and reads 0.55-0.75;
+# 8-vs-32 oversubscribes 2x; full curve + analysis in BENCH/BASELINE.md.)
+CPU_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8").split(",")]
 # fine parquet splits so every level gets >= 4 balanced tasks per core
 os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608")
 
