@@ -56,7 +56,6 @@ from ..sources.snapshot import SnapshotStore
 from .extract import EXTRACT_SCHEMA, make_extractor_arrow
 from .frontier import (
     FRONTIER_SCHEMA,
-    ORDER_COLS,
     STORE_SCHEMA,
     bloom_bits_for_urls,
     dequeue,

@@ -19,7 +19,6 @@ import json
 import os
 import shutil
 
-import numpy as np
 
 
 class SnapshotStore:
