@@ -341,8 +341,22 @@ def dedup_minhash_lsh(spark, sf):
 
 
 def dedup_ngram_jaccard(spark, sf):
-    """Word-bigram Jaccard near-dups via shared-shingle join (no cross join)."""
+    """Word-bigram Jaccard near-dups: DF-capped shared-shingle candidate
+    join (stop-shingles excluded from pairing), exact Jaccard verify over
+    full shingle sets — sub-quadratic at corpus scale."""
     return _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+
+
+def dedup_minhash_verified(spark, sf):
+    """MinHash+LSH candidates + exact-Jaccard verify (>= 0.5) over the
+    distinct token sets: LSH proposes, the verify stage decides."""
+    return _dedup.minhash_lsh_verified(_t(spark, sf, "documents"))
+
+
+def dedup_embedding_lsh(spark, sf):
+    """Scale-safe embedding near-dup: random-hyperplane LSH buckets +
+    exact int-cosine verify (replaces the all-pairs join at scale)."""
+    return _dedup.embedding_lsh_pairs(_t(spark, sf, "embeddings"))
 
 
 
@@ -426,7 +440,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash16": dedup_simhash16,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "text_token_count": text_token_count,
@@ -686,16 +702,99 @@ def oracle_sql() -> dict[str, str]:
             sh AS (
               SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
               FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              WHERE a.shingle IN (SELECT shingle FROM rare)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY doc_a, doc_b)
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b)
             SELECT doc_a, doc_b, inter,
                    CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jacc_milli
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 300
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash_verified": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x <> ''))) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, perm, md5(CAST(perm AS VARCHAR) || ':' || tok) AS h
+              FROM toks CROSS JOIN (SELECT unnest(generate_series(0,7)) AS perm)),
+            sig AS (SELECT doc_id, perm, min(h) AS mh FROM h GROUP BY doc_id, perm),
+            band AS (
+              SELECT doc_id, CAST(perm//2 AS INT) AS band_id,
+                     max(CASE WHEN perm % 2 = 0 THEN mh END) || '|' ||
+                     max(CASE WHEN perm % 2 = 1 THEN mh END) AS band_val
+              FROM sig GROUP BY doc_id, CAST(perm//2 AS INT)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c JOIN toks a ON a.doc_id = c.doc_a
+                          JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b, inter,
+                   CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jacc_milli
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 500
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding_lsh": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            ex AS (
+              SELECT vec_id, i, qv[i] AS val
+              FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+            tb AS (SELECT t.t, b.b
+                   FROM (SELECT unnest(generate_series(0,11)) AS t) t,
+                        (SELECT unnest(generate_series(0,7)) AS b) b),
+            dims AS (SELECT DISTINCT i FROM ex),
+            w AS (
+              SELECT t, b, i,
+                (strpos('0123456789abcdef', substr(md5(CAST(t AS VARCHAR)||'_'||CAST(b AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),1,1))-1)*4096
+               +(strpos('0123456789abcdef', substr(md5(CAST(t AS VARCHAR)||'_'||CAST(b AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),2,1))-1)*256
+               +(strpos('0123456789abcdef', substr(md5(CAST(t AS VARCHAR)||'_'||CAST(b AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),3,1))-1)*16
+               +(strpos('0123456789abcdef', substr(md5(CAST(t AS VARCHAR)||'_'||CAST(b AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),4,1))-1)
+               - 32768 AS wt
+              FROM tb CROSS JOIN dims),
+            dots AS (
+              SELECT e.vec_id, w.t, w.b, sum(e.val * w.wt) AS wdot
+              FROM ex e JOIN w ON w.i = e.i
+              GROUP BY e.vec_id, w.t, w.b),
+            sigs AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN wdot >= 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
+              FROM dots GROUP BY vec_id, t),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+                                     AND a.vec_id < b.vec_id),
+            norms AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS n2 FROM ex GROUP BY vec_id),
+            pdots AS (
+              SELECT c.doc_a, c.doc_b, CAST(sum(a.val*b.val) AS BIGINT) AS dot
+              FROM cand c JOIN ex a ON a.vec_id = c.doc_a
+                          JOIN ex b ON b.vec_id = c.doc_b AND b.i = a.i
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(round(dot*1000.0/sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) AS BIGINT) AS cos_milli
+            FROM pdots JOIN norms na ON na.vec_id = doc_a
+                       JOIN norms nb ON nb.vec_id = doc_b
+            WHERE CAST(round(dot*1000.0/sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) AS BIGINT) >= 950
             ORDER BY doc_a, doc_b
         """,
         "ann_cosine_topk": """

@@ -94,7 +94,7 @@ def _explode_outlinks(extracted: DataFrame) -> DataFrame:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
                  n_partitions: int = 8, collect_documents: bool = True,
-                 collect_order: bool = True,
+                 collect_order: bool | None = None,
                  hot_host_threshold: int | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -106,10 +106,6 @@ class CrawlEngine:
         # None = plain window, correct at any scale and faster until a
         # single host reaches ~10^7 frontier rows.
         self.hot_host_threshold = hot_host_threshold
-        # collect_order=False keeps even the crawl-order/documents artifacts
-        # fully distributed (Spark parquet writes) — used for the large-G
-        # scaling benchmark where nothing should bottleneck on the driver
-        self.collect_order = collect_order
         self.store = SnapshotStore(workdir)
 
         with open(os.path.join(corpus_dir, "params.json")) as f:
@@ -119,6 +115,14 @@ class CrawlEngine:
         self.B = p["per_host_budget"]
         self.G = p["global_budget"]
         self.max_rounds = p["max_rounds"]
+        # collect_order=False keeps even the crawl-order/documents artifacts
+        # fully distributed (Spark parquet writes). Default is by round
+        # size: big-G engines (the scaling-bench regime) must never
+        # bottleneck a round on a driver toPandas, small-G rounds are
+        # cheaper through the driver buffer (one pandas frame vs a
+        # per-round distributed write job).
+        self.collect_order = (self.G <= 10000) if collect_order is None \
+            else collect_order
 
         # payload table: at 100 TB this is the Iceberg table bucketed/sorted
         # by url_canon; per-round access is an IN-filter over <= G keys that
@@ -152,6 +156,7 @@ class CrawlEngine:
         self._tomb_count = 0
         self._base_count = 0
         self._compact_floor = 4096  # tests lower this to force compaction
+        self._tomb_abs_cap = 2_000_000  # broadcast-size bound (see _maybe_compact)
         self.url_store: DataFrame = spark.createDataFrame([], _STORE_SCHEMA_W_HOST)
         self.frontier_count = 0
         self.seq = 0
@@ -195,8 +200,14 @@ class CrawlEngine:
         self.frontier_count += n
 
     def _maybe_compact(self):
+        # 30%-of-base keeps compaction amortized, but the tombstone set is
+        # BROADCAST in _frontier_view's anti-join — an absolute row cap
+        # bounds that broadcast (~16 MB of longs at 2M rows) regardless of
+        # how large the base grows, enforcing the "while they fit a
+        # broadcast" contract instead of assuming it
         if self._tomb_count > max(self._compact_floor,
-                                  int(0.3 * self._base_count)):
+                                  min(int(0.3 * self._base_count),
+                                      self._tomb_abs_cap)):
             self.frontier = self._frontier_view().localCheckpoint(eager=True)
             self._frontier_delta = None
             self._tombstones = None
@@ -277,12 +288,33 @@ class CrawlEngine:
         # in-flight batch and row->Arrow conversion collapses to ~40 MB/s
         # aggregate (measured: noop mapInArrow round-trip 84 s on a 1.2 GB
         # corpus at local[16]; 256-row batches -> 3.5x faster end-to-end).
-        # Scoped to the fetch/extract job only; restored right after so
-        # narrow-row stages (admission) keep big batches.
+        # Scoped to the fetch/extract job only; restored in the finally so
+        # a failed round can't leak the small batch size into every later
+        # query on the shared session.
         self.spark.conf.set(arrow_conf, "256")
+        try:
+            extracted = self._fetch_extract(
+                batch, batch_count, batch_urls if small_batch else None)
+        finally:
+            self.spark.conf.set(arrow_conf, arrow_batch_default)
+        _t = _mark('fetch_extract', _t)
 
+        # post-extract work is a DAG of independent Spark jobs — run them
+        # concurrently so driver-side job-launch latency (the dominant
+        # serial per-round cost) overlaps; one admission code path for
+        # every round size
+        self._finish_round(extracted, batch_count, rnd, timings, _mark, _t)
+        self.round += 1
+        return True
+
+    # ------------------------------------------------------------ fetch path
+    def _fetch_extract(self, batch: DataFrame, batch_count: int,
+                       batch_urls: list | None) -> DataFrame:
+        """Fetch + extract for one round; returns the checkpointed
+        ``extracted`` frame. ``batch_urls`` non-None selects the small-batch
+        IN-pushdown plan (the list is the already-collected batch keys)."""
         payload_cols = ["bytes", "fmt", "caption", "phash", "pix_md5"]
-        if small_batch:
+        if batch_urls is not None:
             payload = self.pages.filter(F.col("url_canon").isin(batch_urls))
             if self.golden is not None:
                 payload = payload.join(
@@ -330,9 +362,11 @@ class CrawlEngine:
                 self.spark, os.path.join(self.corpus_dir, "pages.parquet"),
                 keys_tbl, self.n_partitions,
                 emit_text=self.collect_documents)
-            hits_df = hits_df.localCheckpoint(eager=True)
-            n_hits = hits_df.count()
-            fetch_key_bc.destroy()
+            try:
+                hits_df = hits_df.localCheckpoint(eager=True)
+                n_hits = hits_df.count()
+            finally:
+                fetch_key_bc.destroy()
             if n_hits == batch_count:
                 # common case: every dequeued url has a payload row — skip
                 # the miss anti-join (a full scan of the url column) and the
@@ -349,16 +383,7 @@ class CrawlEngine:
                              .unionByName(misses.mapInArrow(self.extractor,
                                                             EXTRACT_SCHEMA))
                              .localCheckpoint(eager=True))
-        self.spark.conf.set(arrow_conf, arrow_batch_default)
-        _t = _mark('fetch_extract', _t)
-
-        # post-extract work is a DAG of independent Spark jobs — run them
-        # concurrently so driver-side job-launch latency (the dominant
-        # serial per-round cost) overlaps; one admission code path for
-        # every round size
-        self._finish_round(extracted, batch_count, rnd, timings, _mark, _t)
-        self.round += 1
-        return True
+        return extracted
 
     # ---------------------------------------------------- round finish
     def _finish_round(self, extracted: DataFrame, batch_count: int,
@@ -418,6 +443,15 @@ class CrawlEngine:
                 "url_canon", "depth", F.lit(rnd).alias("round"), "host",
                 "success")
              .write.mode("overwrite").parquet(d))
+            if self.collect_documents:
+                # distributed twin of the driver-buffer document artifact:
+                # successful rows written per round, bytes stay executor-side
+                dd = self.store.state_dir("documents", rnd)
+                (extracted.filter("success").drop(
+                    "outlinks", *[c for c in ("countries", "companies")
+                                  if c in extracted.columns])
+                 .withColumn("round", F.lit(rnd))
+                 .write.mode("overwrite").parquet(dd))
             return by_part, None, None
 
         def job_cand_counts():
@@ -440,6 +474,7 @@ class CrawlEngine:
                 self.bloom.p, partitions=min(par, batch_count // 20000 + 1))
 
         pool = ThreadPoolExecutor(max_workers=4)
+        probe_bc = None
         try:
             fut_order = pool.submit(job_order)
             fut_cand = pool.submit(job_cand_counts)
@@ -481,19 +516,27 @@ class CrawlEngine:
                 tbls = [pa.Table.from_batches([rb]) for rb in it]
                 if not tbls:
                     return
-                t = pa.concat_tables(tbls).combine_chunks()
+                # NOT combine_chunks'd: a >2 GB url column in one shuffle
+                # partition cannot collapse to a single int32-offset chunk
+                # (ArrowInvalid) — hash per chunk and concatenate instead,
+                # so oversized partitions stay correct, just slower
+                t = pa.concat_tables(tbls)
                 if t.num_rows == 0:
                     return
-                urls = t.column("url")
-                arr = urls.chunk(0) if urls.num_chunks else urls.combine_chunks()
-                bufs = arr.buffers()
-                offsets = np.frombuffer(
-                    bufs[1], dtype=np.int32,
-                    count=len(arr) + 1 + arr.offset)[arr.offset:]
-                data = np.frombuffer(bufs[2],
-                                     dtype=np.uint8)[offsets[0]:offsets[-1]]
+                datas, lens = [], []
+                for arr in t.column("url").chunks:
+                    if len(arr) == 0:
+                        continue
+                    bufs = arr.buffers()
+                    offsets = np.frombuffer(
+                        bufs[1], dtype=np.int32,
+                        count=len(arr) + 1 + arr.offset)[arr.offset:]
+                    datas.append(np.frombuffer(
+                        bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]])
+                    lens.append(np.diff(offsets).astype(np.int64))
                 h1, h2 = hash128_batch_buf(
-                    data, np.diff(offsets).astype(np.int64))
+                    datas[0] if len(datas) == 1 else np.concatenate(datas),
+                    lens[0] if len(lens) == 1 else np.concatenate(lens))
                 f_pos = pc.fill_null(t.column("f_pos"), -1).to_numpy()
                 is_marker = f_pos >= 0
                 page_pos = pc.fill_null(t.column("page_pos"), -1).to_numpy()
@@ -502,7 +545,7 @@ class CrawlEngine:
                 if not keep.any():
                     return
                 out = t.filter(pa.array(keep)).drop_columns(["f_pos"])
-                yield from out.combine_chunks().to_batches()
+                yield from out.to_batches()
 
             winners = (cands_tagged.unionByName(markers)
                        .repartition(n_parts, F.col("url"))
@@ -597,9 +640,13 @@ class CrawlEngine:
                     f"{self.bloom.max_n}); reference would silently drop "
                     f"inserts")
             self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
-            probe_bc.destroy()
             _t = _mark('bloom_merge', _t)
         finally:
+            # destroyed on every exit path — nothing past the admitted
+            # checkpoint reads it, and leaking one bitset per failed round
+            # would accumulate executor memory for the session's lifetime
+            if probe_bc is not None:
+                probe_bc.destroy()
             pool.shutdown(wait=True)
 
     # ------------------------------------------------------------------- run

@@ -40,10 +40,58 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .orderBy("fingerprint"))
 
 
+def _self_join_pairs(band: DataFrame, id_col: str, key_cols: list[str],
+                     bucket_cap: int | None = None,
+                     n_salts: int = 16) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of rows sharing ``key_cols``.
+
+    Skew safety: a giant duplicate cluster makes one bucket key hold c
+    rows → c² join output in ONE shuffle partition (straggler / OOM at
+    scale). With ``bucket_cap`` set, buckets above it are split by a salt
+    on the row id: the left side is replicated once per salt value, the
+    right side carries its own salt, and the join key becomes
+    (key, right_salt) — each bucket's c² work spreads over ``n_salts``
+    partitions. Output is EXACTLY the unsalted pair set (the replication
+    enumerates every (row, right-salt-class) combination once);
+    tests/test_dedup_scale.py pins equality on a 1k-doc dup cluster."""
+    a = band.select(F.col(id_col).alias("doc_a"), *key_cols)
+    b = band.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(c).alias(f"{c}_b") for c in key_cols])
+    cond = [F.col(c) == F.col(f"{c}_b") for c in key_cols]
+    on = cond[0]
+    for c in cond[1:]:
+        on = on & c
+    if bucket_cap is None:
+        return (a.join(b, on & (F.col("doc_a") < F.col("doc_b")))
+                .select("doc_a", "doc_b").distinct())
+    counts = band.groupBy(*key_cols).agg(F.count("*").alias("_bc"))
+    hot_keys = counts.filter(F.col("_bc") > bucket_cap).select(*key_cols)
+    cold_a = a.join(F.broadcast(hot_keys), key_cols, "left_anti")
+    cold_b = b.join(F.broadcast(hot_keys.select(
+        *[F.col(c).alias(f"{c}_b") for c in key_cols])),
+        [f"{c}_b" for c in key_cols], "left_anti")
+    cold = (cold_a.join(cold_b, on & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b"))
+    hot_a = (a.join(F.broadcast(hot_keys), key_cols, "left_semi")
+             .withColumn("_sa", F.explode(F.sequence(
+                 F.lit(0), F.lit(n_salts - 1)))))
+    hot_b = (b.join(F.broadcast(hot_keys.select(
+        *[F.col(c).alias(f"{c}_b") for c in key_cols])),
+        [f"{c}_b" for c in key_cols], "left_semi")
+        .withColumn("_sb", F.pmod(F.hash("doc_b"), F.lit(n_salts))))
+    hot = (hot_a.join(hot_b, on & (F.col("_sa") == F.col("_sb"))
+                      & (F.col("doc_a") < F.col("doc_b")))
+           .select("doc_a", "doc_b"))
+    return cold.unionByName(hot).distinct()
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 8,
-                      band_size: int = 2) -> DataFrame:
-    """Near-dup candidate pairs via md5-minhash signatures + banded LSH."""
+                      band_size: int = 2,
+                      bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs via md5-minhash signatures + banded LSH.
+    ``bucket_cap`` enables salted band-bucket joins for oversized
+    duplicate clusters (see _self_join_pairs)."""
     spark = df.sparkSession
     toks = tokens(df, id_col, text_col)
     perms = spark.range(n_hashes).withColumnRenamed("id", "perm")
@@ -56,37 +104,88 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     band = (sig.withColumn("band_id", F.floor(F.col("perm") / band_size).cast("int"))
             .groupBy(id_col, "band_id")
             .agg(F.concat_ws("|", *parts).alias("band_val")))
-    a = band.select(F.col(id_col).alias("doc_a"), "band_id", "band_val")
-    b = band.select(F.col(id_col).alias("doc_b"),
-                    F.col("band_id").alias("band_id_b"),
-                    F.col("band_val").alias("band_val_b"))
-    return (a.join(b, (a.band_id == b.band_id_b)
-                   & (a.band_val == b.band_val_b)
-                   & (a.doc_a < b.doc_b))
-            .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b"))
+    return (_self_join_pairs(band, id_col, ["band_id", "band_val"],
+                             bucket_cap=bucket_cap)
+            .orderBy("doc_a", "doc_b"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        threshold_milli: int = 300) -> DataFrame:
-    """Exact word-bigram Jaccard over a shared-shingle join."""
-    toks = df.select(id_col, F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda x: x != "").alias("ts"))
-    sh = (toks.select(id_col, F.explode(F.array_distinct(
-        F.zip_with(F.col("ts"), F.slice(F.col("ts"), 2, 1 << 20),
-                   lambda x, y: F.concat(x, F.lit(" "), y)))).alias("shingle"))
-          .filter(F.col("shingle").isNotNull()))  # zip_with pads tail with null
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    inter = (a.join(b, (a.shingle == b.shingle_b) & (a.doc_a < b.doc_b))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+def _exact_jaccard_for_pairs(cand: DataFrame, items: DataFrame,
+                             id_col: str, item_col: str) -> DataFrame:
+    """Exact Jaccard (milli) over the full per-doc item sets, computed
+    ONLY for the candidate pairs: cand × items(doc_a) matched against
+    items(doc_b). Cost is bounded by |candidates| × doc size, never by
+    the corpus pair count."""
+    sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ia = items.select(F.col(id_col).alias("doc_a"),
+                      F.col(item_col).alias("_it_a"))
+    ib = items.select(F.col(id_col).alias("_doc_b_r"),
+                      F.col(item_col).alias("_it_b"))
+    inter = (cand.join(ia, "doc_a")
+             .join(ib, (F.col("doc_b") == F.col("_doc_b_r"))
+                   & (F.col("_it_a") == F.col("_it_b")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     jacc = F.round(F.col("inter") * 1000.0
                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast("long")
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jacc_milli", jacc)
+            .withColumn("jacc_milli", jacc))
+
+
+def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_hashes: int = 8,
+                         band_size: int = 2, threshold_milli: int = 500,
+                         bucket_cap: int | None = None) -> DataFrame:
+    """MinHash+LSH candidates followed by an exact-Jaccard verify stage
+    over the distinct token sets — the banded join only proposes, the
+    verify decides, so LSH false positives never reach the output."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, band_size,
+                             bucket_cap=bucket_cap).select("doc_a", "doc_b")
+    toks = tokens(df, id_col, text_col)
+    return (_exact_jaccard_for_pairs(cand, toks, id_col, "tok")
+            .filter(F.col("jacc_milli") >= threshold_milli)
+            .select("doc_a", "doc_b", "inter", "jacc_milli")
+            .orderBy("doc_a", "doc_b"))
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word-bigram shingles per document."""
+    toks = df.select(id_col, F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != "").alias("ts"))
+    return (toks.select(id_col, F.explode(F.array_distinct(
+        F.zip_with(F.col("ts"), F.slice(F.col("ts"), 2, 1 << 20),
+                   lambda x, y: F.concat(x, F.lit(" "), y)))).alias("shingle"))
+            .filter(F.col("shingle").isNotNull()))  # zip_with pads tail with null
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold_milli: int = 300,
+                        df_cap: int | None = 100) -> DataFrame:
+    """Exact word-bigram Jaccard with a document-frequency cutoff on the
+    candidate join.
+
+    Why the cutoff (VERDICT r1): a stop-shingle like "of the" occurs in
+    ~every document, so ONE join key alone generates O(n²) rows — the
+    shared-shingle join is only sub-quadratic if hot keys are excluded.
+    Shingles in more than ``df_cap`` documents are dropped from CANDIDATE
+    GENERATION only; the Jaccard value is then computed exactly over the
+    FULL shingle sets of each candidate pair, so scores are unaffected.
+    Recall effect: a qualifying pair is missed iff every shingle it
+    shares is a stop-shingle — at Jaccard >= 0.3 a pair shares ~30% of
+    its shingles, so in practice recall stays 1.0 (pinned on the test
+    corpus by tests/test_dedup_scale.py); df_cap=None restores the exact
+    single-join plan for small data."""
+    sh = _doc_shingles(df, id_col, text_col)
+    if df_cap is None:
+        cand_sh = sh
+    else:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= df_cap).select("shingle"))
+        cand_sh = sh.join(rare, "shingle", "left_semi")
+    cand = _self_join_pairs(cand_sh, id_col, ["shingle"])
+    return (_exact_jaccard_for_pairs(cand, sh, id_col, "shingle")
             .filter(F.col("jacc_milli") >= threshold_milli)
             .select("doc_a", "doc_b", "inter", "jacc_milli")
             .orderBy("doc_a", "doc_b"))
@@ -138,4 +237,72 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                                  / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
                          .cast("long")))
     return (pairs.filter(F.col("cos_milli") >= threshold_milli)
+            .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
+
+
+def _rhp_weight(seed: str):
+    """Deterministic random-hyperplane component for dimension index i:
+    the first 16 bits of md5('<table>_<bit>:<i>') minus 32768 — an
+    integer in [-32768, 32767] computable identically in Spark and ANSI
+    SQL (so the DuckDB oracle twin reproduces the exact same planes)."""
+    return lambda x, i: x * (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), i.cast("string"))),
+                           1, 4), 16, 10).cast("long") - 32768)
+
+
+def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold_milli: int = 950,
+                        n_tables: int = 12, n_bits: int = 8,
+                        bucket_cap: int | None = None) -> DataFrame:
+    """Scale-safe embedding near-dup: random-hyperplane LSH candidate
+    buckets + exact integer-cosine verify — the replacement for the
+    all-pairs ``embedding_cosine_pairs`` join (VERDICT r1 #1; keep the
+    all-pairs form only as the small-N oracle twin).
+
+    Candidates: ``n_tables`` signatures of ``n_bits`` sign-bits each
+    (bit = sign of the dot product with a deterministic md5-derived
+    hyperplane); vectors sharing a (table, signature) bucket pair up via
+    the same banded-join shape as minhash — one shuffle on the bucket
+    key, NEVER a cross join. Verify: exact int-quantized cosine of
+    candidates only, same arithmetic as the all-pairs form, so every
+    emitted pair carries the exact score. Miss probability per true pair
+    at cos=0.95 is (1-0.9^8)^12 ≈ 2e-3 and falls fast with similarity;
+    tests/test_dedup_scale.py pins recall == all-pairs on a planted
+    near-dup corpus. At 100 TB: |docs| × n_tables bucket rows, bucket
+    skew handled by ``bucket_cap`` salting (_self_join_pairs)."""
+    q = emb.select(
+        id_col,
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("q"))
+    sig_cols = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            wdot = F.aggregate(
+                F.transform(F.col("q"), _rhp_weight(f"{t}_{b}:")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            bits.append(F.when(wdot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for expr in bits[1:]:
+            sig = sig + expr
+        sig_cols.append(sig.cast("long"))
+    buckets = (q.select(id_col,
+                        F.posexplode(F.array(*sig_cols)).alias("tbl", "sig")))
+    cand = _self_join_pairs(buckets, id_col, ["tbl", "sig"],
+                            bucket_cap=bucket_cap)
+    qa = q.select(F.col(id_col).alias("doc_a"), F.col("q").alias("qa"))
+    qb = q.select(F.col(id_col).alias("doc_b"), F.col("q").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform("qa", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    verified = (cand.join(qa, "doc_a").join(qb, "doc_b")
+                .withColumn("cos_milli",
+                            F.round(dot * 1000.0
+                                    / F.sqrt((na * nb).cast("double")))
+                            .cast("long")))
+    return (verified.filter(F.col("cos_milli") >= threshold_milli)
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))

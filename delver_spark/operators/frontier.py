@@ -294,7 +294,13 @@ def bloom_probe_distributed(cands: DataFrame, url_col: str,
         pos = local.probes_batch(urls.tolist())  # (n, k) uint64
         return pd.Series(list(pos.astype(np.int64)))
 
-    probes = (cands.withColumn("_pos", probe_positions(F.col(url_col)))
+    # a unique row id carries each candidate through the explode/regroup
+    # so exact-duplicate candidate rows KEEP their multiplicity — grouping
+    # on the candidate columns instead would silently collapse them, and
+    # the reference's same-page duplicate-admission quirk depends on
+    # duplicates surviving to the admission stage
+    with_id = cands.withColumn("_rid", F.monotonically_increasing_id())
+    probes = (with_id.withColumn("_pos", probe_positions(F.col(url_col)))
               .withColumn("_p", F.explode("_pos")).drop("_pos")
               .withColumn("_widx", (F.col("_p") / F.lit(64)).cast("long"))
               .withColumn("_bit", F.col("_p") % F.lit(64)))
@@ -309,8 +315,9 @@ def bloom_probe_distributed(cands: DataFrame, url_col: str,
         1).otherwise(0)
     group_cols = [c for c in cands.columns]
     return (joined.withColumn("_hit", bit_set)
-            .groupBy(*group_cols)
-            .agg((F.sum("_hit") == F.lit(k)).alias("in_bloom")))
+            .groupBy("_rid", *group_cols)
+            .agg((F.sum("_hit") == F.lit(k)).alias("in_bloom"))
+            .drop("_rid"))
 
 
 def make_robots_udf(spark: SparkSession, rules_by_host: dict):

@@ -52,11 +52,14 @@ def image_features(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                pix = _decode_image(bytes(r["bytes"]), r["fmt"])
+            # column-wise zip, not iterrows — per-row Series construction
+            # is the slowest pandas iteration idiom and matters once real
+            # AV decode replaces the stub codecs
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                pix = _decode_image(bytes(blob), fmt)
                 means = pix.reshape(-1, 3).mean(axis=0)
                 t = _resize_nn(pix, th, tw)
-                rows.append((r["image_id"], pix.shape[1], pix.shape[0],
+                rows.append((iid, pix.shape[1], pix.shape[0],
                              float(means[0]), float(means[1]), float(means[2]),
                              t.tobytes(), tw, th))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
@@ -91,11 +94,10 @@ def audio_features(df: DataFrame) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                samples, rate = _decode_audio(bytes(r["bytes"]), r["fmt"])
+            for aid, blob, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                samples, rate = _decode_audio(bytes(blob), fmt)
                 rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
-                rows.append((r["audio_id"], len(samples), rate,
-                             int(round(rms * 1000))))
+                rows.append((aid, len(samples), rate, int(round(rms * 1000))))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
     return df.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
@@ -133,10 +135,9 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                for idx, frame, w, h in _video_frames(bytes(r["bytes"]),
-                                                      r["fmt"], every_n):
-                    rows.append((r["video_id"], idx, frame, w, h))
+            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                for idx, frame, w, h in _video_frames(bytes(blob), fmt, every_n):
+                    rows.append((vid, idx, frame, w, h))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
 
     return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

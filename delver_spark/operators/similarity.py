@@ -42,13 +42,38 @@ def cosine_topk_bruteforce(emb: DataFrame, query_id: int, k: int = 10,
 
 
 def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
-                    id_col: str = "vec_id", cell_col: str = "label") -> DataFrame:
-    """IVF-style probe: search only the query's coarse cell."""
+                    id_col: str = "vec_id", cell_col: str = "label",
+                    n_probe: int = 1) -> DataFrame:
+    """IVF probe that actually prunes: the query row's cell (and, for
+    ``n_probe > 1``, the next-nearest cells by centroid dot product) is
+    resolved DRIVER-SIDE (one 1-row lookup job), then applied as a literal
+    IN-filter — so the cell predicate pushes into the parquet scan
+    (PushedFilters on the cell column; pinned by
+    tests/test_plans.py::test_ivf_cell_filter_pushes_to_scan) instead of
+    post-filtering a full-table crossJoin. At 100 TB the embedding table
+    is partitioned/bucketed by cell id and this literal filter becomes
+    partition pruning: only ``n_probe`` cells are read at all."""
     q = quantize(emb, id_col, extra_cols=(cell_col,))
-    query = q.filter(F.col(id_col) == query_id).select(
-        F.col("q").alias("qq"), F.col(cell_col).alias("qcell"))
-    return (q.crossJoin(F.broadcast(query))
-            .filter((F.col(cell_col) == F.col("qcell"))
-                    & (F.col(id_col) != query_id))
-            .select(id_col, cell_col, _dot("q", "qq").alias("dot_milli2"))
+    qrow = q.filter(F.col(id_col) == query_id) \
+        .select("q", cell_col).first()
+    qvec, qcell = list(qrow["q"]), qrow[cell_col]
+    cells = [qcell]
+    if n_probe > 1:
+        # rank the OTHER cells by centroid dot product with the query —
+        # centroids are one tiny agg over (cell, dim), driver-collected
+        cen = (q.filter(F.col(cell_col) != qcell)
+               .select(cell_col, F.posexplode("q").alias("i", "v"))
+               .groupBy(cell_col, "i").agg(F.avg("v").alias("c"))
+               .collect())
+        score: dict = {}
+        for r in cen:
+            score[r[cell_col]] = score.get(r[cell_col], 0.0) + r["c"] * qvec[r["i"]]
+        cells += [c for c, _ in sorted(score.items(),
+                                       key=lambda kv: -kv[1])][: n_probe - 1]
+    qq = F.array(*[F.lit(int(v)) for v in qvec])
+    return (q.filter(F.col(cell_col).isin(cells) & (F.col(id_col) != query_id))
+            .select(id_col, cell_col,
+                    F.aggregate(F.zip_with(F.col("q"), qq, lambda x, y: x * y),
+                                F.lit(0).cast("long"),
+                                lambda acc, x: acc + x).alias("dot_milli2"))
             .orderBy(F.desc("dot_milli2"), id_col).limit(k))

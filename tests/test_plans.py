@@ -73,3 +73,21 @@ def test_whole_stage_codegen_on_textstats(spark):
     # whole-stage codegen applies (AQE formatted plans list the operators)
     assert "Python" not in plan
     assert "Scan parquet" in plan and "Project" in plan
+
+
+def test_ivf_cell_filter_pushes_to_scan(spark):
+    """cosine_topk_ivf must prune the scan on the cell column: the query
+    cell is resolved driver-side and applied as a literal filter, so the
+    parquet scan shows a pushed filter on `label` (VERDICT r1 #6 — the
+    old plan filtered after a crossJoin and scanned the full table)."""
+    from delver_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = cosine_topk_ivf(emb, 0, 5)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "label" in pushed
+    # and no cartesian/broadcast-nested-loop join remains in the plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
