@@ -59,6 +59,8 @@ def generate_corpus(
     max_rounds: int = 200,
     golden_pixel_cap: int = 5000,
     sizes: tuple = (16, 24, 32),
+    bloom_max_n: int | None = None,
+    bloom_count: int = 1,
 ) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -226,7 +228,9 @@ def generate_corpus(
         "n_seeds": n_seeds, "max_depth": max_depth,
         "per_host_budget": per_host_budget, "global_budget": global_budget,
         "max_rounds": max_rounds,
-        "bloom_max_n": 4 * n_pages, "bloom_p": 0.01,
+        "bloom_max_n": bloom_max_n if bloom_max_n is not None else 4 * n_pages,
+        "bloom_p": 0.01,
+        "bloom_count": bloom_count,
     }
     with open(os.path.join(out_dir, "params.json"), "w") as f:
         json.dump(params, f, indent=2)

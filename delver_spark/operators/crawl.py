@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from ..engine.bloom import BloomFilter
 from ..engine.robots import parse_robots
+from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.urlnorm import canonicalize, host_of
 from ..sources.snapshot import SnapshotStore
 from .extract import EXTRACT_SCHEMA, make_extractor_arrow
@@ -136,7 +137,13 @@ class CrawlEngine:
         self.robots_rules = {r["host"]: parse_robots(r["body"]) for r in robots_pd}
         self.robots_ok, self._robots_bc = make_robots_udf(spark, self.robots_rules)
 
-        self.bloom = BloomFilter(p["bloom_max_n"], p["bloom_p"])
+        # the seen-set is the reference's ROLLING bloom (rotate-on-overflow,
+        # newest-first write, any-match read — rolling_bloom.go): overflow
+        # no longer kills the crawl, it rotates a generation exactly as the
+        # reference does (including the lost-insert quirk; see
+        # engine/rolling_bloom.py and _finish_round's replay path)
+        self.bloom = RollingBloomFilter(p.get("bloom_count", 1),
+                                        p["bloom_max_n"], p["bloom_p"])
         self.extractor = make_extractor_arrow(n_partitions,
                                               emit_text=collect_documents)
 
@@ -213,6 +220,48 @@ class CrawlEngine:
             self._tombstones = None
             self._tomb_count = 0
             self._base_count = self.frontier_count
+
+    # ----------------------------------------------------------- bloom bounds
+    def _round_fits_bloom(self, total_added: int) -> bool:
+        """True iff NO bloom op of this round can fail the reference's
+        bounds check (bloom.go:228-246: n >= maxN or p̂(n) >= p, checked
+        BEFORE each op). Both bounds are monotone in n and the largest
+        pre-op n is ``gen0.n + total_added - 1``, so checking there covers
+        every op — when it passes, the distributed bitset merge equals
+        the sequential per-op inserts bit-for-bit."""
+        import math
+        g = self.bloom.gen0
+        worst = g.n + total_added - 1
+        if worst >= g.max_n:
+            return False
+        kf, mf = g.k_float, g.m_float
+        p_hat = (1 - math.exp(-kf * (worst + 0.5) / (mf - 1))) ** kf
+        return p_hat < g.p
+
+    def _replay_bloom_ops(self, extracted: DataFrame, admitted: DataFrame):
+        """Exact sequential replay of the round's bloom ops for rotation
+        boundaries: for each fetched page in pos order, ``add(url)`` then
+        ``add_many(admitted urls of that page)`` — the oracle's op
+        sequence (dfs_basic.go:48,121-123) — against the rolling filter,
+        so rotation (and the reference's lost-insert quirk) lands on
+        exactly the same op. Errors are dropped like the reference's
+        log-and-continue. Collects are G-bounded and run at most once per
+        maxN/G rounds."""
+        fetched = sorted(
+            (r["pos"], r["url_canon"])
+            for r in extracted.select("pos", "url_canon").collect())
+        adm = sorted(
+            ((r["page_pos"], r["enqueue_seq"], r["url"])
+             for r in admitted.select("page_pos", "enqueue_seq",
+                                      "url").collect()))
+        by_page: dict[int, list[str]] = {}
+        for page_pos, _, url in adm:
+            by_page.setdefault(int(page_pos), []).append(url)
+        for pos, url in fetched:
+            self.bloom.add(url)
+            to_visit = by_page.get(int(pos))
+            if to_visit:
+                self.bloom.add_many(to_visit)
 
     # ---------------------------------------------------------------- refill
     def _refill(self, rnd: int) -> int:
@@ -511,8 +560,9 @@ class CrawlEngine:
                 import pyarrow.compute as pc
 
                 from ..engine.murmur import hash128_batch_buf
+                from ..engine.rolling_bloom import blooms_from_bytes
                 from .frontier import admission_keep_mask
-                bf = BloomFilter.from_bytes(probe_bc.value)
+                bf = blooms_from_bytes(probe_bc.value)
                 tbls = [pa.Table.from_batches([rb]) for rb in it]
                 if not tbls:
                     return
@@ -633,13 +683,20 @@ class CrawlEngine:
                     {"round": rnd, "partition": int(part), **agg[part]})
 
             bits = fut_bits_f.result() | fut_bits_a.result()
-            new_n = self.bloom.n + batch_count + admitted_count
-            if new_n > self.bloom.max_n:
-                raise RuntimeError(
-                    f"bloom sized too small for corpus (n={new_n} > maxN="
-                    f"{self.bloom.max_n}); reference would silently drop "
-                    f"inserts")
-            self.bloom.merge_words(bits, added_n=batch_count + admitted_count)
+            total_added = batch_count + admitted_count
+            if self._round_fits_bloom(total_added):
+                # fast path (every round except the ~1-in-maxN/G that
+                # crosses a bound): no rotation can occur anywhere in the
+                # round's op sequence, so the distributed bitset OR is
+                # bit-identical to the oracle's per-page add/add_many
+                self.bloom.merge_words(bits, added_n=total_added)
+            else:
+                # rotation boundary: replay the round's bloom ops exactly
+                # (page add, then the page's admitted batch) driver-side —
+                # O(G) work, same bound as the batch itself — so the
+                # rotation fires at the same op and loses the same insert
+                # as the oracle/reference (rolling_bloom.go quirk)
+                self._replay_bloom_ops(extracted, admitted)
             _t = _mark('bloom_merge', _t)
         finally:
             # destroyed on every exit path — nothing past the admitted
@@ -710,7 +767,16 @@ class CrawlEngine:
         eng.seq = m["seq"]
         eng.fetch_seq = m["fetch_seq"]
         eng.frontier_count = m["frontier_count"]
-        eng.bloom = BloomFilter.from_bytes(eng.store.load_bloom(m["round"]))
+        blob = eng.store.load_bloom(m["round"])
+        if blob.startswith(b"RBF1\n"):
+            # full-generation snapshot (NOT the reference's save-gen0-only
+            # Save quirk — resume == uninterrupted requires all generations)
+            eng.bloom = RollingBloomFilter.from_bytes(blob)
+        else:  # pre-rolling snapshot: single generation
+            eng.bloom = RollingBloomFilter(
+                eng.params.get("bloom_count", 1),
+                eng.params["bloom_max_n"], eng.params["bloom_p"],
+                blooms=[BloomFilter.from_bytes(blob)])
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA) \
             .parquet(m["frontier_dir"]).localCheckpoint(eager=True)
         eng._base_count = eng.frontier_count

@@ -98,8 +98,12 @@ def make_bloom_probe(spark: SparkSession, bloom: BloomFilter):
 
     @pandas_udf("boolean")
     def probe(urls: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(bc.value)
-        return pd.Series(bf.contains_batch(urls.tolist()))
+        from ..engine.rolling_bloom import blooms_from_bytes
+        out = None
+        for bf in blooms_from_bytes(bc.value):
+            hit = bf.contains_batch(urls.tolist())
+            out = hit if out is None else (out | hit)
+        return pd.Series(out)
 
     return probe, bc
 
@@ -157,7 +161,7 @@ _SENTINEL = np.int64(1 << 62)
 def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
                         page_pos: np.ndarray, f_pos: np.ndarray,
                         is_marker: np.ndarray,
-                        bloom: BloomFilter) -> np.ndarray:
+                        bloom) -> np.ndarray:
     """Vectorized winner selection for the fused admission pass
     (crawl.py): rows are candidate proposals and fetched-url marker rows
     colocated by url. Returns the boolean keep mask (True = admitted
@@ -175,7 +179,12 @@ def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
     indistinguishable to the seen-set in the reference itself; using the
     hash as the group key adds no new collision class in practice
     (P ~ n^2 / 2^129) and lets the whole pass run without materializing
-    a single python string."""
+    a single python string.
+
+    ``bloom`` may be a single BloomFilter or a GENERATION LIST (rolling
+    bloom, any-match read per rolling_bloom.go:203-213): all generations
+    share (max_n, p) hence m and the probe positions, so membership is an
+    OR of the per-generation bit tests over one shared position array."""
     n = len(h1)
     idx = np.lexsort((h2, h1))
     h1s, h2s = h1[idx], h2[idx]
@@ -190,10 +199,14 @@ def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
     run_fp_min = np.minimum.reduceat(fm[idx], run_starts)
 
     # gate (a): bloom membership straight from the hashes
-    pos = bloom._probes_from_hash(h1, h2)
-    bits = (bloom.words[(pos >> np.uint64(6)).astype(np.int64)]
-            >> (pos & np.uint64(63))) & np.uint64(1)
-    in_bloom = bits.all(axis=1)
+    blooms = bloom if isinstance(bloom, list) else [bloom]
+    pos = blooms[0]._probes_from_hash(h1, h2)
+    widx = (pos >> np.uint64(6)).astype(np.int64)
+    shift = pos & np.uint64(63)
+    in_bloom = np.zeros(n, dtype=bool)
+    for bf in blooms:
+        bits = (bf.words[widx] >> shift) & np.uint64(1)
+        in_bloom |= bits.all(axis=1)
 
     elig = (~is_marker) & (~in_bloom) & (run_fp_min[run_id] > page_pos)
 

@@ -30,8 +30,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..engine.bloom import BloomFilter
 from ..engine.extract_ref import extract_outlinks
+from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.murmur import hash128
 from ..engine.robots import allowed, parse_robots
 from ..engine.urlnorm import canonicalize, host_of, path_of, sld_tld
@@ -59,7 +59,7 @@ class CrawlResult:
     crawl_order: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
     documents: list[dict] = field(default_factory=list)
-    bloom: BloomFilter | None = None
+    bloom: RollingBloomFilter | None = None
     rounds: int = 0
 
 
@@ -74,7 +74,8 @@ class OracleCrawler:
                  seeds: list[tuple[str, int]], *, max_depth: int = 3,
                  per_host_budget: int = 4, global_budget: int = 64,
                  max_rounds: int = 200, bloom_max_n: int = 100000,
-                 bloom_p: float = 0.01, n_partitions: int = 8):
+                 bloom_p: float = 0.01, n_partitions: int = 8,
+                 bloom_count: int = 1):
         self.pages = pages
         self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
         self.seeds = seeds
@@ -83,7 +84,10 @@ class OracleCrawler:
         self.G = global_budget
         self.max_rounds = max_rounds
         self.n_partitions = n_partitions
-        self.bloom = BloomFilter(bloom_max_n, bloom_p)
+        # the seen-set resource is the reference's ROLLING bloom
+        # (rolling_bloom.go): writes return errors that dfs_basic logs and
+        # ignores; rotation + the lost-insert quirk live inside the filter
+        self.bloom = RollingBloomFilter(bloom_count, bloom_max_n, bloom_p)
         self.frontier: list[FrontierEntry] = []
         self.url_store: dict[str, dict[str, str]] = {}
         self.seq = 0
@@ -144,6 +148,23 @@ class OracleCrawler:
                 break
             counters: dict[int, dict[str, int]] = {}
 
+            # ROUND-SNAPSHOT PROBE CONTRACT: membership is tested against
+            # (a) the generation bitmaps frozen at round start, (b) the
+            # set of urls fetched earlier in this round (markVisited,
+            # dfs_basic.go:48), and (c) urls admitted by EARLIER pages of
+            # this round (their add_many, dfs_basic.go:121-123). When no
+            # rotation occurs inside the round this is op-for-op identical
+            # to probing the live bloom sequentially — (b) and (c) ARE
+            # exactly this round's live inserts. Across a mid-round
+            # rotation it is the defined engine semantics (one probe
+            # snapshot per round), since a distributed round broadcasts
+            # its seen-set once; inserts still apply per-op to the live
+            # rolling filter, so rotation and the lost-insert quirk land
+            # on the same op as the reference's.
+            snap = [b.copy() for b in self.bloom.blooms]
+            fetched_this_round: set[str] = set()
+            admitted_this_round: set[str] = set()
+
             for pos, e in enumerate(batch):
                 host = host_of(e.url)
                 part = partition_of(host, self.n_partitions)
@@ -158,12 +179,11 @@ class OracleCrawler:
                 })
                 self.fetch_seq += 1
                 # markVisited happens before link handling (dfs_basic.go:48);
-                # bound errors are logged-and-ignored in the reference
-                # (dfs_basic.go:61-65) → silently dropped insert
-                try:
-                    self.bloom.add(e.url)
-                except Exception:
-                    pass
+                # bloom errors are logged-and-ignored in the reference
+                # (dfs_basic.go:61-65); rotation/lost-insert semantics are
+                # inside the rolling filter itself
+                fetched_this_round.add(e.url)
+                self.bloom.add(e.url)
                 if not success:
                     continue
                 res.documents.append({"url_canon": e.url, "depth": e.depth,
@@ -180,7 +200,10 @@ class OracleCrawler:
                         # bloom is only updated AFTER the whole page (SetMany,
                         # dfs_basic.go:121-123): two raw-distinct hrefs that
                         # resolve to the same URL are BOTH enqueued — quirk kept
-                        if not self.bloom.contains(lc):
+                        seen = (lc in fetched_this_round
+                                or lc in admitted_this_round
+                                or any(b.contains(lc) for b in snap))
+                        if not seen:
                             self._enqueue(lc, e.depth + 1, e.url, rnd)
                             to_visit.append(lc)
                             c["enqueued"] += 1
@@ -190,10 +213,9 @@ class OracleCrawler:
                         self.url_store.setdefault(target, {})[lc] = e.url
                         c["stashed"] += 1
                 if to_visit:
-                    try:
-                        self.bloom.add_many(to_visit)
-                    except Exception:
-                        pass  # reference logs and continues (dfs_basic.go:121-123)
+                    # reference logs and continues (dfs_basic.go:121-123)
+                    self.bloom.add_many(to_visit)
+                    admitted_this_round.update(to_visit)
 
             for part, c in sorted(counters.items()):
                 res.lineage.append({"round": rnd, "partition": part, **c})
@@ -237,5 +259,6 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8) -> CrawlResult:
         bloom_max_n=params["bloom_max_n"],
         bloom_p=params["bloom_p"],
         n_partitions=n_partitions,
+        bloom_count=params.get("bloom_count", 1),
     )
     return oc.run()
