@@ -215,13 +215,37 @@ def f6_same_domain_split(spark, sf):
 
 
 def f8_news_admission(spark, sf):
-    """F8 news URL admission heuristics (worker/accumulator/news.go:211-290
-    shape): length gate + allowlist + path-ish blacklist."""
+    """F8: the REAL news.go admission heuristics
+    (worker/accumulator/news.go:211-290, blacklists :22-76) as column
+    expressions — exact-host gate, 35-suffix extension blacklist,
+    looks-like-article path heuristic ('article' first-token bypass,
+    >20-char token requirement, first-token substring blacklist), and
+    the ':'+'=' path gate — over URLs synthesized deterministically from
+    the documents table so every branch is exercised."""
+    from delver_spark.functions.news import news_url_allowed
+
     d = _t(spark, sf, "documents")
-    return (d.filter((F.col("n_chars") > 200)
-                     & F.col("lang").isin("en", "es")
-                     & ~F.col("source").isin("src0", "src1"))
-            .select("doc_id").orderBy("doc_id"))
+    first_tok = F.element_at(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""), 1)
+    m = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    path = (F.when(m == 0, F.concat(F.lit("/article/"), first_tok,
+                                    F.lit("-"), did))
+            .when(m == 1, F.concat(F.lit("/tag/"), first_tok))
+            .when(m == 2, F.concat(F.lit("/"), first_tok, F.lit("/"),
+                                   F.repeat(F.lit("x"), 25)))
+            .when(m == 3, F.concat(F.lit("/img/pic-"), did, F.lit(".jpg")))
+            .otherwise(F.lit("/article/x:1=2")))
+    origin_host = F.concat(F.lit("news."), F.col("source"), F.lit(".test"))
+    host = F.when(F.col("doc_id") % 7 == 0, F.lit("other.test")) \
+        .otherwise(origin_host)
+    return (d.withColumn("path", path)
+            .withColumn("host", host)
+            .withColumn("origin_host", origin_host)
+            .select("doc_id", "path",
+                    news_url_allowed(F.col("path"), F.col("host"),
+                                     F.col("origin_host")).alias("admitted"))
+            .orderBy("doc_id"))
 
 
 def f9_content_type_gate(spark, sf):
@@ -398,6 +422,58 @@ def dedup_simhash16(spark, sf):
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (int-quantized, cos >= 0.95)."""
     return _dedup.embedding_cosine_pairs(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# f8 oracle twin: the news.go blacklists expanded into SQL
+# ---------------------------------------------------------------------------
+
+from delver_spark.functions.news import (  # noqa: E402
+    BLACKLISTED_EXTENSIONS as _NEWS_EXTS,
+    BLACKLISTED_PATHS as _NEWS_PATHS,
+)
+
+_EXT_SQL = " OR ".join(f"ends_with(path, '{e}')" for e in _NEWS_EXTS)
+_BL_SQL = " OR ".join(f"contains(first_tok, '{b}')" for b in _NEWS_PATHS)
+_F8_NEWS_SQL = f"""
+    WITH synth AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')[1] AS ft,
+             source
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/article/' || ft || '-' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/tag/' || ft
+               WHEN 2 THEN '/' || ft || '/' || repeat('x', 25)
+               WHEN 3 THEN '/img/pic-' || CAST(doc_id AS VARCHAR) || '.jpg'
+               ELSE '/article/x:1=2' END AS path,
+             CASE WHEN doc_id % 7 = 0 THEN 'other.test'
+                  ELSE 'news.' || source || '.test' END AS host,
+             'news.' || source || '.test' AS origin_host
+      FROM synth),
+    u AS (
+      SELECT doc_id, path, host, origin_host,
+             list_filter(string_split(path, '/'), x -> x <> '') AS toks
+      FROM p),
+    v AS (
+      SELECT doc_id, path, host, origin_host, toks,
+             toks[1] AS first_tok,
+             len(list_filter(toks, x -> length(x) > 20)) > 0 AS has_long
+      FROM u)
+    SELECT doc_id, path,
+           (host = origin_host)
+           AND NOT ({_EXT_SQL})
+           AND (CASE WHEN len(toks) = 0 THEN FALSE
+                     WHEN contains(first_tok, 'article') THEN TRUE
+                     WHEN NOT has_long THEN FALSE
+                     WHEN {_BL_SQL} THEN FALSE
+                     ELSE TRUE END)
+           AND NOT (contains(path, ':') AND contains(path, '='))
+           AS admitted
+    FROM v ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -585,12 +661,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY branch ORDER BY branch
         """,
-        "f8_news_admission": """
-            SELECT doc_id FROM documents
-            WHERE n_chars > 200 AND lang IN ('en','es')
-              AND source NOT IN ('src0','src1')
-            ORDER BY doc_id
-        """,
+        "f8_news_admission": _F8_NEWS_SQL,
         "f9_content_type_gate": """
             SELECT doc_id, source FROM documents
             WHERE source LIKE '%1%' ORDER BY doc_id
