@@ -66,6 +66,99 @@ def allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     return best_allow if best_len >= 0 else True
 
 
+class RobotsCache:
+    """Per-host robots cache with TTL measured in ROUND AGE — the engine
+    mapping of the reference's memoryRobots 1-hour expiry
+    (frontier/robotstxt.go:17-47, config.go:113-116; SURVEY §4.1 maps
+    wall-clock TTL → crawl-round age).
+
+    The robots source is VERSIONED: ``versions`` holds (host, body,
+    from_round) rows and the body effective at round r is the latest
+    version with ``from_round <= r`` — how a static corpus models
+    robots.txt changing mid-crawl.
+
+    Modes (the reference's clearExpired sweep has an INVERTED predicate —
+    robotstxt.go:126-147 collects keys where ``created+expiration >
+    now``, i.e. it deletes the FRESH entries and retains expired ones
+    forever; VERDICT r1 asked for a deliberate decision + test):
+
+    - ``ttl_rounds=None`` (default): load once on first use, never
+      refresh — the static-per-run behavior every existing corpus uses.
+    - ``ttl_rounds=k``: CORRECT expiry — an entry loaded at round r is
+      reloaded on first use at round >= r+k. This is the engine default
+      when a TTL is configured, chosen over the reference's buggy sweep.
+    - ``quirk_inverted_sweep=True``: reference-faithful bug mode — each
+      round the sweep deletes entries YOUNGER than the TTL (they reload
+      on next use) and retains expired ones forever, so a robots change
+      never reaches a host loaded before it. Pinned by
+      tests/test_robots_ttl.py as documentation of the reference bug.
+    """
+
+    def __init__(self, versions, ttl_rounds: int | None = None,
+                 quirk_inverted_sweep: bool = False):
+        self.by_host: dict[str, list[tuple[int, str]]] = {}
+        for host, body, from_round in versions:
+            self.by_host.setdefault(host, []).append((int(from_round), body))
+        for v in self.by_host.values():
+            v.sort()
+        self.ttl = ttl_rounds
+        self.quirk = quirk_inverted_sweep
+        # host -> (rules, loaded_round)
+        self.cache: dict[str, tuple[list, int]] = {}
+        # the reference sweep is a timer with period clearExpiredDelay ==
+        # expiration (config.go:113-116): mapped to one sweep per TTL
+        # rounds, fired before the first use in each TTL window
+        self._sweeps_done = 0
+
+    def _effective_body(self, host: str, rnd: int) -> str | None:
+        body = None
+        for from_round, b in self.by_host.get(host, []):
+            if from_round <= rnd:
+                body = b
+        return body
+
+    def _sweep(self, rnd: int):
+        if self.ttl is None:
+            return
+        if self.quirk:
+            # timer-cadence sweep with the inverted predicate
+            # (robotstxt.go:135-139): collect the entries whose
+            # created+expiration is still in the future — the FRESH ones —
+            # and delete those (they reload with current content on next
+            # use: an accidental EARLY refresh); expired entries survive
+            # forever, so changes never reach them
+            while (self._sweeps_done + 1) * self.ttl <= rnd:
+                self._sweeps_done += 1
+                tick = self._sweeps_done * self.ttl
+                doomed = [h for h, (_, loaded) in self.cache.items()
+                          if loaded + self.ttl > tick]
+                for h in doomed:
+                    del self.cache[h]
+        else:
+            # correct expiry on read: reload anything at or past TTL age
+            doomed = [h for h, (_, loaded) in self.cache.items()
+                      if loaded + self.ttl <= rnd]
+            for h in doomed:
+                del self.cache[h]
+
+    def rules_for_round(self, rnd: int) -> dict[str, list]:
+        """Load-through snapshot of every known host's rules as of round
+        ``rnd`` (refill gates the whole candidate set at once, so the
+        full-dict view is the natural engine unit — it is what the
+        engine broadcasts)."""
+        self._sweep(rnd)
+        out: dict[str, list] = {}
+        for host in self.by_host:
+            ent = self.cache.get(host)
+            if ent is None:
+                rules = parse_robots(self._effective_body(host, rnd))
+                self.cache[host] = (rules, rnd)
+                out[host] = rules
+            else:
+                out[host] = ent[0]
+        return out
+
+
 def allowed_batch(rules_by_host: dict[str, list[tuple[bool, str]]], hosts, paths) -> np.ndarray:
     """Vectorized-ish batch check (rule sets are tiny; grouped by host)."""
     hosts = np.asarray(hosts, dtype=object)

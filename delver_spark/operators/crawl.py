@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..engine.bloom import BloomFilter
-from ..engine.robots import parse_robots
+from ..engine.robots import RobotsCache
 from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.urlnorm import canonicalize, host_of
 from ..sources.snapshot import SnapshotStore
@@ -133,9 +133,17 @@ class CrawlEngine:
         golden = os.path.join(corpus_dir, "golden_pixels.parquet")
         self.golden = spark.read.parquet(golden) if os.path.exists(golden) else None
 
+        # robots: versioned rows + round-age TTL (robotstxt.go mapping; see
+        # engine.robots.RobotsCache). The rules dict is broadcast once and
+        # rebuilt only on a change — with no TTL (the default) this is the
+        # old static-per-run broadcast exactly.
         robots_pd = pq.read_table(os.path.join(corpus_dir, "robots.parquet")).to_pylist()
-        self.robots_rules = {r["host"]: parse_robots(r["body"]) for r in robots_pd}
-        self.robots_ok, self._robots_bc = make_robots_udf(spark, self.robots_rules)
+        self.robots_cache = RobotsCache(
+            [(r["host"], r["body"], r.get("from_round", 0)) for r in robots_pd],
+            ttl_rounds=p.get("robots_ttl_rounds"))
+        self.robots_rules: dict | None = None
+        self.robots_ok = None
+        self._robots_bc = None
 
         # the seen-set is the reference's ROLLING bloom (rotate-on-overflow,
         # newest-first write, any-match read — rolling_bloom.go): overflow
@@ -264,10 +272,23 @@ class CrawlEngine:
                 self.bloom.add_many(to_visit)
 
     # ---------------------------------------------------------------- refill
+    def _refresh_robots(self, rnd: int):
+        """Round-age robots view: rebuild the broadcast rules dict only
+        when the cache's effective content changed (TTL expiry reloading
+        a newer robots version). Static corpora hit this once."""
+        rules = self.robots_cache.rules_for_round(rnd)
+        if rules != self.robots_rules:
+            if self._robots_bc is not None:
+                self._robots_bc.destroy()
+            self.robots_rules = dict(rules)
+            self.robots_ok, self._robots_bc = make_robots_udf(
+                self.spark, self.robots_rules)
+
     def _refill(self, rnd: int) -> int:
         """dfs_basic publisher (S3/O4/O5): first lexicographic domain with
         >= 1 robots-allowed url; publish last-wins-deduped urls in url
         order at depth 0; drop the domain from the store."""
+        self._refresh_robots(rnd)
         ok_store = self.url_store.withColumn(
             "ok", self.robots_ok(F.col("host"), F.col("url")))
         first = ok_store.filter("ok").agg(F.min("domain").alias("d")).collect()[0]["d"]

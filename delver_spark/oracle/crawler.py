@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from ..engine.extract_ref import extract_outlinks
 from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.murmur import hash128
-from ..engine.robots import allowed, parse_robots
+from ..engine.robots import RobotsCache, allowed
 from ..engine.urlnorm import canonicalize, host_of, path_of, sld_tld
 
 
@@ -75,9 +75,14 @@ class OracleCrawler:
                  per_host_budget: int = 4, global_budget: int = 64,
                  max_rounds: int = 200, bloom_max_n: int = 100000,
                  bloom_p: float = 0.01, n_partitions: int = 8,
-                 bloom_count: int = 1):
+                 bloom_count: int = 1,
+                 robots_ttl_rounds: int | None = None):
         self.pages = pages
-        self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
+        # robots_bodies: {host: body} (static) or [(host, body, from_round)]
+        # versioned rows; TTL measured in round age (robotstxt.go mapping)
+        versions = [(h, b, 0) for h, b in robots_bodies.items()] \
+            if isinstance(robots_bodies, dict) else list(robots_bodies)
+        self.robots = RobotsCache(versions, ttl_rounds=robots_ttl_rounds)
         self.seeds = seeds
         self.max_depth = max_depth
         self.B = per_host_budget
@@ -102,11 +107,12 @@ class OracleCrawler:
         """dfs_basic publisher semantics: first (lexicographic) stashed
         domain with >0 robots-allowed urls; publish them in url order at
         depth 0; delete that domain; 0-publish domains are retained."""
+        rules_by_host = self.robots.rules_for_round(rnd)
         for domain in sorted(self.url_store):
             published = 0
             for u in sorted(self.url_store[domain]):
                 host = host_of(u)
-                if not allowed(self.robots.get(host, []), path_of(u)):
+                if not allowed(rules_by_host.get(host, []), path_of(u)):
                     continue
                 self._enqueue(u, 0, self.url_store[domain][u], rnd)
                 published += 1
@@ -240,7 +246,8 @@ def load_corpus(corpus_dir: str):
         for r in pages_t.to_pylist()
     }
     robots_t = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
-    robots = {r["host"]: r["body"] for r in robots_t.to_pylist()}
+    robots = [(r["host"], r["body"], r.get("from_round", 0))
+              for r in robots_t.to_pylist()]
     seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     seeds = [(r["url"], r["priority"]) for r in seeds_t.to_pylist()]
     with open(os.path.join(corpus_dir, "params.json")) as f:
@@ -260,5 +267,6 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8) -> CrawlResult:
         bloom_p=params["bloom_p"],
         n_partitions=n_partitions,
         bloom_count=params.get("bloom_count", 1),
+        robots_ttl_rounds=params.get("robots_ttl_rounds"),
     )
     return oc.run()
