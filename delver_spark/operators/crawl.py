@@ -182,6 +182,7 @@ class CrawlEngine:
         self.crawl_order: list[dict] = []
         self.lineage: list[dict] = []
         self.documents: list[pd.DataFrame] = []
+        self.quarantine: list[dict] = []
 
     # ------------------------------------------------------------------ seed
     def seed(self):
@@ -257,7 +258,8 @@ class CrawlEngine:
         maxN/G rounds."""
         fetched = sorted(
             (r["pos"], r["url_canon"])
-            for r in extracted.select("pos", "url_canon").collect())
+            for r in extracted.filter(F.col("quarantined").isNull())
+            .select("pos", "url_canon").collect())
         adm = sorted(
             ((r["page_pos"], r["enqueue_seq"], r["url"])
              for r in admitted.select("page_pos", "enqueue_seq",
@@ -499,14 +501,28 @@ class CrawlEngine:
                          "depth": int(r.depth), "round": rnd, "host": r.host,
                          "success": bool(r.success)}
                         for r in ext_pd.itertuples()]
+                quar = [{"url_canon": r.url_canon, "error": r.quarantined,
+                         "round": rnd}
+                        for r in ext_pd[ext_pd["quarantined"].notna()]
+                        .itertuples()]
                 doc = None
                 if self.collect_documents:
-                    doc = ext_pd[ext_pd["success"]].copy()
+                    doc = ext_pd[ext_pd["success"]
+                                 & ext_pd["quarantined"].isna()].copy()
                     doc["round"] = rnd
-                return by_part, rows, doc
-            by_part = {int(r["partition_id"]): int(r["count"])
-                       for r in extracted.groupBy("partition_id")
-                       .count().collect()}
+                return by_part, rows, doc, quar, len(quar)
+            parts = extracted.groupBy("partition_id").agg(
+                F.count("*").alias("count"),
+                F.sum(F.when(F.col("quarantined").isNotNull(), 1)
+                      .otherwise(0)).alias("q_n")).collect()
+            by_part = {int(r["partition_id"]): int(r["count"]) for r in parts}
+            q_total = sum(int(r["q_n"]) for r in parts)
+            if q_total:
+                (extracted.filter(F.col("quarantined").isNotNull())
+                 .select("url_canon", F.col("quarantined").alias("error"),
+                         F.lit(rnd).alias("round"))
+                 .write.mode("overwrite")
+                 .parquet(self.store.state_dir("quarantine", rnd)))
             d = self.store.state_dir("crawl_order", rnd)
             (extracted.select(
                 (F.col("pos") + F.lit(fetch_seq0)).alias("seq"),
@@ -517,12 +533,13 @@ class CrawlEngine:
                 # distributed twin of the driver-buffer document artifact:
                 # successful rows written per round, bytes stay executor-side
                 dd = self.store.state_dir("documents", rnd)
-                (extracted.filter("success").drop(
+                (extracted.filter(F.col("success")
+                                  & F.col("quarantined").isNull()).drop(
                     "outlinks", *[c for c in ("countries", "companies")
                                   if c in extracted.columns])
                  .withColumn("round", F.lit(rnd))
                  .write.mode("overwrite").parquet(dd))
-            return by_part, None, None
+            return by_part, None, None, None, q_total
 
         def job_cand_counts():
             return (cands.groupBy("partition_id").agg(
@@ -539,8 +556,11 @@ class CrawlEngine:
         n_parts = max(1, min(par, batch_count // 2000))
 
         def job_bits_fetched():
+            # quarantined rows never reached the accumulator → no
+            # markVisited for them (queue/file.go DLQ semantics)
             return bloom_bits_for_urls(
-                extracted.select("url_canon"), self.bloom.max_n,
+                extracted.filter(F.col("quarantined").isNull())
+                .select("url_canon"), self.bloom.max_n,
                 self.bloom.p, partitions=min(par, batch_count // 20000 + 1))
 
         pool = ThreadPoolExecutor(max_workers=4)
@@ -565,7 +585,7 @@ class CrawlEngine:
             probe_bc = sc.broadcast(self.bloom.to_bytes())
             same_schema = same.schema
             cands_tagged = same.withColumn("f_pos", F.lit(None).cast("long"))
-            markers = extracted.select(
+            markers = extracted.filter(F.col("quarantined").isNull()).select(
                 *[F.lit(None).cast(f.dataType).alias(f.name)
                   for f in same_schema.fields if f.name != "url"],
                 F.col("url_canon").alias("url"),
@@ -681,11 +701,13 @@ class CrawlEngine:
             _t = _mark('state_updates', _t)
 
             # ---- gather + driver-side merges -------------------------------
-            fetched_by_part, order_rows, doc = fut_order.result()
+            fetched_by_part, order_rows, doc, quar, q_n = fut_order.result()
             if order_rows is not None:
                 self.crawl_order.extend(order_rows)
             if doc is not None:
                 self.documents.append(doc)
+            if quar:
+                self.quarantine.extend(quar)
             self.fetch_seq += batch_count
 
             agg = {p: {"fetched": n, "deduped": 0, "enqueued": 0, "stashed": 0}
@@ -704,7 +726,8 @@ class CrawlEngine:
                     {"round": rnd, "partition": int(part), **agg[part]})
 
             bits = fut_bits_f.result() | fut_bits_a.result()
-            total_added = batch_count + admitted_count
+            # quarantined rows never markVisited → not counted as inserts
+            total_added = batch_count - q_n + admitted_count
             if self._round_fits_bloom(total_added):
                 # fast path (every round except the ~1-in-maxN/G that
                 # crosses a bound): no rotation can occur anywhere in the
@@ -761,6 +784,12 @@ class CrawlEngine:
             pq.write_table(pa.Table.from_pylist(self.lineage),
                            os.path.join(d, "part.parquet"))
             self.lineage = []
+        if self.quarantine:
+            d = self.store.state_dir("quarantine", rnd)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.Table.from_pylist(self.quarantine),
+                           os.path.join(d, "part.parquet"))
+            self.quarantine = []
         if self.documents:
             d = self.store.state_dir("documents", rnd)
             os.makedirs(d, exist_ok=True)
@@ -814,6 +843,17 @@ class CrawlEngine:
             frames.append(pd.DataFrame(self.crawl_order))
         return (pd.concat(frames, ignore_index=True).sort_values("seq")
                 .reset_index(drop=True)) if frames else pd.DataFrame()
+
+    def quarantine_df(self) -> pd.DataFrame:
+        """Committed DLQ rows (url_canon, error, round) + buffer."""
+        parts = self.store.part_dirs("quarantine", self.round)
+        frames = [pq.read_table(p).to_pandas() for p in parts]
+        if self.quarantine:
+            frames.append(pd.DataFrame(self.quarantine))
+        return (pd.concat(frames, ignore_index=True)
+                .sort_values(["round", "url_canon"]).reset_index(drop=True)
+                ) if frames else pd.DataFrame(
+                    columns=["url_canon", "error", "round"])
 
     def lineage_df(self) -> pd.DataFrame:
         parts = self.store.part_dirs("lineage", self.round)

@@ -68,6 +68,10 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("enumeration", T.BooleanType()),
     T.StructField("subdomain_explosion", T.BooleanType()),
     T.StructField("outlinks", OUTLINK_TYPE),
+    # DLQ (T8, queue/file.go:167-204): non-null = the decode/extract
+    # exception for this row; the row is quarantined instead of failing
+    # the whole stage, and the engine routes it to the quarantine artifact
+    T.StructField("quarantined", T.StringType()),
 ])
 
 
@@ -155,60 +159,22 @@ def _extract(it: Iterator[pd.DataFrame], n_partitions: int) -> Iterator[pd.DataF
         out = {k: [None] * n for k in (
             "content_md5", "payload_ok", "phash_ok", "psnr", "title", "text",
             "text_len", "lang", "lang_conf", "sentiment", "countries",
-            "companies", "enumeration", "subdomain_explosion", "outlinks")}
+            "companies", "enumeration", "subdomain_explosion", "outlinks",
+            "quarantined")}
         success = pdf["caption"].notna().to_numpy()
         has_golden = "golden_pixels" in pdf.columns
         for i in range(n):
             if not success[i]:
                 continue
-            url = pdf["url_canon"].iat[i]
-            caption = pdf["caption"].iat[i]
-            blob = pdf["bytes"].iat[i]
-            fmt = pdf["fmt"].iat[i]
-            # --- payload invariant (BASELINE.json input_hint) -------------
-            out["content_md5"][i] = hashlib.md5(blob).hexdigest()
-            pix = decode(blob, fmt)  # np-view aware, zero-copy body
-            ph_ok = phash64(pix) == pdf["phash"].iat[i]
-            out["phash_ok"][i] = bool(ph_ok)
-            if fmt == "ppm":
-                ok = hashlib.md5(pix.tobytes()).hexdigest() == pdf["pix_md5"].iat[i]
-                out["payload_ok"][i] = bool(ok)  # lossless: exact == allclose
-            elif has_golden and pdf["golden_pixels"].iat[i] is not None:
-                orig = np.frombuffer(pdf["golden_pixels"].iat[i], np.uint8) \
-                    .reshape(pix.shape)
-                p = psnr(orig, pix)
-                out["psnr"][i] = float(p)
-                out["payload_ok"][i] = bool(p >= 40.0 and ph_ok)
-            else:
-                out["payload_ok"][i] = bool(ph_ok)
-            # --- feature extraction (X1-X10) --------------------------------
-            cap_bytes = caption.encode("utf-8")
-            title = extract_title(cap_bytes)
-            text_b = extract_text(cap_bytes)
-            text = text_b.decode("utf-8", "replace") if text_b else None
-            out["title"][i] = title
-            out["text"][i] = text
-            out["text_len"][i] = len(text_b) if text_b else None
-            if text:
-                lang, conf = detect_language(text)
-                out["lang"][i] = lang
-                out["lang_conf"][i] = float(conf)
-                if lang == "en" and title:
-                    out["sentiment"][i] = sentiment_binary(title)
-                out["countries"][i] = match_countries(text)
-                out["companies"][i] = match_companies(text)
-            links = extract_outlinks(url, cap_bytes)
-            enum, boom = adversarial(url, links)
-            out["enumeration"][i] = bool(enum)
-            out["subdomain_explosion"][i] = bool(boom)
-            ol = []
-            for lp, raw in enumerate(links):
-                lc = canonicalize(raw)
-                if lc is None:
-                    continue
-                lh = host_of(lc)
-                ol.append({"link_pos": lp, "url": lc, "host": lh})
-            out["outlinks"][i] = ol
+            try:
+                _extract_one(pdf, i, out, has_golden)
+            except Exception as ex:  # poison payload → quarantine the ROW
+                # (reference: a message whose handler errors goes to the
+                # DLQ dir, queue/file.go:167-204 — it never reaches the
+                # accumulator, so no features, no outlinks, no markVisited)
+                for k in out:
+                    out[k][i] = None
+                out["quarantined"][i] = f"{type(ex).__name__}: {ex}"
 
         hosts = pdf["host"].tolist()
         yield pd.DataFrame({
@@ -222,3 +188,56 @@ def _extract(it: Iterator[pd.DataFrame], n_partitions: int) -> Iterator[pd.DataF
             "http_code": np.where(success, 200, 404).astype("int32"),
             **{k: pd.Series(v, dtype=object) for k, v in out.items()},
         })
+
+
+def _extract_one(pdf: pd.DataFrame, i: int, out: dict, has_golden: bool):
+    """Decode + extract one successful row into ``out`` (split out so a
+    poison payload can be quarantined per-row)."""
+    url = pdf["url_canon"].iat[i]
+    caption = pdf["caption"].iat[i]
+    blob = pdf["bytes"].iat[i]
+    fmt = pdf["fmt"].iat[i]
+    # --- payload invariant (BASELINE.json input_hint) -------------
+    out["content_md5"][i] = hashlib.md5(blob).hexdigest()
+    pix = decode(blob, fmt)  # np-view aware, zero-copy body
+    ph_ok = phash64(pix) == pdf["phash"].iat[i]
+    out["phash_ok"][i] = bool(ph_ok)
+    if fmt == "ppm":
+        ok = hashlib.md5(pix.tobytes()).hexdigest() == pdf["pix_md5"].iat[i]
+        out["payload_ok"][i] = bool(ok)  # lossless: exact == allclose
+    elif has_golden and pdf["golden_pixels"].iat[i] is not None:
+        orig = np.frombuffer(pdf["golden_pixels"].iat[i], np.uint8) \
+            .reshape(pix.shape)
+        p = psnr(orig, pix)
+        out["psnr"][i] = float(p)
+        out["payload_ok"][i] = bool(p >= 40.0 and ph_ok)
+    else:
+        out["payload_ok"][i] = bool(ph_ok)
+    # --- feature extraction (X1-X10) --------------------------------
+    cap_bytes = caption.encode("utf-8")
+    title = extract_title(cap_bytes)
+    text_b = extract_text(cap_bytes)
+    text = text_b.decode("utf-8", "replace") if text_b else None
+    out["title"][i] = title
+    out["text"][i] = text
+    out["text_len"][i] = len(text_b) if text_b else None
+    if text:
+        lang, conf = detect_language(text)
+        out["lang"][i] = lang
+        out["lang_conf"][i] = float(conf)
+        if lang == "en" and title:
+            out["sentiment"][i] = sentiment_binary(title)
+        out["countries"][i] = match_countries(text)
+        out["companies"][i] = match_companies(text)
+    links = extract_outlinks(url, cap_bytes)
+    enum, boom = adversarial(url, links)
+    out["enumeration"][i] = bool(enum)
+    out["subdomain_explosion"][i] = bool(boom)
+    ol = []
+    for lp, raw in enumerate(links):
+        lc = canonicalize(raw)
+        if lc is None:
+            continue
+        lh = host_of(lc)
+        ol.append({"link_pos": lp, "url": lc, "host": lh})
+    out["outlinks"][i] = ol

@@ -59,6 +59,7 @@ class CrawlResult:
     crawl_order: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
     documents: list[dict] = field(default_factory=list)
+    quarantine: list[dict] = field(default_factory=list)
     bloom: RollingBloomFilter | None = None
     rounds: int = 0
 
@@ -76,7 +77,8 @@ class OracleCrawler:
                  max_rounds: int = 200, bloom_max_n: int = 100000,
                  bloom_p: float = 0.01, n_partitions: int = 8,
                  bloom_count: int = 1,
-                 robots_ttl_rounds: int | None = None):
+                 robots_ttl_rounds: int | None = None,
+                 poison_urls: set[str] | None = None):
         self.pages = pages
         # robots_bodies: {host: body} (static) or [(host, body, from_round)]
         # versioned rows; TTL measured in round age (robotstxt.go mapping)
@@ -97,6 +99,11 @@ class OracleCrawler:
         self.url_store: dict[str, dict[str, str]] = {}
         self.seq = 0
         self.fetch_seq = 0
+        # urls whose extraction "crashes": the reference routes the whole
+        # message to the DLQ dir (queue/file.go:167-204) BEFORE the
+        # accumulator runs — fetched (crawl_order row) but no markVisited,
+        # no document, no outlinks
+        self.poison_urls = poison_urls or set()
 
     # -- frontier ops ---------------------------------------------------------
     def _enqueue(self, url: str, depth: int, origin: str, rnd: int, priority: int = 0):
@@ -184,6 +191,11 @@ class OracleCrawler:
                     "round": rnd, "host": host, "success": success,
                 })
                 self.fetch_seq += 1
+                if e.url in self.poison_urls:
+                    # DLQ: the message dies before the accumulator — no
+                    # markVisited, no document, no links
+                    res.quarantine.append({"url_canon": e.url, "round": rnd})
+                    continue
                 # markVisited happens before link handling (dfs_basic.go:48);
                 # bloom errors are logged-and-ignored in the reference
                 # (dfs_basic.go:61-65); rotation/lost-insert semantics are
@@ -255,7 +267,8 @@ def load_corpus(corpus_dir: str):
     return pages, robots, seeds, params
 
 
-def run_oracle(corpus_dir: str, n_partitions: int = 8) -> CrawlResult:
+def run_oracle(corpus_dir: str, n_partitions: int = 8,
+               poison_urls: set[str] | None = None) -> CrawlResult:
     pages, robots, seeds, params = load_corpus(corpus_dir)
     oc = OracleCrawler(
         pages, robots, seeds,
@@ -268,5 +281,6 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8) -> CrawlResult:
         n_partitions=n_partitions,
         bloom_count=params.get("bloom_count", 1),
         robots_ttl_rounds=params.get("robots_ttl_rounds"),
+        poison_urls=poison_urls,
     )
     return oc.run()
