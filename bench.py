@@ -35,6 +35,7 @@ HEADLINE = [
     "text_token_count",
     "ann_cosine_topk",
     "text_quality_score",
+    "dedup_embedding_lsh",
 ]
 
 BENCH_CORPUS = {"n_pages": 20000, "n_hosts": 200, "seed": 42, "n_seeds": 100,

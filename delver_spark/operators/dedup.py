@@ -20,8 +20,11 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -240,14 +243,26 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
 
 
-def _rhp_weight(seed: str):
-    """Deterministic random-hyperplane component for dimension index i:
-    the first 16 bits of md5('<table>_<bit>:<i>') minus 32768 — an
-    integer in [-32768, 32767] computable identically in Spark and ANSI
-    SQL (so the DuckDB oracle twin reproduces the exact same planes)."""
-    return lambda x, i: x * (
-        F.conv(F.substring(F.md5(F.concat(F.lit(seed), i.cast("string"))),
-                           1, 4), 16, 10).cast("long") - 32768)
+def _rhp_weights(dim: int, n_tables: int, n_bits: int):
+    """Deterministic random-hyperplane matrix W[dim, n_tables*n_bits]:
+    component (t, b, i) is the first 16 bits of md5('<t>_<b>:<i>') minus
+    32768 — an integer in [-32768, 32767] whose derivation an ANSI-SQL
+    oracle twin reproduces exactly (DuckDB: strpos-parse of the first 4
+    hex chars of the same md5). Computed driver-side with hashlib (same
+    md5) because evaluating 12M md5 calls through Catalyst's interpreted
+    higher-order lambdas measured 30+ s; the constants are broadcast and
+    the signatures become one numpy matmul per Arrow batch."""
+    import hashlib
+
+    import numpy as np
+    w = np.empty((dim, n_tables * n_bits), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            col = t * n_bits + b
+            for i in range(dim):
+                h = hashlib.md5(f"{t}_{b}:{i}".encode()).digest()
+                w[i, col] = int.from_bytes(h[:2], "big") - 32768
+    return w
 
 
 def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -271,24 +286,31 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
     tests/test_dedup_scale.py pins recall == all-pairs on a planted
     near-dup corpus. At 100 TB: |docs| × n_tables bucket rows, bucket
     skew handled by ``bucket_cap`` salting (_self_join_pairs)."""
+    from pyspark.sql.functions import pandas_udf
+
     q = emb.select(
         id_col,
         F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("q"))
-    sig_cols = []
-    for t in range(n_tables):
-        bits = []
-        for b in range(n_bits):
-            wdot = F.aggregate(
-                F.transform(F.col("q"), _rhp_weight(f"{t}_{b}:")),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            bits.append(F.when(wdot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        sig = bits[0]
-        for expr in bits[1:]:
-            sig = sig + expr
-        sig_cols.append(sig.cast("long"))
-    buckets = (q.select(id_col,
-                        F.posexplode(F.array(*sig_cols)).alias("tbl", "sig")))
+    # quantization stays a Spark expression (F.round is HALF_UP in both
+    # Spark and DuckDB; numpy would banker's-round) — only the
+    # threshold-free sign computation runs in numpy
+    dim = len(q.select("q").first()["q"])
+    w_bc = emb.sparkSession.sparkContext.broadcast(
+        _rhp_weights(dim, n_tables, n_bits))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(qs: pd.Series) -> pd.Series:
+        w = w_bc.value
+        m = np.stack(qs.values).astype(np.int64)        # (n, dim)
+        bits = (m @ w) >= 0                             # (n, T*B)
+        shifts = np.tile(1 << np.arange(n_bits, dtype=np.int64),
+                         w.shape[1] // n_bits)
+        sigs = (bits * shifts).reshape(len(m), -1, n_bits).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    buckets = (q.select(id_col, F.posexplode(signatures(F.col("q")))
+                        .alias("tbl", "sig")))
     cand = _self_join_pairs(buckets, id_col, ["tbl", "sig"],
                             bucket_cap=bucket_cap)
     qa = q.select(F.col(id_col).alias("doc_a"), F.col("q").alias("qa"))
