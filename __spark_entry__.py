@@ -414,6 +414,12 @@ def doc_fingerprint(spark, sf):
     return _txt.fingerprint(_t(spark, sf, "documents"))
 
 
+def text_bpe_tokens(spark, sf):
+    """BPE-ish regex pre-tokenizer counts (token budgeting for training
+    pipelines): letter runs | digit runs | single punctuation."""
+    return _txt.bpe_token_count(_t(spark, sf, "documents"))
+
+
 def dedup_simhash16(spark, sf):
     """16-bit md5-based SimHash signature per document."""
     return _dedup.simhash16(_t(spark, sf, "documents"))
@@ -522,6 +528,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "text_token_count": text_token_count,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -895,6 +902,15 @@ def oracle_sql() -> dict[str, str]:
               FROM q, query WHERE q.label = query.qlabel AND vec_id <> 0)
             SELECT vec_id, label, dot_milli2 FROM dots
             ORDER BY dot_milli2 DESC, vec_id LIMIT 5
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+                   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                                   t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_word_tokens,
+                   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                                   t -> regexp_matches(t, '^[0-9]+$'))) AS n_digit_tokens
+            FROM documents ORDER BY doc_id
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -61,6 +61,7 @@ def generate_corpus(
     sizes: tuple = (16, 24, 32),
     bloom_max_n: int | None = None,
     bloom_count: int = 1,
+    path_style: str = "default",
 ) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -88,7 +89,23 @@ def generate_corpus(
         base = domains[d]
         v = variant_roll[i]
         host = base if v < 0.75 else ("www." + base if v < 0.90 else "old." + base)
-        path = (f"/bad/{i:06d}" if bad_roll[i] else f"/p/{i:06d}")
+        if path_style == "news":
+            # deterministic mix exercising every news.go admission gate
+            # (functions/news.py): article first-token bypass, long-slug
+            # admit, path/extension blacklists, ':'+'=' gate, short-token
+            # reject, and robots (/bad) interplay on an admissible shape
+            slug = f"story-{i:06d}-{'x' * 18}"  # one token > 20 chars
+            if bad_roll[i]:
+                path = f"/bad/{slug}"  # admissible but robots-disallowed
+            else:
+                path = [f"/article/{i:06d}",
+                        f"/news/{slug}",
+                        f"/tag/{i:06d}",
+                        f"/media/pic-{i:06d}.jpg",
+                        f"/article/{i:06d}:a=b",
+                        f"/p/{i:06d}"][i % 6]
+        else:
+            path = (f"/bad/{i:06d}" if bad_roll[i] else f"/p/{i:06d}")
         hosts.append(host)
         paths.append(path)
         urls.append(f"http://{host}{path}")

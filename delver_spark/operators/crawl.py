@@ -77,18 +77,24 @@ def _outlink_domain(host_col):
         .otherwise(F.array_join(F.slice(toks, -2, 2), "."))
 
 
-def _explode_outlinks(extracted: DataFrame) -> DataFrame:
+def _explode_outlinks(extracted: DataFrame,
+                      with_page_host: bool = False) -> DataFrame:
     """Candidate rows: one per (page, outlink), with the outlink's
-    registrable domain derived JVM-side post-explode."""
+    registrable domain derived JVM-side post-explode. ``with_page_host``
+    additionally carries the proposing page's exact host (the news-mode
+    gate compares HOSTS, not registrable domains — news.go:229-231)."""
+    extra = [F.col("host").alias("page_host")] if with_page_host else []
     return (extracted.filter("success")
             .select(F.col("pos").alias("page_pos"),
                     F.col("url_canon").alias("page_url"),
                     F.col("depth").alias("page_depth"),
                     F.col("domain").alias("page_domain"),
-                    F.col("partition_id"),
+                    F.col("partition_id"), *extra,
                     F.explode("outlinks").alias("l"))
             .select("page_pos", "page_url", "page_depth", "page_domain",
-                    "partition_id", "l.link_pos", "l.url", "l.host",
+                    "partition_id",
+                    *(["page_host"] if with_page_host else []),
+                    "l.link_pos", "l.url", "l.host",
                     _outlink_domain(F.col("l.host")).alias("domain")))
 
 
@@ -96,12 +102,19 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
                  n_partitions: int = 8, collect_documents: bool = True,
                  collect_order: bool | None = None,
-                 hot_host_threshold: int | None = None):
+                 hot_host_threshold: int | None = None,
+                 mode: str = "dfs"):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
         self.n_partitions = n_partitions
         self.collect_documents = collect_documents
+        # "dfs" = dfs_basic accumulator (same-domain gate, stash, refill);
+        # "news" = news accumulator (functions/news.py gates at admission
+        # incl. per-outlink robots, bloom marks admitted urls only, no
+        # stash/refill, maxDepth=1, articles = depth>0 fetched pages)
+        assert mode in ("dfs", "news")
+        self.mode = mode
         # rows-per-host count above which the dequeue pre-cuts a host with
         # the exact salted two-phase ranking (frontier.dequeue docstring).
         # None = plain window, correct at any scale and faster until a
@@ -290,6 +303,9 @@ class CrawlEngine:
         """dfs_basic publisher (S3/O4/O5): first lexicographic domain with
         >= 1 robots-allowed url; publish last-wins-deduped urls in url
         order at depth 0; drop the domain from the store."""
+        if self.mode == "news":
+            return 0  # the news pipeline has no dfs publisher (seeds come
+            # from the RSS publisher, sources/rss.py, outside the round loop)
         self._refresh_robots(rnd)
         ok_store = self.url_store.withColumn(
             "ok", self.robots_ok(F.col("host"), F.col("url")))
@@ -477,19 +493,36 @@ class CrawlEngine:
 
         sc = self.spark.sparkContext
 
+        news = self.mode == "news"
         # lazy definitions shared by the jobs
-        cands = _explode_outlinks(extracted)
-        same = (cands.filter((F.col("domain") == F.col("page_domain"))
-                             & (F.col("page_depth") < self.max_depth))
-                # page_domain/domain are spent after the gate, and the
-                # proposing page's url (the eventual `origin`) is
-                # re-attached AFTER admission by a broadcast join on
-                # page_pos — none of them ride the admission shuffle
-                # (page_url alone is ~45 B x fan-out x batch of the
-                # shuffle and of the per-batch Arrow->pandas string
-                # allocation, which anti-scales with worker count)
-                .drop("page_domain", "domain", "page_url"))
-        stash = cands.filter(F.col("domain") != F.col("page_domain"))
+        cands = _explode_outlinks(extracted, with_page_host=news)
+        if news:
+            # news.go urlAllowed as the candidate gate: exact host +
+            # extension/path blacklists + ':'+'=' (functions/news.py) AND
+            # the per-outlink robots check (news.go:239-247 — unlike dfs,
+            # robots gate at ADMISSION, not refill)
+            from ..functions.news import NEWS_MAX_DEPTH, news_url_allowed
+            self._refresh_robots(rnd)
+            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")),
+                              F.lit(""))
+            same = (cands.filter(
+                (F.col("page_depth") < NEWS_MAX_DEPTH)
+                & news_url_allowed(path, F.col("host"), F.col("page_host"))
+                & self.robots_ok(F.col("host"), F.col("url")))
+                .drop("page_domain", "domain", "page_url", "page_host"))
+            stash = None  # news drops cross-host links (no stash, no refill)
+        else:
+            same = (cands.filter((F.col("domain") == F.col("page_domain"))
+                                 & (F.col("page_depth") < self.max_depth))
+                    # page_domain/domain are spent after the gate, and the
+                    # proposing page's url (the eventual `origin`) is
+                    # re-attached AFTER admission by a broadcast join on
+                    # page_pos — none of them ride the admission shuffle
+                    # (page_url alone is ~45 B x fan-out x batch of the
+                    # shuffle and of the per-batch Arrow->pandas string
+                    # allocation, which anti-scales with worker count)
+                    .drop("page_domain", "domain", "page_url"))
+            stash = cands.filter(F.col("domain") != F.col("page_domain"))
         fetch_seq0 = self.fetch_seq
 
         def job_order():
@@ -507,8 +540,10 @@ class CrawlEngine:
                         .itertuples()]
                 doc = None
                 if self.collect_documents:
-                    doc = ext_pd[ext_pd["success"]
-                                 & ext_pd["quarantined"].isna()].copy()
+                    mask = ext_pd["success"] & ext_pd["quarantined"].isna()
+                    if news:  # articles only: processArticle skips depth 0
+                        mask &= ext_pd["depth"] > 0
+                    doc = ext_pd[mask].copy()
                     doc["round"] = rnd
                 return by_part, rows, doc, quar, len(quar)
             parts = extracted.groupBy("partition_id").agg(
@@ -533,8 +568,10 @@ class CrawlEngine:
                 # distributed twin of the driver-buffer document artifact:
                 # successful rows written per round, bytes stay executor-side
                 dd = self.store.state_dir("documents", rnd)
-                (extracted.filter(F.col("success")
-                                  & F.col("quarantined").isNull()).drop(
+                doc_f = F.col("success") & F.col("quarantined").isNull()
+                if news:
+                    doc_f = doc_f & (F.col("depth") > 0)
+                (extracted.filter(doc_f).drop(
                     "outlinks", *[c for c in ("countries", "companies")
                                   if c in extracted.columns])
                  .withColumn("round", F.lit(rnd))
@@ -542,6 +579,10 @@ class CrawlEngine:
             return by_part, None, None, None, q_total
 
         def job_cand_counts():
+            if news:
+                return (same.groupBy("partition_id")
+                        .agg(F.count("*").alias("same_n"))
+                        .withColumn("stash_n", F.lit(0)).collect())
             return (cands.groupBy("partition_id").agg(
                 F.sum(F.when((F.col("domain") == F.col("page_domain"))
                              & (F.col("page_depth") < self.max_depth), 1)
@@ -556,6 +597,10 @@ class CrawlEngine:
         n_parts = max(1, min(par, batch_count // 2000))
 
         def job_bits_fetched():
+            if news:
+                # news.go never markVisited's the fetched page — only
+                # admitted outlinks enter the seen-set
+                return np.zeros(len(self.bloom.gen0.words), dtype=np.uint64)
             # quarantined rows never reached the accumulator → no
             # markVisited for them (queue/file.go DLQ semantics)
             return bloom_bits_for_urls(
@@ -628,17 +673,30 @@ class CrawlEngine:
                 h1, h2 = hash128_batch_buf(
                     datas[0] if len(datas) == 1 else np.concatenate(datas),
                     lens[0] if len(lens) == 1 else np.concatenate(lens))
-                f_pos = pc.fill_null(t.column("f_pos"), -1).to_numpy()
-                is_marker = f_pos >= 0
                 page_pos = pc.fill_null(t.column("page_pos"), -1).to_numpy()
-                keep = admission_keep_mask(h1, h2, page_pos, f_pos,
-                                           is_marker, bf)
+                if news_flag:
+                    # news winner rule: single FIRST proposal per url by
+                    # (page_pos, link_pos) — SetBytes inside urlAllowed
+                    # dedupes within-page too; no marker rows exist
+                    from .frontier import admission_keep_mask_news
+                    link_pos = t.column("link_pos").to_numpy(
+                        zero_copy_only=False)
+                    keep = admission_keep_mask_news(h1, h2, page_pos,
+                                                    link_pos, bf)
+                else:
+                    f_pos = pc.fill_null(t.column("f_pos"), -1).to_numpy()
+                    is_marker = f_pos >= 0
+                    keep = admission_keep_mask(h1, h2, page_pos, f_pos,
+                                               is_marker, bf)
                 if not keep.any():
                     return
                 out = t.filter(pa.array(keep)).drop_columns(["f_pos"])
                 yield from out.to_batches()
 
-            winners = (cands_tagged.unionByName(markers)
+            news_flag = news
+            winners_in = cands_tagged if news \
+                else cands_tagged.unionByName(markers)
+            winners = (winners_in
                        .repartition(n_parts, F.col("url"))
                        .mapInArrow(admit, same_schema))
             # scalable global sequence: pid-sharded sort + per-pid offsets
@@ -686,18 +744,19 @@ class CrawlEngine:
                                admitted_count)
             self._maybe_compact()
 
-            stash_rows = stash.select(
-                "domain", "url",
-                F.col("page_url").alias("origin"),
-                (F.lit(rnd) * F.lit(1 << 40)
-                 + F.col("page_pos") * F.lit(1 << 20)
-                 + F.col("link_pos")).alias("stash_key"),
-                "host")
-            self.url_store = self.url_store.unionByName(stash_rows)
-            self._store_unions += 1
-            if self._store_unions >= 4:  # bound the lazy union chain
-                self.url_store = self.url_store.localCheckpoint(eager=True)
-                self._store_unions = 0
+            if stash is not None:
+                stash_rows = stash.select(
+                    "domain", "url",
+                    F.col("page_url").alias("origin"),
+                    (F.lit(rnd) * F.lit(1 << 40)
+                     + F.col("page_pos") * F.lit(1 << 20)
+                     + F.col("link_pos")).alias("stash_key"),
+                    "host")
+                self.url_store = self.url_store.unionByName(stash_rows)
+                self._store_unions += 1
+                if self._store_unions >= 4:  # bound the lazy union chain
+                    self.url_store = self.url_store.localCheckpoint(eager=True)
+                    self._store_unions = 0
             _t = _mark('state_updates', _t)
 
             # ---- gather + driver-side merges -------------------------------
@@ -726,8 +785,10 @@ class CrawlEngine:
                     {"round": rnd, "partition": int(part), **agg[part]})
 
             bits = fut_bits_f.result() | fut_bits_a.result()
-            # quarantined rows never markVisited → not counted as inserts
-            total_added = batch_count - q_n + admitted_count
+            # quarantined rows never markVisited → not counted as inserts;
+            # news mode marks ONLY admitted outlinks (no page inserts)
+            total_added = admitted_count if news \
+                else batch_count - q_n + admitted_count
             if self._round_fits_bloom(total_added):
                 # fast path (every round except the ~1-in-maxN/G that
                 # crosses a bound): no rotation can occur anywhere in the
@@ -740,7 +801,14 @@ class CrawlEngine:
                 # O(G) work, same bound as the batch itself — so the
                 # rotation fires at the same op and loses the same insert
                 # as the oracle/reference (rolling_bloom.go quirk)
-                self._replay_bloom_ops(extracted, admitted)
+                if news:
+                    # news inserts are one add() per admitted url in
+                    # enqueue order (SetBytes inside urlAllowed)
+                    for r in sorted(admitted.select("enqueue_seq", "url")
+                                    .collect()):
+                        self.bloom.add(r["url"])
+                else:
+                    self._replay_bloom_ops(extracted, admitted)
             _t = _mark('bloom_merge', _t)
         finally:
             # destroyed on every exit path — nothing past the admitted

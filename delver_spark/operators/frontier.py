@@ -216,6 +216,45 @@ def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
     return elig & (page_pos == run_pp_min[run_id])
 
 
+def admission_keep_mask_news(h1: np.ndarray, h2: np.ndarray,
+                             page_pos: np.ndarray, link_pos: np.ndarray,
+                             bloom) -> np.ndarray:
+    """News-mode winner selection: keep the single FIRST proposal of each
+    url by (page_pos, link_pos) order among candidates not in the bloom.
+
+    Differences from the dfs mask (news.go:248-262 vs dfs_basic.go):
+    ``seenUrls.SetBytes`` runs INSIDE urlAllowed per url, so a url's
+    second proposal is blocked even within the same page (no same-page
+    duplicate quirk), and the fetched page itself is never marked (no
+    marker rows). Same hash-grouping collision argument as
+    admission_keep_mask."""
+    n = len(h1)
+    idx = np.lexsort((h2, h1))
+    h1s, h2s = h1[idx], h2[idx]
+    new_run = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_id_sorted = np.cumsum(new_run) - 1
+    run_id = np.empty(n, dtype=np.int64)
+    run_id[idx] = run_id_sorted
+
+    blooms = bloom if isinstance(bloom, list) else [bloom]
+    pos = blooms[0]._probes_from_hash(h1, h2)
+    widx = (pos >> np.uint64(6)).astype(np.int64)
+    shift = pos & np.uint64(63)
+    in_bloom = np.zeros(n, dtype=bool)
+    for bf in blooms:
+        bits = (bf.words[widx] >> shift) & np.uint64(1)
+        in_bloom |= bits.all(axis=1)
+
+    # (page_pos, link_pos) packed into one sortable key; link_pos is the
+    # within-caption index, far below 2^21
+    key = page_pos.astype(np.int64) * (np.int64(1) << np.int64(21)) \
+        + link_pos.astype(np.int64)
+    km = np.where(~in_bloom, key, _SENTINEL)
+    run_min = np.minimum.reduceat(km[idx], run_starts)
+    return (~in_bloom) & (key == run_min[run_id])
+
+
 def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
                        out_col: str = "rn", partitions: int | None = None) -> DataFrame:
     """Distributed 0-based global rank by ``order_cols`` (must be a unique

@@ -53,6 +53,29 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     return d2.select(id_col, pred.alias("lang_pred")).orderBy(id_col)
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# Deliberately lookahead-free so the same pattern runs under Java regex
+# (Spark) and RE2 (DuckDB) with identical matches — the alternatives are
+# disjoint character classes, so leftmost-first vs leftmost-longest
+# cannot differ.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token accounting (training-data budgeting): counts of
+    BPE-style pre-tokens, letter runs, and digit runs per document."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return (df.select(
+        id_col,
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        .alias("n_word_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .alias("n_digit_tokens"))
+        .orderBy(id_col))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     fp = F.md5(F.concat(F.col("n_chars").cast("string"), F.lit(":"),

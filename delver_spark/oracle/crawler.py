@@ -78,7 +78,8 @@ class OracleCrawler:
                  bloom_p: float = 0.01, n_partitions: int = 8,
                  bloom_count: int = 1,
                  robots_ttl_rounds: int | None = None,
-                 poison_urls: set[str] | None = None):
+                 poison_urls: set[str] | None = None,
+                 mode: str = "dfs"):
         self.pages = pages
         # robots_bodies: {host: body} (static) or [(host, body, from_round)]
         # versioned rows; TTL measured in round age (robotstxt.go mapping)
@@ -104,6 +105,15 @@ class OracleCrawler:
         # accumulator runs — fetched (crawl_order row) but no markVisited,
         # no document, no outlinks
         self.poison_urls = poison_urls or set()
+        # "dfs": dfs_basic accumulator (same-domain gate, stash, refill).
+        # "news": news accumulator (news.go OnMessage) — exact-host +
+        # news_url_allowed gates WITH robots checked per outlink at
+        # admission, bloom marks ADMITTED urls only (the fetched page is
+        # never markVisited'd — news.go has no such call), no stash/refill,
+        # maxDepth=1, and articles = fetched pages with depth > 0
+        # (processArticle skips depth 0).
+        assert mode in ("dfs", "news")
+        self.mode = mode
 
     # -- frontier ops ---------------------------------------------------------
     def _enqueue(self, url: str, depth: int, origin: str, rnd: int, priority: int = 0):
@@ -143,6 +153,56 @@ class OracleCrawler:
         self.frontier = rest
         return taken
 
+    # -- news accumulator page handler (news.go OnMessage) --------------------
+    def _news_page(self, e, success, rnd, snap, admitted_this_round,
+                   rules_by_host, c, res):
+        """processUrls + processArticle (news.go:100-130,152-290): gates
+        applied in urlAllowed's order — exact host, extension blacklist,
+        robots (checked PER OUTLINK at admission, unlike dfs's
+        refill-time check), looks-like-article, ':'+'=', seen bloom —
+        then the admitted url is marked seen IMMEDIATELY (SetBytes inside
+        urlAllowed), so within-page duplicates are deduped, unlike the
+        dfs same-page quirk. The fetched page itself is never marked."""
+        from ..functions.news import (
+            BLACKLISTED_EXTENSIONS,
+            NEWS_MAX_DEPTH,
+            _looks_like_article_py,
+        )
+        if not success:
+            return
+        if e.depth > 0:
+            # processArticle: depth-0 pages are skipped (news.go:153-155)
+            res.documents.append({"url_canon": e.url, "depth": e.depth,
+                                  "round": rnd, "host": host_of(e.url)})
+        if e.depth >= NEWS_MAX_DEPTH:
+            return
+        page = self.pages[e.url]
+        origin_host = host_of(e.url)
+        for link in extract_outlinks(e.url, page.caption.encode()):
+            lc = canonicalize(link)
+            if lc is None:
+                continue
+            lhost = host_of(lc)
+            if lhost != origin_host:
+                continue
+            path = path_of(lc)
+            if any(path.endswith(x) for x in BLACKLISTED_EXTENSIONS):
+                continue
+            if not allowed(rules_by_host.get(lhost, []), path):
+                continue
+            if not _looks_like_article_py(path):
+                continue
+            if ":" in path and "=" in path:
+                continue
+            if (lc in admitted_this_round
+                    or any(b.contains(lc) for b in snap)):
+                c["deduped"] += 1
+                continue
+            self._enqueue(lc, e.depth + 1, e.url, rnd)
+            self.bloom.add(lc)
+            admitted_this_round.add(lc)
+            c["enqueued"] += 1
+
     # -- main loop --------------------------------------------------------------
     def run(self) -> CrawlResult:
         res = CrawlResult()
@@ -177,6 +237,8 @@ class OracleCrawler:
             snap = [b.copy() for b in self.bloom.blooms]
             fetched_this_round: set[str] = set()
             admitted_this_round: set[str] = set()
+            news_rules = self.robots.rules_for_round(rnd) \
+                if self.mode == "news" else None
 
             for pos, e in enumerate(batch):
                 host = host_of(e.url)
@@ -195,6 +257,10 @@ class OracleCrawler:
                     # DLQ: the message dies before the accumulator — no
                     # markVisited, no document, no links
                     res.quarantine.append({"url_canon": e.url, "round": rnd})
+                    continue
+                if self.mode == "news":
+                    self._news_page(e, success, rnd, snap,
+                                    admitted_this_round, news_rules, c, res)
                     continue
                 # markVisited happens before link handling (dfs_basic.go:48);
                 # bloom errors are logged-and-ignored in the reference
@@ -268,7 +334,8 @@ def load_corpus(corpus_dir: str):
 
 
 def run_oracle(corpus_dir: str, n_partitions: int = 8,
-               poison_urls: set[str] | None = None) -> CrawlResult:
+               poison_urls: set[str] | None = None,
+               mode: str = "dfs") -> CrawlResult:
     pages, robots, seeds, params = load_corpus(corpus_dir)
     oc = OracleCrawler(
         pages, robots, seeds,
@@ -282,5 +349,6 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8,
         bloom_count=params.get("bloom_count", 1),
         robots_ttl_rounds=params.get("robots_ttl_rounds"),
         poison_urls=poison_urls,
+        mode=mode,
     )
     return oc.run()

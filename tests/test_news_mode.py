@@ -1,0 +1,82 @@
+"""News-mode crawl engine ≡ oracle: the reference's second accumulator
+type (news.go) run END-TO-END — admission with per-outlink robots,
+bloom marking of admitted urls only, no stash/refill, maxDepth=1,
+articles = depth>0 fetched pages."""
+
+import numpy as np
+import pytest
+
+from delver_spark.oracle.crawler import run_oracle
+
+
+@pytest.fixture(scope="module")
+def news_corpus(tmp_path_factory):
+    from delver_spark.fixtures.gen import generate_corpus
+
+    d = str(tmp_path_factory.mktemp("corpus_news"))
+    generate_corpus(d, n_pages=200, n_hosts=10, seed=13, max_rounds=8,
+                    path_style="news")
+    return d
+
+
+@pytest.fixture(scope="module")
+def news_oracle(news_corpus):
+    return run_oracle(news_corpus, mode="news")
+
+
+@pytest.fixture(scope="module")
+def news_engine(spark, news_corpus, news_oracle, tmp_path_factory):
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_news"))
+    eng = CrawlEngine(spark, news_corpus, wd, mode="news")
+    eng.run()
+    return eng
+
+
+def test_news_mode_is_nonvacuous(news_oracle):
+    # admissions happened (depth-1 fetches in later rounds) and articles
+    # were emitted; some candidates were seen-blocked too
+    assert news_oracle.rounds >= 2
+    assert any(r["depth"] == 1 for r in news_oracle.crawl_order)
+    assert len(news_oracle.documents) > 0
+    assert all(doc["depth"] > 0 for doc in news_oracle.documents)
+
+
+def test_news_crawl_order_matches_oracle(news_oracle, news_engine):
+    oo = [(r["seq"], r["url_canon"], r["depth"], r["round"], r["success"])
+          for r in news_oracle.crawl_order]
+    df = news_engine.crawl_order_df()
+    so = list(df[["seq", "url_canon", "depth", "round", "success"]]
+              .itertuples(index=False, name=None))
+    assert so == oo
+
+
+def test_news_bloom_matches_oracle(news_oracle, news_engine):
+    assert np.array_equal(news_oracle.bloom.bit_positions(),
+                          news_engine.bloom.bit_positions())
+    assert news_oracle.bloom.n == news_engine.bloom.n
+
+
+def test_news_lineage_matches_oracle(news_oracle, news_engine):
+    ol = [(r["round"], r["partition"], r["fetched"], r["deduped"],
+           r["enqueued"], r["stashed"]) for r in news_oracle.lineage]
+    df = news_engine.lineage_df()
+    sl = list(df[["round", "partition", "fetched", "deduped", "enqueued",
+                  "stashed"]].itertuples(index=False, name=None))
+    assert ol == sl
+
+
+def test_news_articles_match_oracle(news_oracle, news_engine):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    parts = news_engine.store.part_dirs("documents", news_engine.round)
+    frames = [pq.read_table(p).to_pandas() for p in parts]
+    if news_engine.documents:
+        frames.append(pd.concat(news_engine.documents, ignore_index=True))
+    docs = pd.concat(frames, ignore_index=True)
+    got = sorted(zip(docs["url_canon"], docs["round"]))
+    want = sorted((d["url_canon"], d["round"]) for d in news_oracle.documents)
+    assert got == want
+    assert (docs["depth"] > 0).all()
