@@ -383,6 +383,23 @@ def dedup_embedding_lsh(spark, sf):
     return _dedup.embedding_lsh_pairs(_t(spark, sf, "embeddings"))
 
 
+def dedup_components(spark, sf):
+    """Duplicate-cluster assignment: connected components (iterative
+    min-label propagation) over the ngram-Jaccard near-dup pairs;
+    component = min doc id = the cluster keeper."""
+    pairs = _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    return _dedup.connected_components(pairs)
+
+
+def dedup_phash_hamming(spark, sf):
+    """Perceptual-hash near-dup pairs via banded join + exact Hamming
+    verify; 60-bit hash synthesized deterministically from the text md5
+    (the pages corpus carries real phashes; driver tables are text-only)."""
+    d = _t(spark, sf, "documents")
+    ph = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return _dedup.phash_hamming_pairs(d.select("doc_id", ph.alias("phash")))
+
+
 
 def ann_cosine_topk(spark, sf):
     """Brute-force ANN baseline: exact int-quantized dot products, top 10."""
@@ -428,6 +445,35 @@ def dedup_simhash16(spark, sf):
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (int-quantized, cos >= 0.95)."""
     return _dedup.embedding_cosine_pairs(_t(spark, sf, "embeddings"))
+
+
+# shared CTE body: DF-capped candidate generation + exact full-set verify
+# (the dedup_ngram_jaccard twin; dedup_components builds its edge list
+# from the same body so the two stay in lockstep)
+_NGRAM_CORE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+      FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM rare)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, inter,
+           CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jacc_milli
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 300
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -525,6 +571,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_components": dedup_components,
+    "dedup_phash_hamming": dedup_phash_hamming,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "text_token_count": text_token_count,
@@ -773,29 +821,39 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """,
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        "dedup_ngram_jaccard": _NGRAM_CORE_SQL + " ORDER BY doc_a, doc_b",
+        "dedup_components": f"""
+            WITH RECURSIVE p AS ({_NGRAM_CORE_SQL}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+            gnodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach AS (
+              SELECT n, n AS m FROM gnodes
+              UNION
+              SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m)
+            SELECT n AS doc_id, min(m) AS component
+            FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "dedup_phash_hamming": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
               FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
-              FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)),
-            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            bands AS (
+              SELECT doc_id, ph, b.b AS band_id,
+                     (ph >> (b.b * 15)) & 32767 AS band_val
+              FROM h, (SELECT unnest(generate_series(0, 3)) AS b) b),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              WHERE a.shingle IN (SELECT shingle FROM rare)),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS inter
-              FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-                          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY c.doc_a, c.doc_b)
-            SELECT doc_a, doc_b, inter,
-                   CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jacc_milli
-            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-                       JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 300
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(ha.ph, hb.ph)) AS BIGINT) AS hamming
+            FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
+                        JOIN h hb ON hb.doc_id = c.doc_b
+            WHERE bit_count(xor(ha.ph, hb.ph)) <= 12
             ORDER BY doc_a, doc_b
         """,
         "dedup_minhash_verified": """

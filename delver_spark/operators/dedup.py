@@ -194,6 +194,80 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .orderBy("doc_a", "doc_b"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a pair
+    list via iterative min-label propagation; output (doc_id, component)
+    with component = min doc id of the cluster — the canonical "keeper"
+    choice of a dedup pipeline.
+
+    Each iteration is one shuffle (neighbor-min groupBy) and converges in
+    O(graph diameter) rounds; near-dup clusters are dense (diameter 2-3
+    in practice), so 3-5 rounds close web-scale dup graphs. The loop is
+    driver-CONTROLLED but not driver-computed: convergence is checked
+    with a count of changed labels, state is localCheckpoint'd per round
+    to truncate lineage (Iceberg table-per-iteration at deployment
+    scale). For adversarially long chains, swap the body for the
+    two-phase large-star/small-star map (same outer loop shape)."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                   .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(
+            nbr_min.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", F.least("label", "nbr_label").alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "node")
+                   .filter(F.col("new_label") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("component"))
+            .orderBy("doc_id"))
+
+
+def phash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
+                        phash_col: str = "phash", max_dist: int = 12,
+                        n_bands: int = 4, band_bits: int = 15) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (multimodal image dedup):
+    candidates from a banded join on ``n_bands`` hash chunks, exact
+    Hamming verify (bit_count(xor), whole-stage codegen) — never a cross
+    join. Pigeonhole recall: a pair with Hamming distance < n_bands MUST
+    share an identical band (exact recall for dist <= 3 at 4 bands —
+    which covers true perceptual duplicates); beyond that, recall is the
+    probability the differing bits miss one band — raise n_bands toward
+    max_dist+1 (multi-index hashing) when higher distances matter.
+    Precision is always exact: the verify stage keeps only pairs at
+    dist <= max_dist."""
+    h = df.select(id_col, F.col(phash_col).alias("ph"))
+    bands = h.select(
+        id_col, "ph",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("ph"), b * band_bits)
+             % F.lit(1 << band_bits)).cast("long")
+            for b in range(n_bands)])).alias("band_id", "band_val"))
+    cand = _self_join_pairs(bands.withColumnRenamed(id_col, "_id"), "_id",
+                            ["band_id", "band_val"])
+    ha = h.select(F.col(id_col).alias("doc_a"), F.col("ph").alias("ph_a"))
+    hb = h.select(F.col(id_col).alias("doc_b"), F.col("ph").alias("ph_b"))
+    return (cand.join(ha, "doc_a").join(hb, "doc_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                        .cast("long"))
+            .filter(F.col("hamming") <= max_dist)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash from the first 4 hex digits of md5(token): bit b is

@@ -82,3 +82,30 @@ def test_minhash_verified_filters_false_positives(spark):
     out = D.minhash_lsh_verified(docs).toPandas()
     assert out[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
     assert out["jacc_milli"].tolist() == [1000]
+
+
+def test_connected_components_known_clusters(spark):
+    # two clusters {1,2,3,7} (via chain 1-2, 2-3, 3-7) and {10,11}; the
+    # chain pins multi-iteration label propagation, not just direct edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long")
+    got = D.connected_components(pairs).toPandas()
+    assert dict(zip(got["doc_id"], got["component"])) == {
+        1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_phash_hamming_planted(spark):
+    base = 0b101101110001111000011110000111100001111000011110000111100001
+    rows = [(0, base),
+            (1, base),                      # distance 0
+            (2, base ^ 0b111),              # distance 3 -> found (< n_bands)
+            (3, base ^ ((1 << 59) | 1)),    # distance 2, bits in two bands
+            (4, ~base & ((1 << 60) - 1))]   # far away
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = D.phash_hamming_pairs(df, max_dist=3).toPandas()
+    assert got[["doc_a", "doc_b"]].values.tolist() == [
+        [0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]
+    dist = got.set_index(["doc_a", "doc_b"])["hamming"]
+    assert dist.loc[(0, 1)] == 0
+    assert dist.loc[(0, 2)] == 3
+    assert dist.loc[(0, 3)] == 2
