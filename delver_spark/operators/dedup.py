@@ -328,7 +328,6 @@ def _rhp_weights(dim: int, n_tables: int, n_bits: int):
     the signatures become one numpy matmul per Arrow batch."""
     import hashlib
 
-    import numpy as np
     w = np.empty((dim, n_tables * n_bits), dtype=np.int64)
     for t in range(n_tables):
         for b in range(n_bits):
@@ -337,6 +336,16 @@ def _rhp_weights(dim: int, n_tables: int, n_bits: int):
                 h = hashlib.md5(f"{t}_{b}:{i}".encode()).digest()
                 w[i, col] = int.from_bytes(h[:2], "big") - 32768
     return w
+
+
+_RHP_CACHE: dict = {}
+
+
+def _rhp_weights_cached(dim: int, n_tables: int, n_bits: int):
+    key = (dim, n_tables, n_bits)
+    if key not in _RHP_CACHE:
+        _RHP_CACHE[key] = _rhp_weights(dim, n_tables, n_bits)
+    return _RHP_CACHE[key]
 
 
 def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -368,15 +377,15 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
                     lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("q"))
     # quantization stays a Spark expression (F.round is HALF_UP in both
     # Spark and DuckDB; numpy would banker's-round) — only the
-    # threshold-free sign computation runs in numpy
-    dim = len(q.select("q").first()["q"])
-    w_bc = emb.sparkSession.sparkContext.broadcast(
-        _rhp_weights(dim, n_tables, n_bits))
+    # threshold-free sign computation runs in numpy. Weights are derived
+    # lazily per worker from the first batch's dimension (6144 md5s,
+    # sub-ms) — no driver dim-lookup job, nothing broadcast.
+    tb = (n_tables, n_bits)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def signatures(qs: pd.Series) -> pd.Series:
-        w = w_bc.value
         m = np.stack(qs.values).astype(np.int64)        # (n, dim)
+        w = _rhp_weights_cached(m.shape[1], *tb)
         bits = (m @ w) >= 0                             # (n, T*B)
         shifts = np.tile(1 << np.arange(n_bits, dtype=np.int64),
                          w.shape[1] // n_bits)
