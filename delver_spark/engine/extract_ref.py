@@ -343,6 +343,76 @@ _STOPWORDS = {
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "ich", "sie", "mit"},
 }
 
+# Trigram profiles (Cavnar & Trenkle 1994 "N-Gram-Based Text
+# Categorization" — the method whatlanggo implements) built at import
+# time from embedded function-word lists (standard public linguistic
+# facts). This is the refinement path when the stopword vote is weak —
+# short or stopword-poor Latin text — and extends coverage to it/pt/nl,
+# which have no stopword row above.
+_COMMON_WORDS = {
+    "en": "the of and to in is you that it he was for on are as with his "
+          "they at be this have from or one had by but not what all were "
+          "we when your can said there use an each which she do how their",
+    "es": "de la que el en y a los del se las por un para con no una su al "
+          "lo como más pero sus le ya o este porque esta entre cuando muy "
+          "sin sobre también me hasta hay donde quien desde todos durante",
+    "fr": "de la le et les des en un du une que est pour qui dans a par "
+          "plus pas au sur ne se ce il sont vous je son avec ils bien sans "
+          "peut tout nous comme mais ou si leur y dont cette ses être aux",
+    "de": "der die und in den von zu das mit sich des auf für ist im dem "
+          "nicht ein eine als auch es an werden aus er hat dass sie nach "
+          "wird bei einer um am sind noch wie einem über einen so zum haben",
+    "it": "di e il la che in un a per è una sono non con si da come lo le "
+          "dei al questo ha più ma se nel suo alla gli della dal molto può "
+          "anche essere questa sua degli nella quando loro tutti però già",
+    "pt": "de a o que e do da em um para é com não uma os no se na por "
+          "mais as dos como mas foi ao ele das tem à seu sua ou ser quando "
+          "muito há nos já está eu também só pelo pela até isso ela entre",
+    "nl": "de van het een en in is dat op te zijn met voor niet aan er om "
+          "ook als dan maar bij uit nog naar door over zij ze tot je deze "
+          "hij heeft worden geen al waren veel meer doen onder hebben zou",
+}
+
+_PROFILE_SIZE = 120
+
+
+def _trigrams_of(words: list[str]):
+    from collections import Counter
+    counts: Counter = Counter()
+    for w in words:
+        s = f" {w} "
+        for i in range(len(s) - 2):
+            counts[s[i:i + 3]] += 1
+    return counts
+
+
+def _ranked_profile(counts) -> dict[str, int]:
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {g: r for r, (g, _) in enumerate(ranked[:_PROFILE_SIZE])}
+
+
+_TRIGRAM_PROFILES = {
+    lang: _ranked_profile(_trigrams_of(ws.split()))
+    for lang, ws in _COMMON_WORDS.items()
+}
+
+
+def _trigram_language(tokens: list[str]) -> tuple[str, float]:
+    """Cavnar-Trenkle out-of-place distance between the text's ranked
+    trigram profile and each language profile; smaller is closer."""
+    text_profile = _ranked_profile(_trigrams_of(tokens))
+    if not text_profile:
+        return "en", 0.0
+    best, best_dist = "en", None
+    worst = len(text_profile) * _PROFILE_SIZE
+    for lang in sorted(_TRIGRAM_PROFILES):
+        prof = _TRIGRAM_PROFILES[lang]
+        dist = sum(abs(r - prof[g]) if g in prof else _PROFILE_SIZE
+                   for g, r in text_profile.items())
+        if best_dist is None or dist < best_dist:
+            best, best_dist = lang, dist
+    return best, 1.0 - best_dist / max(worst, 1)
+
 
 def detect_language(text: str) -> tuple[str, float]:
     """→ (iso639-1, confidence). Script ranges decide zh/ar/ru; Latin
@@ -370,22 +440,55 @@ def detect_language(text: str) -> tuple[str, float]:
         score = sum(1 for t in tokens if t in words)
         if score > best_score:
             best, best_score = lang, score
-    conf = best_score / max(len(tokens), 1)
-    return best, conf
+    if best_score >= 2:  # decisive stopword vote (all reference goldens)
+        return best, best_score / max(len(tokens), 1)
+    # weak vote: trigram-grade refinement (whatlanggo's method) — covers
+    # short/stopword-poor text and the it/pt/nl languages
+    if tokens:
+        return _trigram_language(tokens)
+    return best, 0.0
 
 
-_POSITIVE = {"happy", "good", "great", "love", "excellent", "wonderful", "joy",
-             "best", "nice", "amazing", "fantastic", "positive", "win", "success"}
-_NEGATIVE = {"angry", "sad", "bad", "terrible", "hate", "awful", "worst",
-             "horrible", "negative", "fail", "loss", "fear", "crisis"}
+# AFINN-style valence lexicon (compact embedded subset, public word
+# valences) — replaces the flat positive/negative sets: graded scores
+# plus unigram negation flipping, the standard lexicon-scorer shape
+# (the reference wraps a pretrained naive-Bayes, sentiment.go:30-52;
+# capability parity is the binary title score).
+_VALENCE = {
+    "happy": 3, "good": 3, "great": 3, "love": 3, "loved": 3, "excellent": 3,
+    "wonderful": 4, "joy": 3, "best": 3, "nice": 3, "amazing": 4,
+    "fantastic": 4, "positive": 2, "win": 4, "wins": 4, "won": 3,
+    "success": 2, "successful": 3, "improve": 2, "improved": 2, "gain": 2,
+    "gains": 2, "strong": 2, "growth": 2, "record": 1, "beautiful": 3,
+    "brilliant": 4, "perfect": 3, "outstanding": 5, "superb": 5, "hope": 2,
+    "hopeful": 2, "calm": 2, "safe": 1, "free": 1, "better": 2, "adore": 3,
+    "angry": -3, "sad": -2, "bad": -3, "terrible": -3, "hate": -3,
+    "hated": -3, "awful": -3, "worst": -3, "horrible": -3, "negative": -2,
+    "fail": -2, "fails": -2, "failed": -2, "failure": -2, "loss": -3,
+    "losses": -3, "lost": -3, "fear": -2, "fears": -2, "crisis": -3,
+    "crash": -2, "collapse": -2, "fraud": -4, "scandal": -3, "war": -2,
+    "death": -2, "dead": -3, "kill": -3, "killed": -3, "threat": -2,
+    "weak": -2, "worse": -3, "panic": -3, "disaster": -2, "damage": -3,
+    "broken": -1, "wrong": -2, "problem": -2, "problems": -2, "risk": -2,
+}
+_NEGATORS = {"not", "no", "never", "n't", "dont", "don't", "cannot",
+             "cant", "can't", "isnt", "isn't", "wasnt", "wasn't", "without"}
 
 
 def sentiment_binary(title: str) -> int:
-    """Binary score of the TITLE, English only upstream (sentiment.go:30-52)."""
+    """Binary score of the TITLE, English only upstream (sentiment.go:30-52):
+    summed word valences with unigram negation flipping ("not good"
+    scores negative)."""
     tokens = re.findall(r"[a-z']+", title.lower())
-    pos = sum(1 for t in tokens if t in _POSITIVE)
-    neg = sum(1 for t in tokens if t in _NEGATIVE)
-    return 1 if pos > neg else 0
+    score = 0
+    for i, t in enumerate(tokens):
+        v = _VALENCE.get(t)
+        if v is None:
+            continue
+        if i > 0 and tokens[i - 1] in _NEGATORS:
+            v = -v
+        score += v
+    return 1 if score > 0 else 0
 
 
 # ---------------------------------------------------------------------------

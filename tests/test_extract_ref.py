@@ -136,3 +136,30 @@ def test_fast_extractor_matches_fsm_on_wellformed():
         "http://d3.test/x/y plus https://d4.test/z?q=1 end"
     )
     assert extract_urls_fast(caption) == extract_urls_fsm(caption.encode())
+
+
+def test_language_trigram_refinement():
+    """When the stopword vote is weak, the Cavnar-Trenkle trigram ranking
+    decides — including it/pt/nl, which have no stopword row."""
+    scenarios = {
+        "questo libro della nostra biblioteca quando anche molto": "it",
+        "quando muito também já estava pelo sua coisa": "pt",
+        "deze mensen hebben veel meer worden gedaan onder": "nl",
+    }
+    for text, want in scenarios.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert 0.0 <= conf <= 1.0
+
+
+def test_language_stopword_vote_still_primary():
+    # decisive stopword votes keep their classification (golden path)
+    assert detect_language("the cat and the dog")[0] == "en"
+    assert detect_language("el perro y la casa de madera")[0] == "es"
+
+
+def test_sentiment_negation_and_valence():
+    assert sentiment_binary("This is not good") == 0      # negation flips
+    assert sentiment_binary("This is not bad at all") == 1
+    assert sentiment_binary("outstanding success despite fear") == 1  # 5+2-2
+    assert sentiment_binary("record loss and fraud") == 0  # 1-3-4
