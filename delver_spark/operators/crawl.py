@@ -712,10 +712,12 @@ class CrawlEngine:
                 ranked = assign_global_rank(
                     winners, ["page_pos", "link_pos"],
                     F.floor(F.col("page_pos") / F.lit(chunk)), "rn",
-                    partitions=n_parts)
+                    partitions=n_parts, timings=timings)
             origin_by_pos = extracted.select(
                 F.col("pos").alias("page_pos"),
                 F.col("url_canon").alias("origin"))
+            import time as _time
+            _ta = _time.perf_counter()
             admitted = (ranked
                         .join(F.broadcast(origin_by_pos), "page_pos")
                         .select(
@@ -727,6 +729,9 @@ class CrawlEngine:
                             F.col("origin"),
                             F.col("partition_id"), F.col("page_pos"))
                         .localCheckpoint(eager=True))
+            if timings is not None:
+                timings["adm_admit_ckpt"] = timings.get("adm_admit_ckpt", 0.0) \
+                    + _time.perf_counter() - _ta
             admitted_count = admitted.count()
             _t = _mark('admission', _t)
             self.seq += admitted_count

@@ -256,7 +256,8 @@ def admission_keep_mask_news(h1: np.ndarray, h2: np.ndarray,
 
 
 def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
-                       out_col: str = "rn", partitions: int | None = None) -> DataFrame:
+                       out_col: str = "rn", partitions: int | None = None,
+                       timings: dict | None = None) -> DataFrame:
     """Distributed 0-based global rank by ``order_cols`` (must be a unique
     key) — no single-partition window, no row pickling, no sampling pass.
 
@@ -268,12 +269,19 @@ def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
     spark = df.sparkSession
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
+    import time as _time
     cols = [F.col(c) for c in order_cols]
+    t0 = _time.perf_counter()
     sorted_df = (df.withColumn("_pid", pid_expr.cast("long"))
                  .repartition(partitions, F.col("_pid"))
                  .sortWithinPartitions(*cols)
                  .localCheckpoint(eager=True))
+    t1 = _time.perf_counter()
     counts = dict(sorted_df.groupBy("_pid").count().collect())
+    if timings is not None:
+        timings["adm_rank_ckpt"] = timings.get("adm_rank_ckpt", 0.0) + t1 - t0
+        timings["adm_rank_counts"] = timings.get("adm_rank_counts", 0.0) \
+            + _time.perf_counter() - t1
     offsets = {}
     acc = 0
     for pid in sorted(counts):

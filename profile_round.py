@@ -58,7 +58,10 @@ def profiled_round(cpus: int, corpus: str):
 def main():
     corpus = bs.ensure_corpus(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "corpus"))
-    for cpus in (4, 16):
+    import os as _os
+    levels = tuple(int(x) for x in _os.environ.get(
+        "SPARK_GRAFT_PROF_LEVELS", "4,16").split(","))
+    for cpus in levels:
         dt, tm = profiled_round(cpus, corpus)
         print(json.dumps({"cpus": cpus, "total": round(dt, 2),
                           "stages": {k: round(v, 2) for k, v in
