@@ -252,6 +252,8 @@ class CrawlEngine:
         every op — when it passes, the distributed bitset merge equals
         the sequential per-op inserts bit-for-bit."""
         import math
+        if total_added == 0:
+            return True  # no ops this round → no bound can trip
         g = self.bloom.gen0
         worst = g.n + total_added - 1
         if worst >= g.max_n:

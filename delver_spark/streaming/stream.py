@@ -66,6 +66,20 @@ def stream_windowed_agg(stream: DataFrame, window_seconds: int,
                     "value", "n"))
 
 
+def stream_dedup(stream: DataFrame, key_col: str = "url_canon",
+                 watermark: str = "90 days") -> DataFrame:
+    """Streaming first-occurrence dedup on ``key_col`` — A4's streaming
+    twin (util/util.go:23-37 over a live document stream). State is
+    evicted past the watermark horizon (dropDuplicatesWithinWatermark),
+    so memory is bounded by the horizon's key cardinality, not the
+    stream's lifetime; the all-time seen-set remains the bloom (F7) —
+    this operator is the within-horizon exact gate layered above it."""
+    ts = F.to_timestamp(F.col("timestamp"))
+    return (stream.withColumn("event_time", ts)
+            .withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark([key_col]))
+
+
 def run_to_memory(filtered: DataFrame, name: str, spark: SparkSession,
                   output_mode: str = "append") -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink

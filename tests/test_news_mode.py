@@ -80,3 +80,58 @@ def test_news_articles_match_oracle(news_oracle, news_engine):
     want = sorted((d["url_canon"], d["round"]) for d in news_oracle.documents)
     assert got == want
     assert (docs["depth"] > 0).all()
+
+
+def test_rss_feeds_news_pipeline(spark, news_corpus, tmp_path_factory):
+    """S2 -> news integration: the RSS publisher's FetcherRequests
+    (depth 1) seed the news engine's frontier; one round fetches them
+    all as articles (processArticle) and proposes nothing (depth >=
+    maxDepth), leaving the frontier empty — the reference news pipeline's
+    steady state."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.crawl import CrawlEngine
+    from delver_spark.operators.frontier import FRONTIER_SCHEMA
+    from delver_spark.sources.rss import rss_requests
+
+    pages = pq.read_table(os.path.join(news_corpus, "pages.parquet"),
+                          columns=["url_canon"]).to_pylist()
+    items = [r["url_canon"] for r in pages[:12]]
+    feed = ("<?xml version='1.0'?><rss><channel>"
+            + "".join(f"<item><link>{u}</link></item>" for u in items)
+            + "</channel></rss>")
+    feeds = spark.createDataFrame([("http://feed.test/rss", feed)],
+                                  "feed_url string, body string")
+    reqs = rss_requests(feeds)
+    assert reqs.count() == len(set(items))
+
+    wd = str(tmp_path_factory.mktemp("crawl_rss_news"))
+    eng = CrawlEngine(spark, news_corpus, wd, mode="news")
+    # publish the RSS requests as the frontier (depth 1, request order)
+    rows = reqs.select(
+        F.lit(0).alias("priority"), F.lit(0).alias("enqueue_round"),
+        (F.monotonically_increasing_id()).alias("enqueue_seq"),
+        "url", "host", F.col("depth").cast("int"),
+        F.col("origin")).collect()
+    eng.frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA) \
+        .localCheckpoint(eager=True)
+    eng.frontier_count = len(rows)
+    eng._base_count = len(rows)
+    eng.seq = len(rows)
+    eng.run()
+
+    order = eng.crawl_order_df()
+    assert sorted(order["url_canon"]) == sorted(set(items))
+    assert eng.frontier_count == 0  # depth-1 pages propose nothing
+    # every successfully fetched request became an article
+    parts = eng.store.part_dirs("documents", eng.round)
+    import pandas as pd
+    frames = [pq.read_table(p).to_pandas() for p in parts]
+    if eng.documents:
+        frames.append(pd.concat(eng.documents, ignore_index=True))
+    docs = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    fetched_ok = set(order[order["success"]]["url_canon"])
+    assert set(docs["url_canon"]) == fetched_ok

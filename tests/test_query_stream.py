@@ -102,3 +102,27 @@ def test_stream_windowed_agg(spark, tmp_path):
     rows = out.collect()
     assert sum(int(r["n"]) for r in rows) == 4
     assert all(r["bucket_start"] % 3600 == 0 for r in rows)
+
+
+def test_stream_dedup_first_occurrence(spark, tmp_path):
+    from delver_spark.streaming.stream import stream_dedup
+
+    rows = [
+        ("http://a.test/1", "a.test", "a.test", 200, NOW - 10, "t1",
+         "x", "en", [], []),
+        ("http://a.test/1", "a.test", "a.test", 200, NOW - 5, "t1-dup",
+         "x", "en", [], []),
+        ("http://a.test/2", "a.test", "a.test", 200, NOW - 8, "t2",
+         "x", "en", [], []),
+        ("http://a.test/2", "a.test", "a.test", 200, NOW - 2, "t2-dup",
+         "x", "en", [], []),
+        ("http://b.test/1", "b.test", "b.test", 200, NOW - 1, "t3",
+         "x", "en", [], []),
+    ]
+    docs = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    d = str(tmp_path / "docs_dedup")
+    docs.write.parquet(d)
+    out = run_to_memory(stream_dedup(document_stream(spark, d)),
+                        "dedup_stream", spark)
+    urls = sorted(r["url_canon"] for r in out.collect())
+    assert urls == ["http://a.test/1", "http://a.test/2", "http://b.test/1"]
