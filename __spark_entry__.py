@@ -411,6 +411,12 @@ def ann_ivf_label(spark, sf):
     return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 5)
 
 
+def ann_ivf_nprobe(spark, sf):
+    """Multi-cell IVF probe: the query's cell plus the 2 next cells by
+    exact summed-centroid dot product (engine-exact ranking)."""
+    return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 8, n_probe=3)
+
+
 def text_token_count(spark, sf):
     """Token counting over documents (whitespace tokenizer)."""
     return _txt.token_count(_t(spark, sf, "documents"))
@@ -575,6 +581,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_phash_hamming": dedup_phash_hamming,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
+    "ann_ivf_nprobe": ann_ivf_nprobe,
     "text_token_count": text_token_count,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_score": text_quality_score,
@@ -960,6 +967,37 @@ def oracle_sql() -> dict[str, str]:
               FROM q, query WHERE q.label = query.qlabel AND vec_id <> 0)
             SELECT vec_id, label, dot_milli2 FROM dots
             ORDER BY dot_milli2 DESC, vec_id LIMIT 5
+        """,
+        "ann_ivf_nprobe": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            query AS (SELECT qv AS qq, label AS qlabel FROM q WHERE vec_id = 0),
+            ex AS (
+              SELECT vec_id, label, i, qv[i] AS val
+              FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+            cell_sums AS (
+              SELECT label, i, CAST(sum(val) AS BIGINT) AS s
+              FROM ex WHERE label <> (SELECT qlabel FROM query)
+              GROUP BY label, i),
+            cell_scores AS (
+              SELECT cs.label, CAST(sum(cs.s * query.qq[cs.i]) AS BIGINT) AS score
+              FROM cell_sums cs, query GROUP BY cs.label),
+            probe AS (
+              SELECT qlabel AS label FROM query
+              UNION ALL
+              SELECT label FROM (
+                SELECT label FROM cell_scores
+                ORDER BY score DESC, label LIMIT 2)),
+            dots AS (
+              SELECT vec_id, q.label,
+                     (SELECT CAST(sum(q.qv[i] * query.qq[i]) AS BIGINT)
+                      FROM unnest(generate_series(1, len(q.qv))) AS g(i)) AS dot_milli2
+              FROM q, query
+              WHERE q.label IN (SELECT label FROM probe) AND vec_id <> 0)
+            SELECT vec_id, label, dot_milli2 FROM dots
+            ORDER BY dot_milli2 DESC, vec_id LIMIT 8
         """,
         "text_bpe_tokens": """
             SELECT doc_id,

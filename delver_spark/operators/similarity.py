@@ -59,17 +59,23 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
     qvec, qcell = list(qrow["q"]), qrow[cell_col]
     cells = [qcell]
     if n_probe > 1:
-        # rank the OTHER cells by centroid dot product with the query —
-        # centroids are one tiny agg over (cell, dim), driver-collected
+        # rank the OTHER cells by the EXACT integer dot product between
+        # the query and each cell's SUMMED vector (one tiny agg over
+        # (cell, dim), driver-collected). Unnormalized sums instead of
+        # float centroids keep the ranking engine-exact (a DuckDB twin
+        # computes bit-identical longs; float-averaged centroids would
+        # tie-break on summation order) at the cost of a documented bias
+        # toward larger cells; ties break on the cell id.
         cen = (q.filter(F.col(cell_col) != qcell)
                .select(cell_col, F.posexplode("q").alias("i", "v"))
-               .groupBy(cell_col, "i").agg(F.avg("v").alias("c"))
+               .groupBy(cell_col, "i").agg(F.sum("v").alias("s"))
                .collect())
         score: dict = {}
         for r in cen:
-            score[r[cell_col]] = score.get(r[cell_col], 0.0) + r["c"] * qvec[r["i"]]
-        cells += [c for c, _ in sorted(score.items(),
-                                       key=lambda kv: -kv[1])][: n_probe - 1]
+            score[r[cell_col]] = score.get(r[cell_col], 0) \
+                + int(r["s"]) * int(qvec[r["i"]])
+        ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        cells += [c for c, _ in ranked][: n_probe - 1]
     qq = F.array(*[F.lit(int(v)) for v in qvec])
     return (q.filter(F.col(cell_col).isin(cells) & (F.col(id_col) != query_id))
             .select(id_col, cell_col,
