@@ -877,7 +877,7 @@ class CrawlEngine:
         self.store.commit({
             "round": rnd, "seq": self.seq, "fetch_seq": self.fetch_seq,
             "frontier_count": self.frontier_count, "bloom_n": self.bloom.n,
-            "frontier_dir": fdir, "url_store_dir": sdir,
+            "frontier_dir": fdir, "url_store_dir": sdir, "mode": self.mode,
         })
 
     # ----------------------------------------------------------------- resume
@@ -889,6 +889,7 @@ class CrawlEngine:
         if m is None:
             raise FileNotFoundError(f"no committed snapshot under {workdir}")
         eng.round = m["round"]
+        eng.mode = m.get("mode", "dfs")
         eng.seq = m["seq"]
         eng.fetch_seq = m["fetch_seq"]
         eng.frontier_count = m["frontier_count"]

@@ -135,3 +135,43 @@ def test_rss_feeds_news_pipeline(spark, news_corpus, tmp_path_factory):
     docs = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     fetched_ok = set(order[order["success"]]["url_canon"])
     assert set(docs["url_canon"]) == fetched_ok
+
+
+def test_news_big_g_path_matches_oracle(spark, tmp_path_factory):
+    """News admission through the BIG-G plan (direct payload scan,
+    n_parts > 1 admission shuffle, distributed order artifacts) must
+    stay bit-exact too."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_news_bigg"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=17, max_rounds=5,
+                    global_budget=20000, per_host_budget=50,
+                    path_style="news")
+    oracle = run_oracle(d, mode="news")
+    assert any(r["depth"] == 1 for r in oracle.crawl_order)
+    wd = str(tmp_path_factory.mktemp("crawl_news_bigg"))
+    eng = CrawlEngine(spark, d, wd, mode="news")
+    eng.run()
+    df = eng.crawl_order_df()
+    so = list(zip(df["seq"], df["url_canon"]))
+    oo = [(r["seq"], r["url_canon"]) for r in oracle.crawl_order]
+    assert so == oo
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
+def test_news_resume_equals_uninterrupted(spark, news_corpus, news_oracle,
+                                          tmp_path_factory):
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_news_resume"))
+    eng1 = CrawlEngine(spark, news_corpus, wd, mode="news")
+    eng1.run(max_rounds=1)
+    eng2 = CrawlEngine.resume(spark, news_corpus, wd)
+    assert eng2.mode == "news"  # restored from the snapshot manifest
+    eng2.run()
+    df = eng2.crawl_order_df()
+    so = list(zip(df["seq"], df["url_canon"]))
+    oo = [(r["seq"], r["url_canon"]) for r in news_oracle.crawl_order]
+    assert so == oo
