@@ -207,10 +207,15 @@ class OracleCrawler:
     def run(self) -> CrawlResult:
         res = CrawlResult()
         rnd = 0
-        for url, priority in self.seeds:
+        for s in self.seeds:
+            # (url, priority[, depth[, origin]]) — depth/origin let RSS
+            # FetcherRequests (depth 1, origin=feed) seed a news crawl
+            url, priority = s[0], s[1]
+            depth = int(s[2]) if len(s) > 2 else 0
+            origin = s[3] if len(s) > 3 else ""
             c = canonicalize(url)
             if c is not None:
-                self._enqueue(c, 0, "", 0, priority)
+                self._enqueue(c, depth, origin, 0, priority)
 
         while rnd < self.max_rounds:
             if not self.frontier:

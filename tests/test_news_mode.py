@@ -111,11 +111,9 @@ def test_rss_feeds_news_pipeline(spark, news_corpus, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("crawl_rss_news"))
     eng = CrawlEngine(spark, news_corpus, wd, mode="news")
     # publish the RSS requests as the frontier (depth 1, request order)
-    rows = reqs.select(
-        F.lit(0).alias("priority"), F.lit(0).alias("enqueue_round"),
-        (F.monotonically_increasing_id()).alias("enqueue_seq"),
-        "url", "host", F.col("depth").cast("int"),
-        F.col("origin")).collect()
+    req_rows = reqs.collect()
+    rows = [(0, 0, i, r["url"], r["host"], int(r["depth"]), r["origin"])
+            for i, r in enumerate(req_rows)]
     eng.frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA) \
         .localCheckpoint(eager=True)
     eng.frontier_count = len(rows)
@@ -126,6 +124,25 @@ def test_rss_feeds_news_pipeline(spark, news_corpus, tmp_path_factory):
     order = eng.crawl_order_df()
     assert sorted(order["url_canon"]) == sorted(set(items))
     assert eng.frontier_count == 0  # depth-1 pages propose nothing
+
+    # full oracle equality with the same RSS-seeded frontier
+    from delver_spark.oracle.crawler import OracleCrawler, load_corpus
+    pages_o, robots_o, _, params = load_corpus(news_corpus)
+    seeds = [(r["url"], 0, int(r["depth"]), r["origin"]) for r in req_rows]
+    oc = OracleCrawler(
+        pages_o, robots_o, seeds,
+        max_depth=params["max_depth"],
+        per_host_budget=params["per_host_budget"],
+        global_budget=params["global_budget"],
+        max_rounds=params["max_rounds"],
+        bloom_max_n=params["bloom_max_n"], bloom_p=params["bloom_p"],
+        bloom_count=params.get("bloom_count", 1), mode="news")
+    res = oc.run()
+    oo = [(r["seq"], r["url_canon"]) for r in res.crawl_order]
+    so = list(zip(order["seq"], order["url_canon"]))
+    assert so == oo
+    assert np.array_equal(res.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
     # every successfully fetched request became an article
     parts = eng.store.part_dirs("documents", eng.round)
     import pandas as pd
@@ -175,3 +192,55 @@ def test_news_resume_equals_uninterrupted(spark, news_corpus, news_oracle,
     so = list(zip(df["seq"], df["url_canon"]))
     oo = [(r["seq"], r["url_canon"]) for r in news_oracle.crawl_order]
     assert so == oo
+
+
+def test_news_rotation_and_poison_combined(spark, tmp_path_factory):
+    """Stress pin: news mode + rolling-bloom rotation mid-crawl + one
+    poison payload, all at once — engine must still match the oracle on
+    order, quarantine, and every bloom generation."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_news_stress"))
+    # news mode inserts ONLY admitted urls, so the bloom must be tiny
+    # for a rotation to fire within the crawl
+    generate_corpus(d, n_pages=200, n_hosts=10, seed=13, max_rounds=8,
+                    path_style="news", bloom_max_n=3, bloom_count=2)
+    clean = run_oracle(d, mode="news")
+    assert len(clean.bloom.blooms) > 1  # rotation actually fired
+    victim = next((r["url_canon"] for r in clean.crawl_order
+                   if r["round"] >= 1 and r["success"]), None)
+    if victim is None:
+        victim = next(r["url_canon"] for r in clean.crawl_order
+                      if r["success"])
+    pp = os.path.join(d, "pages.parquet")
+    t = pq.read_table(pp)
+    urls = t.column("url_canon").to_pylist()
+    blobs = t.column("bytes").to_pylist()
+    blobs[urls.index(victim)] = b"junk"
+    cols = {n: t.column(n) for n in t.column_names}
+    cols["bytes"] = pa.array(blobs, type=pa.binary())
+    shutil.rmtree(pp) if os.path.isdir(pp) else os.remove(pp)
+    pq.write_table(pa.table(cols), pp, row_group_size=2048)
+
+    oracle = run_oracle(d, mode="news", poison_urls={victim})
+    wd = str(tmp_path_factory.mktemp("crawl_news_stress"))
+    eng = CrawlEngine(spark, d, wd, mode="news")
+    eng.run()
+
+    df = eng.crawl_order_df()
+    so = list(zip(df["seq"], df["url_canon"]))
+    oo = [(r["seq"], r["url_canon"]) for r in oracle.crawl_order]
+    assert so == oo
+    assert list(eng.quarantine_df()["url_canon"]) == \
+        [q["url_canon"] for q in oracle.quarantine]
+    assert len(eng.bloom.blooms) == len(oracle.bloom.blooms)
+    for a, b in zip(eng.bloom.blooms, oracle.bloom.blooms):
+        assert np.array_equal(a.bit_positions(), b.bit_positions())
+        assert a.n == b.n
