@@ -904,8 +904,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, i, qv[i] AS val
               FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
             tb AS (SELECT t.t, b.b
-                   FROM (SELECT unnest(generate_series(0,11)) AS t) t,
-                        (SELECT unnest(generate_series(0,7)) AS b) b),
+                   FROM (SELECT unnest(generate_series(0,23)) AS t) t,
+                        (SELECT unnest(generate_series(0,15)) AS b) b),
             dims AS (SELECT DISTINCT i FROM ex),
             w AS (
               SELECT t, b, i,

@@ -351,7 +351,7 @@ def _rhp_weights_cached(dim: int, n_tables: int, n_bits: int):
 def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold_milli: int = 950,
-                        n_tables: int = 12, n_bits: int = 8,
+                        n_tables: int = 24, n_bits: int = 16,
                         bucket_cap: int | None = None) -> DataFrame:
     """Scale-safe embedding near-dup: random-hyperplane LSH candidate
     buckets + exact integer-cosine verify — the replacement for the
@@ -364,11 +364,19 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
     the same banded-join shape as minhash — one shuffle on the bucket
     key, NEVER a cross join. Verify: exact int-quantized cosine of
     candidates only, same arithmetic as the all-pairs form, so every
-    emitted pair carries the exact score. Miss probability per true pair
-    at cos=0.95 is (1-0.9^8)^12 ≈ 2e-3 and falls fast with similarity;
-    tests/test_dedup_scale.py pins recall == all-pairs on a planted
-    near-dup corpus. At 100 TB: |docs| × n_tables bucket rows, bucket
-    skew handled by ``bucket_cap`` salting (_self_join_pairs)."""
+    emitted pair carries the exact score.
+
+    Parameter choice is measured, not guessed (bench_dedup.py at 50k
+    random vectors + planted dups): 12×8-bit signatures collide at
+    ~0.46%/table for RANDOM pairs — 66M candidates at n=50k, a
+    quadratic constant that kills 100 TB. 24×16-bit signatures push the
+    random collision to 24·2⁻¹⁶ ≈ 3.7e-4 while keeping the miss
+    probability per TRUE pair tiny ((1-0.936¹⁶)²⁴ ≈ 4e-5 at cos 0.98,
+    ~0.8% at the 0.95 boundary); candidate volume then tracks the true
+    duplicate density (Σ bucket²), not n². Recall == all-pairs is pinned
+    on a planted corpus by tests/test_dedup_scale.py. At 100 TB:
+    |docs| × n_tables bucket rows, bucket skew handled by ``bucket_cap``
+    salting (_self_join_pairs)."""
     from pyspark.sql.functions import pandas_udf
 
     q = emb.select(
