@@ -360,8 +360,12 @@ def dedup_exact(spark, sf):
 
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates: 8 md5-based hashes over the distinct
-    token set, 4 bands of 2 → pairs sharing any band bucket."""
-    return _dedup.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    token set, 4 bands of 2 → pairs sharing any band bucket. bucket_cap
+    routes oversized duplicate clusters through the salted self-join
+    (identical output, skew-safe plan) so the driver's correctness gate
+    exercises the salted path too."""
+    return _dedup.minhash_lsh_pairs(_t(spark, sf, "documents"),
+                                    bucket_cap=2048)
 
 
 def dedup_ngram_jaccard(spark, sf):
