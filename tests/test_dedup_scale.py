@@ -109,3 +109,11 @@ def test_phash_hamming_planted(spark):
     assert dist.loc[(0, 1)] == 0
     assert dist.loc[(0, 2)] == 3
     assert dist.loc[(0, 3)] == 2
+
+
+def test_embedding_lsh_bucket_cap_exact(planted_emb):
+    """The salted bucket join must not change the embedding-LSH output."""
+    plain = D.embedding_lsh_pairs(planted_emb).toPandas()
+    salted = D.embedding_lsh_pairs(planted_emb, bucket_cap=2).toPandas()
+    assert len(plain) > 10
+    assert salted.values.tolist() == plain.values.tolist()

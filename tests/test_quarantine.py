@@ -76,3 +76,45 @@ def test_poison_changes_crawl_vs_clean(poison_corpus):
     co = [(r["seq"], r["url_canon"]) for r in clean.crawl_order]
     po = [(r["seq"], r["url_canon"]) for r in poisoned.crawl_order]
     assert co != po
+
+
+def test_poison_row_quarantined_on_big_g_distributed_path(
+        spark, tmp_path_factory):
+    """The distributed-artifact branch (big-G default) writes the
+    quarantine parquet per round instead of buffering — same oracle
+    equality, artifact read back through quarantine_df."""
+    import shutil
+
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_poison_bigg"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=11, max_rounds=4,
+                    global_budget=20000, per_host_budget=50)
+    clean = run_oracle(d)
+    victim = next(r["url_canon"] for r in clean.crawl_order
+                  if r["round"] >= 1 and r["success"])
+    pages_path = os.path.join(d, "pages.parquet")
+    tbl = pq.read_table(pages_path)
+    urls = tbl.column("url_canon").to_pylist()
+    blobs = tbl.column("bytes").to_pylist()
+    blobs[urls.index(victim)] = b"\xff\xfe"
+    cols = {name: tbl.column(name) for name in tbl.column_names}
+    cols["bytes"] = pa.array(blobs, type=pa.binary())
+    shutil.rmtree(pages_path) if os.path.isdir(pages_path) \
+        else os.remove(pages_path)
+    pq.write_table(pa.table(cols), pages_path, row_group_size=2048)
+
+    oracle = run_oracle(d, poison_urls={victim})
+    wd = str(tmp_path_factory.mktemp("crawl_poison_bigg"))
+    eng = CrawlEngine(spark, d, wd)
+    assert eng.collect_order is False  # big-G default: distributed artifacts
+    eng.run()
+    q = eng.quarantine_df()
+    assert list(q["url_canon"]) == [victim]
+    oo = [(r["seq"], r["url_canon"]) for r in oracle.crawl_order]
+    df = eng.crawl_order_df()
+    so = list(zip(df["seq"], df["url_canon"]))
+    assert so == oo
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
