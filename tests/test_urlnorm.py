@@ -62,3 +62,31 @@ def test_sld_tld_naive_split():
 def test_sld():
     assert sld("news.example.com") == "example"
     assert sld("localhost") == "localhost"
+
+
+def test_resolve_fast_path_differential_fuzz():
+    """The absolute-href fast path must be bit-identical to urljoin (incl.
+    its ValueError → None cases) — fuzzed over the FSM's URL alphabet
+    plus control characters and pathological scheme/netloc shapes."""
+    import numpy as np
+    from urllib.parse import urljoin
+
+    from delver_spark.engine.urlnorm import resolve
+
+    def resolve_naive(base, href):
+        try:
+            return urljoin(base, href)
+        except ValueError:
+            return None
+
+    rng = np.random.default_rng(17)
+    charset = list("ABCdefgh0129-._~:/?#[]@!$%&()*+,;= \\") + ["\t", "\n", "\r"]
+    bases = ["http://a.test/x/y", "http://a.test",
+             "https://www.a.test/p?q=1"]
+    prefixes = ["http://", "https://", "HTTP://", "", "/", "../",
+                "http:/", "http://h:70000/"]
+    for _ in range(20000):
+        body = "".join(rng.choice(charset, int(rng.integers(0, 40))))
+        href = prefixes[int(rng.integers(0, len(prefixes)))] + body
+        for b in bases:
+            assert resolve(b, href) == resolve_naive(b, href), repr(href)
