@@ -9,13 +9,22 @@ Scale notes (100 TB corpus):
   - MinHash+LSH: tokens explode → per-(doc, perm) min — map-side partial
     aggregation keeps the shuffle at |docs|×perms rows; band self-join is
     a shuffle on (band_id, band_val) whose skew mirrors true duplicate
-    clusters (salt if a cluster exceeds a partition);
+    clusters — oversized buckets route through the SALTED self-join
+    (`_self_join_pairs(bucket_cap=...)`), and `minhash_lsh_verified`
+    adds the post-LSH exact-Jaccard stage so LSH false positives never
+    reach the output;
   - SimHash: same explode shape, 16-bit signature → bucket-join on the
     signature;
-  - n-gram Jaccard: shared-shingle join (never a cross join) — candidates
-    only where at least one shingle collides;
-  - embedding cosine: exact int dot products over quantized vectors; at
-    scale, pre-bucket by IVF cell (see similarity.py) before pairing.
+  - n-gram Jaccard: DF-capped shared-shingle candidate join (stop-
+    shingles excluded — one hot key alone is O(n²)) + exact full-set
+    verify, never a cross join;
+  - embedding near-dup: `embedding_lsh_pairs` (random-hyperplane
+    buckets + exact int-cosine verify, parameters measured by
+    bench_dedup.py) is the scale path; `embedding_cosine_pairs` remains
+    the small-N all-pairs oracle twin;
+  - cluster assignment: `connected_components` (iterative min-label
+    propagation, O(diameter) shuffles); `phash_hamming_pairs` for
+    perceptual-hash image dedup (banded join + bit_count verify).
 """
 
 from __future__ import annotations
