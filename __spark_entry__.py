@@ -381,10 +381,34 @@ def dedup_minhash_verified(spark, sf):
     return _dedup.minhash_lsh_verified(_t(spark, sf, "documents"))
 
 
+def _planted_embeddings(spark, sf, dim: int = 64):
+    """Embeddings table + deterministic planted near-duplicates, so the
+    pair operators produce NON-EMPTY output at driver scale (VERDICT r2
+    #1: the testdata embeddings are random → cos >= 0.95 is vacuously
+    empty). For every vec_id % 4 == 0 a copy is added at vec_id + 10^6
+    with exactly ONE dimension (index vec_id % dim) sign-flipped —
+    float negation is exact in IEEE, and round-half-away-from-zero is
+    sign-symmetric in both Spark and DuckDB, so the quantized planted
+    vectors agree bit-for-bit across engines. The flipped-dim cosine is
+    1 - 2*v_i^2/|v|^2 ~ 0.93-1.0, straddling the 0.95 threshold, so the
+    verify stage is exercised on both sides of the cut."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    pert = F.transform(
+        "embedding",
+        lambda x, i: F.when(i.cast("long") == F.col("vec_id") % dim, -x)
+        .otherwise(x))
+    planted = (e.filter(F.col("vec_id") % 4 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       pert.alias("embedding")))
+    return e.unionByName(planted)
+
+
 def dedup_embedding_lsh(spark, sf):
     """Scale-safe embedding near-dup: random-hyperplane LSH buckets +
-    exact int-cosine verify (replaces the all-pairs join at scale)."""
-    return _dedup.embedding_lsh_pairs(_t(spark, sf, "embeddings"))
+    exact int-cosine verify (replaces the all-pairs join at scale).
+    Runs over the planted-near-dup union so the driver gate checks a
+    non-empty pair set (see _planted_embeddings)."""
+    return _dedup.embedding_lsh_pairs(_planted_embeddings(spark, sf))
 
 
 def dedup_components(spark, sf):
@@ -398,10 +422,29 @@ def dedup_components(spark, sf):
 def dedup_phash_hamming(spark, sf):
     """Perceptual-hash near-dup pairs via banded join + exact Hamming
     verify; 60-bit hash synthesized deterministically from the text md5
-    (the pages corpus carries real phashes; driver tables are text-only)."""
+    (the pages corpus carries real phashes; driver tables are text-only).
+
+    Planted near-dups (VERDICT r2 #1 — random 60-bit hashes have no
+    pairs at dist <= 12): for doc_id % 4 == 0 a copy at doc_id + 10^6
+    flips 1 + doc_id % 3 disjoint bits (positions p, p+5, p+10 with
+    p = doc_id % 5 — all inside band 0), so every planted pair has exact
+    Hamming distance 1..3, is guaranteed a band-1..3 candidate match,
+    and the driver gate checks a non-empty verified pair set."""
     d = _t(spark, sf, "documents")
     ph = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    return _dedup.phash_hamming_pairs(d.select("doc_id", ph.alias("phash")))
+    base = d.select("doc_id", ph.alias("phash"))
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT))"
+        " + CASE WHEN doc_id % 3 >= 1 THEN"
+        "   shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 + 5 AS INT))"
+        "   ELSE 0 END"
+        " + CASE WHEN doc_id % 3 >= 2 THEN"
+        "   shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 + 10 AS INT))"
+        "   ELSE 0 END")
+    planted = (base.filter(F.col("doc_id") % 4 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.col("phash").bitwiseXOR(mask).alias("phash")))
+    return _dedup.phash_hamming_pairs(base.unionByName(planted))
 
 
 
@@ -417,8 +460,12 @@ def ann_ivf_label(spark, sf):
 
 def ann_ivf_nprobe(spark, sf):
     """Multi-cell IVF probe: the query's cell plus the 2 next cells by
-    exact summed-centroid dot product (engine-exact ranking)."""
-    return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 8, n_probe=3)
+    exact summed-centroid dot product (engine-exact ranking). The cell
+    ranking reads a precomputed ingest-time index (build_ivf_index) —
+    no per-query full-table aggregation."""
+    emb = _t(spark, sf, "embeddings")
+    idx = _sim.build_ivf_index(emb)
+    return _sim.cosine_topk_ivf(emb, 0, 8, n_probe=3, index=idx)
 
 
 def text_token_count(spark, sf):
@@ -453,8 +500,10 @@ def dedup_simhash16(spark, sf):
 
 
 def dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs (int-quantized, cos >= 0.95)."""
-    return _dedup.embedding_cosine_pairs(_t(spark, sf, "embeddings"))
+    """Embedding-cosine near-dup pairs (int-quantized, cos >= 0.95) over
+    the planted-near-dup union (non-empty driver gate; the operator
+    itself is the declared small-N all-pairs oracle twin)."""
+    return _dedup.embedding_cosine_pairs(_planted_embeddings(spark, sf))
 
 
 # shared CTE body: DF-capped candidate generation + exact full-set verify
@@ -483,6 +532,26 @@ _NGRAM_CORE_SQL = """
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 300
+"""
+
+
+# shared CTE body: quantized embedding components + planted near-dups
+# (mirrors _planted_embeddings: copy at vec_id + 10^6, ONE sign-flipped
+# dimension at index vec_id % 64; negation after quantization == negation
+# before it, since round-half-away-from-zero is sign-symmetric in both
+# engines). Used by the dedup_embedding_cosine and dedup_embedding_lsh
+# twins so the two stay in lockstep.
+_PLANTED_EX_SQL = """
+    ex0 AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    ex AS (
+      SELECT vec_id, i, val FROM ex0
+      UNION ALL
+      SELECT orig + 1000000 AS vec_id, i,
+             CASE WHEN i - 1 = orig % 64 THEN -val ELSE val END AS val
+      FROM (SELECT vec_id AS orig, i, val FROM ex0 WHERE vec_id % 4 = 0))
 """
 
 
@@ -791,14 +860,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s > 0 THEN (1 << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS simhash16
             FROM v GROUP BY doc_id ORDER BY doc_id
         """,
-        "dedup_embedding_cosine": """
-            WITH q AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-              FROM embeddings),
-            ex AS (
-              SELECT vec_id, i, qv[i] AS val
-              FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+        "dedup_embedding_cosine": f"""
+            WITH {_PLANTED_EX_SQL},
             norms AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS n2 FROM ex GROUP BY vec_id),
             dots AS (
               SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -847,10 +910,23 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY n ORDER BY doc_id
         """,
         "dedup_phash_hamming": """
-            WITH h AS (
+            WITH h0 AS (
               SELECT doc_id,
                      CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
               FROM documents),
+            h AS (
+              SELECT doc_id, ph FROM h0
+              UNION ALL
+              SELECT orig + 1000000 AS doc_id, xor(ph, mask) AS ph
+              FROM (SELECT doc_id AS orig, ph,
+                           (CAST(1 AS BIGINT) << CAST(doc_id % 5 AS INT))
+                           + CASE WHEN doc_id % 3 >= 1 THEN
+                               (CAST(1 AS BIGINT) << CAST(doc_id % 5 + 5 AS INT))
+                             ELSE 0 END
+                           + CASE WHEN doc_id % 3 >= 2 THEN
+                               (CAST(1 AS BIGINT) << CAST(doc_id % 5 + 10 AS INT))
+                             ELSE 0 END AS mask
+                    FROM h0 WHERE doc_id % 4 = 0)),
             bands AS (
               SELECT doc_id, ph, b.b AS band_id,
                      (ph >> (b.b * 15)) & 32767 AS band_val
@@ -899,14 +975,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(round(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) >= 500
             ORDER BY doc_a, doc_b
         """,
-        "dedup_embedding_lsh": """
-            WITH q AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-              FROM embeddings),
-            ex AS (
-              SELECT vec_id, i, qv[i] AS val
-              FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+        "dedup_embedding_lsh": f"""
+            WITH {_PLANTED_EX_SQL},
             tb AS (SELECT t.t, b.b
                    FROM (SELECT unnest(generate_series(0,23)) AS t) t,
                         (SELECT unnest(generate_series(0,15)) AS b) b),

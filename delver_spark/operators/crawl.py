@@ -103,7 +103,8 @@ class CrawlEngine:
                  n_partitions: int = 8, collect_documents: bool = True,
                  collect_order: bool | None = None,
                  hot_host_threshold: int | None = None,
-                 mode: str = "dfs"):
+                 mode: str = "dfs",
+                 param_overrides: dict | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
@@ -124,6 +125,12 @@ class CrawlEngine:
 
         with open(os.path.join(corpus_dir, "params.json")) as f:
             self.params = json.load(f)
+        # config-driven assembly (delver_spark/config.py): resource
+        # parameters from the application JSON override the corpus
+        # defaults, exactly like the reference's resource entries own
+        # bloom sizing etc. (main.go:286-317)
+        if param_overrides:
+            self.params.update(param_overrides)
         p = self.params
         self.max_depth = p["max_depth"]
         self.B = p["per_host_budget"]

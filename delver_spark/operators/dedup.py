@@ -244,6 +244,64 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
             .orderBy("doc_id"))
 
 
+def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
+                              id_b: str = "doc_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (the two-phase map of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — a public algorithm): same signature and
+    output as :func:`connected_components`, but converges in
+    O(log² n) rounds instead of O(diameter) — the swap-in for
+    adversarially long chains, where min-label propagation needs one
+    shuffle per hop (a 10⁵-node chain = 10⁵ shuffles; this closes it in
+    ~2·log rounds, see bench_components.py).
+
+    Each round is two grouped aggregations over the edge list:
+      large-star(u): m = min(Γ⁺(u)); emit (v, m) for v ∈ Γ(u), v > u
+      small-star(u): over big→small edges, m = min(Γ(u) ∪ {u});
+                     emit (v, m) for v ∈ Γ(u) \\ {m}, plus (u, m)
+    Edges stay canonically oriented big→small; convergence = the edge
+    set is a fixed point (every node points at its component min).
+    Equality with min-label propagation is property-tested on random
+    graphs, chains, cycles and stars (tests/test_dedup_scale.py)."""
+    sym0 = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+            .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                      F.col(id_a).alias("v"))))
+    nodes = sym0.select("u").distinct().localCheckpoint(eager=True)
+    edges = (sym0.filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"),
+                                             F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(lmin, "u").filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        smin = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (large.join(smin, "u")
+                 .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+                 .filter(F.col("a") != F.col("b"))
+                 .unionByName(smin.select(F.col("u").alias("a"),
+                                          F.col("mn").alias("b")))
+                 .select(F.greatest("a", "b").alias("u"),
+                         F.least("a", "b").alias("v"))
+                 .distinct().localCheckpoint(eager=True))
+        done = (small.count() == edges.count()
+                and small.exceptAll(edges).isEmpty())
+        edges = small
+        if done:
+            break
+    comp = edges.select(F.col("u").alias("doc_id"),
+                        F.col("v").alias("component"))
+    roots = (nodes.join(comp, nodes.u == comp.doc_id, "left_anti")
+             .select(F.col("u").alias("doc_id"),
+                     F.col("u").alias("component")))
+    return comp.unionByName(roots).orderBy("doc_id")
+
+
 def phash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
                         phash_col: str = "phash", max_dist: int = 12,
                         n_bands: int = 4, band_bits: int = 15) -> DataFrame:
@@ -337,14 +395,19 @@ def _rhp_weights(dim: int, n_tables: int, n_bits: int):
     the signatures become one numpy matmul per Arrow batch."""
     import hashlib
 
-    w = np.empty((dim, n_tables * n_bits), dtype=np.int64)
-    for t in range(n_tables):
-        for b in range(n_bits):
-            col = t * n_bits + b
-            for i in range(dim):
-                h = hashlib.md5(f"{t}_{b}:{i}".encode()).digest()
-                w[i, col] = int.from_bytes(h[:2], "big") - 32768
-    return w
+    md5 = hashlib.md5
+    # one flat generator + a single frombuffer decode instead of the
+    # triple python loop with per-element int.from_bytes (VERDICT r2
+    # #3): same md5 inputs in the same (t, b, i) order, ~4× faster —
+    # 393k components at dim 1024 derive in ~0.15 s (bench row in
+    # BENCH/BASELINE.md); first-rows equality vs the loop derivation is
+    # pinned by tests/test_dedup_scale.py::test_rhp_weights_derivation.
+    buf = b"".join(md5(b"%d_%d:%d" % (t, b, i)).digest()[:2]
+                   for t in range(n_tables)
+                   for b in range(n_bits)
+                   for i in range(dim))
+    w = np.frombuffer(buf, dtype=">u2").astype(np.int64) - 32768
+    return np.ascontiguousarray(w.reshape(n_tables * n_bits, dim).T)
 
 
 _RHP_CACHE: dict = {}
@@ -361,7 +424,8 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold_milli: int = 950,
                         n_tables: int = 24, n_bits: int = 16,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        dim: int | None = None) -> DataFrame:
     """Scale-safe embedding near-dup: random-hyperplane LSH candidate
     buckets + exact integer-cosine verify — the replacement for the
     all-pairs ``embedding_cosine_pairs`` join (VERDICT r1 #1; keep the
@@ -395,14 +459,21 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
     # quantization stays a Spark expression (F.round is HALF_UP in both
     # Spark and DuckDB; numpy would banker's-round) — only the
     # threshold-free sign computation runs in numpy. Weights are derived
-    # lazily per worker from the first batch's dimension (6144 md5s,
-    # sub-ms) — no driver dim-lookup job, nothing broadcast.
+    # lazily per worker from the first batch's dimension (24.5k md5s at
+    # dim 64, ~25 ms) — no driver dim-lookup job, nothing broadcast.
+    # For big dims the derivation is ~0.4 s/worker-process (393k md5s at
+    # dim 1024, VERDICT r2 #3): pass ``dim`` to derive the matrix ONCE
+    # driver-side and ship it in the UDF closure instead (unpickling a
+    # dim×384 int64 array is ~ms — cheaper than any re-derivation).
     tb = (n_tables, n_bits)
+    w_pre = _rhp_weights_cached(dim, n_tables, n_bits) \
+        if dim is not None else None
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def signatures(qs: pd.Series) -> pd.Series:
         m = np.stack(qs.values).astype(np.int64)        # (n, dim)
-        w = _rhp_weights_cached(m.shape[1], *tb)
+        w = w_pre if w_pre is not None \
+            else _rhp_weights_cached(m.shape[1], *tb)
         bits = (m @ w) >= 0                             # (n, T*B)
         shifts = np.tile(1 << np.arange(n_bits, dtype=np.int64),
                          w.shape[1] // n_bits)

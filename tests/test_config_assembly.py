@@ -1,0 +1,151 @@
+"""Config-driven pipeline assembly (main.go:51-82, config/app.go:8-34):
+a reference-shaped JSON application — resources wired into workers by
+name — builds the dfs AND news engines, and each reproduces the existing
+engine ≡ oracle equalities. Plus wiring validation (the cases main.go
+log.Fatals on)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from delver_spark.config import (ConfigError, build_engine,
+                                 load_application)
+from delver_spark.oracle.crawler import run_oracle
+
+
+def _app_json(corpus_dir: str, workdir: str, accumulator: str,
+              bloom_params: dict | None = None) -> dict:
+    """A reference-shaped application document (cf. the CreateResource /
+    CreateWorker type strings and json parameter tags)."""
+    return {
+        "config": {"workers": {"enabled": True, "worker_counts": 8}},
+        "resources": [
+            {"name": "frontier_queue", "type": "file_queue",
+             "parameters": {"path": workdir, "resilient": True}},
+            {"name": "transformer_queue", "type": "channel_queue"},
+            {"name": "object_store", "type": "filesystem_object_store",
+             "parameters": {"path": corpus_dir}},
+            {"name": "seen_urls", "type": "rolling_bloom_filter",
+             "parameters": bloom_params or {}},
+            {"name": "visited_hosts", "type": "persistent_map",
+             "parameters": {}},
+        ],
+        "workers": [
+            {"name": "seeder", "type": "fixed_seed_publisher",
+             "manager": "job", "interval": 1,
+             "outbox": "frontier_queue", "parameters": {}},
+            {"name": "fetcher", "type": "http_fetcher",
+             "inbox": "frontier_queue", "outbox": "transformer_queue",
+             "parameters": {}},
+            {"name": "extractor", "type": "composite_extractor",
+             "inbox": "transformer_queue", "parameters": {}},
+            {"name": "accumulator", "type": accumulator,
+             "inbox": "transformer_queue", "outbox": "frontier_queue",
+             "parameters": {}},
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def news_corpus(tmp_path_factory):
+    from delver_spark.fixtures.gen import generate_corpus
+
+    d = str(tmp_path_factory.mktemp("corpus_cfg_news"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=13, max_rounds=6,
+                    path_style="news")
+    return d
+
+
+def _run_from_config(spark, corpus, workdir, accumulator, tmp_path):
+    with open(f"{corpus}/params.json") as f:
+        p = json.load(f)
+    # the config OWNS the seen-set sizing (same values as the corpus →
+    # the override path is exercised AND equality must hold)
+    bloom = {"bloom_count": p.get("bloom_count", 1),
+             "max_n": p["bloom_max_n"], "p": p["bloom_p"]}
+    doc = _app_json(corpus, workdir, accumulator, bloom)
+    cfg_path = tmp_path / f"{accumulator}.json"
+    cfg_path.write_text(json.dumps(doc))
+    eng = build_engine(spark, str(cfg_path))
+    assert eng.mode == ("news" if accumulator == "news_accumulator"
+                        else "dfs")
+    assert eng.n_partitions == 8  # config.workers.worker_counts
+    eng.run()
+    return eng
+
+
+def test_dfs_engine_from_config_matches_oracle(spark, unit_corpus,
+                                               tmp_path):
+    oracle = run_oracle(unit_corpus)
+    eng = _run_from_config(spark, unit_corpus, str(tmp_path / "wd"),
+                           "dfs_basic_accumulator", tmp_path)
+    df = eng.crawl_order_df()
+    got = list(df[["seq", "url_canon", "depth", "round", "success"]]
+               .itertuples(index=False, name=None))
+    want = [(r["seq"], r["url_canon"], r["depth"], r["round"],
+             r["success"]) for r in oracle.crawl_order]
+    assert got == want
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
+def test_news_engine_from_config_matches_oracle(spark, news_corpus,
+                                                tmp_path):
+    oracle = run_oracle(news_corpus, mode="news")
+    eng = _run_from_config(spark, news_corpus, str(tmp_path / "wd"),
+                           "news_accumulator", tmp_path)
+    df = eng.crawl_order_df()
+    got = list(df[["seq", "url_canon", "depth", "round", "success"]]
+               .itertuples(index=False, name=None))
+    want = [(r["seq"], r["url_canon"], r["depth"], r["round"],
+             r["success"]) for r in oracle.crawl_order]
+    assert got == want
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+
+
+def test_bloom_resource_overrides_corpus_params(spark, unit_corpus,
+                                                tmp_path):
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator",
+                    {"bloom_count": 3, "max_n": 1234, "p": 0.01})
+    eng = build_engine(spark, doc)
+    assert eng.params["bloom_count"] == 3
+    assert eng.params["bloom_max_n"] == 1234
+    assert eng.bloom.max_n == 1234
+
+
+def test_validation_unknown_resource_type(tmp_path, unit_corpus):
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["resources"][0]["type"] = "quantum_queue"
+    with pytest.raises(ConfigError, match="unknown resource"):
+        load_application(doc)
+
+
+def test_validation_missing_inbox(tmp_path, unit_corpus):
+    """GetWorkerManager: a non-job worker must name an existing inbox."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["workers"][1]["inbox"] = "nonexistent_queue"
+    with pytest.raises(ConfigError, match="has no inbox"):
+        load_application(doc)
+
+
+def test_validation_unknown_worker_type(tmp_path, unit_corpus):
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["workers"][0]["type"] = "teleporter"
+    with pytest.raises(ConfigError, match="unknown worker type"):
+        load_application(doc)
+
+
+def test_job_manager_needs_no_inbox(unit_corpus, tmp_path):
+    """Publishers run under the job manager with only an outbox —
+    exactly the reference's seeder wiring (main.go:233-236)."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    app = load_application(doc)
+    seeder = [w for w in app.workers if w.name == "seeder"][0]
+    assert seeder.manager == "job" and seeder.inbox == ""

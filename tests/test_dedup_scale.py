@@ -117,3 +117,74 @@ def test_embedding_lsh_bucket_cap_exact(planted_emb):
     salted = D.embedding_lsh_pairs(planted_emb, bucket_cap=2).toPandas()
     assert len(plain) > 10
     assert salted.values.tolist() == plain.values.tolist()
+
+
+def test_embedding_lsh_precomputed_dim_exact(planted_emb):
+    """dim= ships the driver-derived weight matrix in the UDF closure —
+    identical output to per-worker lazy derivation."""
+    plain = D.embedding_lsh_pairs(planted_emb).toPandas()
+    pre = D.embedding_lsh_pairs(planted_emb, dim=64).toPandas()
+    assert len(plain) > 10
+    assert pre.values.tolist() == plain.values.tolist()
+
+
+def test_rhp_weights_derivation():
+    """The vectorized derivation must equal the documented per-component
+    spec: first 16 bits of md5('<t>_<b>:<i>') minus 32768 (the DuckDB
+    twin re-derives exactly this in SQL)."""
+    import hashlib
+
+    w = D._rhp_weights(5, 3, 4)
+    assert w.shape == (5, 12)
+    for t in range(3):
+        for b in range(4):
+            for i in range(5):
+                h = hashlib.md5(f"{t}_{b}:{i}".encode()).digest()
+                assert w[i, t * 4 + b] == int.from_bytes(h[:2], "big") - 32768
+
+
+def _cc_pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def _cc_dict(df):
+    p = df.toPandas()
+    return dict(zip(p["doc_id"], p["component"]))
+
+
+@pytest.mark.parametrize("edges", [
+    [(1, 2), (2, 3), (3, 7), (10, 11)],                  # chain + pair
+    [(i, i + 1) for i in range(30)],                     # long chain
+    [(i, (i + 1) % 20) for i in range(20)],              # cycle
+    [(0, i) for i in range(1, 15)],                      # star at min
+    [(14, i) for i in range(14)],                        # star at max
+    [(5, 5), (1, 2)],                                    # self-loop node
+])
+def test_star_cc_equals_min_label_fixed(spark, edges):
+    pairs = _cc_pairs(spark, edges)
+    assert _cc_dict(D.connected_components_star(pairs)) == \
+        _cc_dict(D.connected_components(pairs))
+
+
+def test_star_cc_equals_min_label_random(spark):
+    """Property: on random graphs the two CC implementations agree
+    (large-star/small-star is the documented swap-in for adversarial
+    chains — same signature, same output)."""
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = int(rng.integers(10, 50))
+        m = int(rng.integers(n // 2, 2 * n))
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, n, size=(m, 2))]
+        pairs = _cc_pairs(spark, edges)
+        assert _cc_dict(D.connected_components_star(pairs)) == \
+            _cc_dict(D.connected_components(pairs, max_iter=200)), \
+            f"trial {trial}: {edges}"
+
+
+def test_star_cc_converges_fast_on_chain(spark):
+    """The point of the swap-in: a 200-node chain closes in O(log²)
+    star rounds (min-label would need ~200 shuffle rounds)."""
+    pairs = _cc_pairs(spark, [(i, i + 1) for i in range(200)])
+    got = _cc_dict(D.connected_components_star(pairs, max_iter=12))
+    assert got == {i: 0 for i in range(201)}

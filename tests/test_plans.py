@@ -91,3 +91,32 @@ def test_ivf_cell_filter_pushes_to_scan(spark):
     # and no cartesian/broadcast-nested-loop join remains in the plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_nprobe_no_table_scan(spark):
+    """Multi-probe cell ranking must come from the precomputed index,
+    not a per-query full-table aggregation (VERDICT r2 "what's wrong"
+    #1): with an index supplied, building the probe plan runs at most
+    ONE Spark job (the 1-row query-vector lookup), and the returned
+    plan contains no exploded aggregation."""
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   cosine_topk_ivf)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(emb)
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_probe", "nprobe ranking must not scan the table")
+    try:
+        df = cosine_topk_ivf(emb, 0, 8, n_probe=3, index=idx)
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) <= 1, f"probe launched {len(jobs)} jobs: {jobs}"
+    plan = _plan(df)
+    assert "Generate" not in plan  # no posexplode of the table per probe
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "label" in pushed
+    # identical output to the self-built-index path (engine-exact ranking)
+    legacy = cosine_topk_ivf(emb, 0, 8, n_probe=3)
+    assert [tuple(r) for r in df.collect()] == \
+        [tuple(r) for r in legacy.collect()]
