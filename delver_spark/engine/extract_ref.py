@@ -389,6 +389,36 @@ _COMMON_WORDS = {
     "nl": "de van het een en in is dat op te zijn met voor niet aan er om "
           "ook als dan maar bij uit nog naar door over zij ze tot je deze "
           "hij heeft worden geen al waren veel meer doen onder hebben zou",
+    # round-3 widening (VERDICT r2 next #6): the next tier of Latin-script
+    # languages, profiles built from the same kind of embedded
+    # function-word lists (standard public linguistic facts)
+    "tr": "bir ve bu da ne için ile çok ben o ama gibi daha sonra kadar "
+          "değil bana seni onu şey var yok diye beni sen biz onlar kendi "
+          "her zaman burada olarak nasıl şimdi yine böyle bütün başka",
+    "pl": "nie to się na jest że i w z do jak po co tak za od ale jego "
+          "przez już tylko ma być może przed bardzo kiedy przy czy które "
+          "tego jestem był która mnie ciebie wszystko jeszcze gdzie",
+    "sv": "och i att det som en på är av för med den till inte om han hon "
+          "de men ett har du jag var sig från vi så kan när över man "
+          "skulle honom denna sina här efter mycket utan mellan",
+    "da": "og i at det en den til er af for med på han de ikke der var "
+          "jeg som du hun men sig hans havde hende ham et om kan vil "
+          "skal efter op ud ved også hvad hvor noget være blevet",
+    "no": "og i det at en til er som på de med han av ikke der så var "
+          "meg seg men et har om vi min mitt du deg hun henne ham da når "
+          "kan skal etter fra ble eller noe bare blitt andre",
+    "fi": "ja on ei se että hän oli mutta niin kuin minä sinä mitä tämä "
+          "kun nyt jos vain hänen ole joka me he siitä sitten kanssa "
+          "myös jo vielä olla sen mukaan jälkeen kaikki näin",
+    "ro": "de a în și să nu o pe un este cu la mai care ce pentru dar "
+          "avea fost dacă după cum fără asta sunt era când vrea unde "
+          "foarte fie lui prin acest între până ceva toate",
+    "cs": "a se na je to že v s z do jako ale po co tak už jen když být "
+          "může před velmi při jsem byl která jeho pro od tím nebo což "
+          "ještě také tady všechno nic kde tento svou",
+    "hu": "a az és nem hogy is egy ez van de volt mi én te ha azt csak "
+          "már meg mint el még mert ki mindig nagyon lenne itt ott akkor "
+          "majd ezt arra aki minden semmi vagy lehet úgy",
 }
 
 _PROFILE_SIZE = 120
@@ -429,6 +459,8 @@ def _trigram_language(tokens: list[str]) -> tuple[str, float]:
                    for g, r in text_profile.items())
         if best_dist is None or dist < best_dist:
             best, best_dist = lang, dist
+    if best_dist >= worst:  # zero profile overlap (digits/punct junk)
+        return "en", 0.0
     return best, 1.0 - best_dist / max(worst, 1)
 
 
@@ -448,13 +480,23 @@ def detect_language(text: str) -> tuple[str, float]:
           | ((cp >= 0xFF00) & (cp <= 0xFFEF)))
     ar = ((cp >= 0x0600) & (cp <= 0x06FF)) | ((cp >= 0x0750) & (cp <= 0x077F))
     ru = (cp >= 0x0400) & (cp <= 0x04FF)
+    # round-3 widening: kana / hangul / devanagari script ranges (the
+    # same decision whatlanggo's script detector makes — kana present →
+    # Japanese even when CJK ideographs dominate the glyph count)
+    kana = (cp >= 0x3040) & (cp <= 0x30FF)
+    ko = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))
+          | ((cp >= 0x3130) & (cp <= 0x318F)))
+    hi = (cp >= 0x0900) & (cp <= 0x097F)
     latin = (~zh & ~ar & ~ru
              & (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))
                 | ((cp >= 0xC0) & (cp <= 0x24F))))
     counts = {"zh": int(zh.sum()), "ar": int(ar.sum()), "ru": int(ru.sum()),
-              "latin": int(latin.sum())}
+              "ko": int(ko.sum()), "hi": int(hi.sum()),
+              "kana": int(kana.sum()), "latin": int(latin.sum())}
     total = sum(counts.values()) or 1
-    for lang in ("zh", "ar", "ru"):
+    if counts["kana"] > 0 and counts["kana"] + counts["zh"] >= 0.3 * total:
+        return "ja", (counts["kana"] + counts["zh"]) / total
+    for lang in ("zh", "ar", "ru", "ko", "hi"):
         if counts[lang] > 0 and counts[lang] >= 0.3 * total:
             return lang, counts[lang] / total
     return _latin_language(text)

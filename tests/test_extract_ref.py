@@ -158,6 +158,45 @@ def test_language_stopword_vote_still_primary():
     assert detect_language("el perro y la casa de madera")[0] == "es"
 
 
+def test_language_new_scripts():
+    """Round-3 widening: kana → ja (even mixed with kanji), hangul → ko,
+    devanagari → hi; the original zh/ar/ru goldens must be untouched."""
+    scenarios = {
+        "これはとても面白い本です": "ja",       # kana + kanji
+        "日本語を勉強しています": "ja",          # kanji-heavy, kana present
+        "안녕하세요 만나서 반갑습니다": "ko",
+        "한국어 문장이 여기 있습니다": "ko",
+        "यह एक अच्छी किताब है": "hi",
+        "मुझे हिन्दी बहुत पसंद है": "hi",
+        "你来自哪里？": "zh",                   # no kana → still zh
+    }
+    for text, want in scenarios.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert conf > 0.0
+
+
+def test_language_new_latin_profiles():
+    """Round-3 widening: tr/pl/sv/da/no/fi/ro/cs/hu resolve through the
+    Cavnar-Trenkle trigram ranking (no stopword rows — the existing
+    en/es/fr/de fast path is untouched)."""
+    scenarios = {
+        "ben bu şey için çok kadar değil ama sonra gibi": "tr",
+        "jest że przez już tylko bardzo kiedy które jego się": "pl",
+        "och att det som är inte från skulle när över": "sv",
+        "og ikke havde hende efter hvad hvor noget være blevet": "da",
+        "og det ikke meg seg etter når skal ble blitt": "no",
+        "ja on ei että hän mutta kuin minä kanssa vielä": "fi",
+        "și să nu este pentru dacă după fără foarte până": "ro",
+        "se že jako když může velmi jsem která ještě všechno": "cs",
+        "az és nem hogy egy volt csak már mint mindig": "hu",
+    }
+    for text, want in scenarios.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert 0.0 <= conf <= 1.0
+
+
 def test_sentiment_negation_and_valence():
     assert sentiment_binary("This is not good") == 0      # negation flips
     assert sentiment_binary("This is not bad at all") == 1
