@@ -407,8 +407,11 @@ def dedup_embedding_lsh(spark, sf):
     """Scale-safe embedding near-dup: random-hyperplane LSH buckets +
     exact int-cosine verify (replaces the all-pairs join at scale).
     Runs over the planted-near-dup union so the driver gate checks a
-    non-empty pair set (see _planted_embeddings)."""
-    return _dedup.embedding_lsh_pairs(_planted_embeddings(spark, sf))
+    non-empty pair set (see _planted_embeddings). dim=64 ships the
+    driver-derived hyperplane matrix in the UDF closure (identical
+    output, no per-worker re-derivation)."""
+    return _dedup.embedding_lsh_pairs(_planted_embeddings(spark, sf),
+                                      dim=64)
 
 
 def dedup_components(spark, sf):
@@ -417,6 +420,15 @@ def dedup_components(spark, sf):
     component = min doc id = the cluster keeper."""
     pairs = _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
     return _dedup.connected_components(pairs)
+
+
+def dedup_components_star(spark, sf):
+    """Duplicate-cluster assignment via the large-star/small-star CC
+    variant (O(log² n) rounds — the long-chain swap-in) over the same
+    ngram-Jaccard pair list; identical output to dedup_components, so
+    it shares the recursive-CTE DuckDB twin."""
+    pairs = _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    return _dedup.connected_components_star(pairs)
 
 
 def dedup_phash_hamming(spark, sf):
@@ -555,6 +567,24 @@ _PLANTED_EX_SQL = """
 """
 
 
+# connected components over the ngram-Jaccard pair list (reachability as
+# a recursive CTE) — shared verbatim by dedup_components (min-label) and
+# dedup_components_star (large-star/small-star), which must agree.
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE p AS ({_NGRAM_CORE_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+    gnodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM gnodes
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m)
+    SELECT n AS doc_id, min(m) AS component
+    FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # f8 oracle twin: the news.go blacklists expanded into SQL
 # ---------------------------------------------------------------------------
@@ -651,6 +681,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     "dedup_phash_hamming": dedup_phash_hamming,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
@@ -896,19 +927,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "dedup_ngram_jaccard": _NGRAM_CORE_SQL + " ORDER BY doc_a, doc_b",
-        "dedup_components": f"""
-            WITH RECURSIVE p AS ({_NGRAM_CORE_SQL}),
-            edges AS (
-              SELECT doc_a AS a, doc_b AS b FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-            gnodes AS (SELECT DISTINCT a AS n FROM edges),
-            reach AS (
-              SELECT n, n AS m FROM gnodes
-              UNION
-              SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m)
-            SELECT n AS doc_id, min(m) AS component
-            FROM reach GROUP BY n ORDER BY doc_id
-        """,
+        "dedup_components": _COMPONENTS_SQL,
+        # the star variant must produce the IDENTICAL component map, so
+        # it shares the twin verbatim — the driver gate then pins the
+        # large-star/small-star implementation independently of pytest
+        "dedup_components_star": _COMPONENTS_SQL,
         "dedup_phash_hamming": """
             WITH h0 AS (
               SELECT doc_id,
