@@ -58,6 +58,47 @@ class FilterParams:
     agg: Aggregator | None = None
 
 
+def filter_params_from_json(doc: dict) -> FilterParams:
+    """Parse a filter document with the reference's exact JSON field
+    names (types/rpc/filter.go:8-41: ``fields``/``range``/``data_type``/
+    ``query``/``agg`` with ``agg_name``/``time_field``/``agg_field``/
+    ``time_window_seconds``; the query payload dispatches on
+    ``data_type`` — composite vs metric, filter.go:5-6). This is the
+    wire format clients register filters with (gateway + api), so with
+    it the QUERY surface is config data too, like the application
+    assembly in delver_spark/config.py."""
+    data_type = doc.get("data_type", "composite")
+    raw = doc.get("query") or {}
+    query: CompositeFilterQuery | MetricFilterQuery
+    if data_type == "metric":
+        query = MetricFilterQuery(key=raw.get("key", ""),
+                                  start=int(raw.get("start", 0)),
+                                  end=int(raw.get("end", 0)))
+    elif data_type == "composite":
+        query = CompositeFilterQuery(
+            keyword=list(raw.get("keyword") or []),
+            country=list(raw.get("country") or []),
+            company=list(raw.get("company") or []),
+            url=list(raw.get("url") or []),
+            domain=list(raw.get("domain") or []),
+            http_code=[int(x) for x in (raw.get("http_code") or [])],
+            title=list(raw.get("title") or []),
+            language=list(raw.get("language") or []))
+    else:
+        raise ValueError(f"unknown filter data_type {data_type!r}")
+    agg = None
+    if doc.get("agg"):
+        a = doc["agg"]
+        agg = Aggregator(name=a.get("agg_name", ""),
+                         time_field=a.get("time_field", "timestamp"),
+                         agg_field=a.get("agg_field", "value"),
+                         time_window_seconds=int(
+                             a.get("time_window_seconds", 60)))
+    return FilterParams(fields=list(doc.get("fields") or []),
+                        range_days=int(doc.get("range", 0)),
+                        data_type=data_type, query=query, agg=agg)
+
+
 def compile_composite(q: CompositeFilterQuery, now_ts: int,
                       range_days: int = 0):
     """Conjunctive predicate. Faithful quirks: every list entry appends its

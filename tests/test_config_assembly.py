@@ -141,6 +141,31 @@ def test_validation_unknown_worker_type(tmp_path, unit_corpus):
         load_application(doc)
 
 
+def test_cli_main_runs_config(spark, unit_corpus, tmp_path, capsys):
+    """The reference's program surface (main.go:43-49): ``python -m
+    delver_spark <config.json>`` runs the application and prints a
+    one-line JSON summary."""
+    from delver_spark.__main__ import main
+
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    cfg = tmp_path / "app.json"
+    cfg.write_text(json.dumps(doc))
+    rc = main([str(cfg)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "dfs"
+    assert out["rounds"] >= 2 and out["fetched"] > 0
+    assert out["workdir"].endswith("wd")
+
+
+def test_cli_main_requires_config_path(capsys):
+    from delver_spark.__main__ import main
+
+    assert main([]) == 2
+    assert "Config path" in capsys.readouterr().err
+
+
 def test_job_manager_needs_no_inbox(unit_corpus, tmp_path):
     """Publishers run under the job manager with only an outbox —
     exactly the reference's seeder wiring (main.go:233-236)."""

@@ -93,6 +93,27 @@ def test_ivf_cell_filter_pushes_to_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_partitioned_table_prunes_partitions(spark, tmp_path):
+    """The 100 TB claim made concrete: over a table PARTITIONED by the
+    cell column, the literal cell filter becomes directory-level
+    partition pruning — only the probed cells' files are read at all."""
+    from delver_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "emb_by_cell")
+    emb.write.partitionBy("label").parquet(path)
+    part = spark.read.parquet(path)
+    df = cosine_topk_ivf(part, 0, 5)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "label" in pf
+    # same top-k as the unpartitioned path
+    base = cosine_topk_ivf(emb, 0, 5)
+    assert sorted(tuple(r) for r in df.collect()) == \
+        sorted(tuple(r) for r in base.collect())
+
+
 def test_ivf_nprobe_no_table_scan(spark):
     """Multi-probe cell ranking must come from the precomputed index,
     not a per-query full-table aggregation (VERDICT r2 "what's wrong"

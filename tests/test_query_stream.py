@@ -126,3 +126,42 @@ def test_stream_dedup_first_occurrence(spark, tmp_path):
                         "dedup_stream", spark)
     urls = sorted(r["url_canon"] for r in out.collect())
     assert urls == ["http://a.test/1", "http://a.test/2", "http://b.test/1"]
+
+
+def test_filter_params_from_json_composite(spark):
+    """The reference's wire format (types/rpc/filter.go json tags) parses
+    into the same FilterParams the dataclass path builds — query-surface-
+    as-data, like the application config."""
+    from delver_spark.plans.query import filter_params_from_json
+
+    doc = {"data_type": "composite", "fields": ["url_canon", "title"],
+           "range": 30,
+           "query": {"keyword": ["hello"], "language": ["en"],
+                     "http_code": [200]}}
+    params = filter_params_from_json(doc)
+    docs = _docs(spark)
+    out = search_composite(docs, params, NOW).collect()
+    assert [r["url_canon"] for r in out] == ["http://a.test/1"]
+    assert list(out[0].asDict()) == ["url_canon", "title"]
+
+
+def test_filter_params_from_json_metric(spark):
+    from delver_spark.plans.query import filter_params_from_json
+
+    t0 = 1_700_000_000
+    doc = {"data_type": "metric",
+           "query": {"key": "fetcher/success", "start": t0, "end": t0 + 600},
+           "agg": {"agg_name": "sum", "time_window_seconds": 300}}
+    params = filter_params_from_json(doc)
+    assert isinstance(params.query, MetricFilterQuery)
+    assert params.agg.name == "sum"
+    assert params.agg.time_window_seconds == 300
+
+
+def test_filter_params_from_json_rejects_unknown_type():
+    import pytest as _pytest
+
+    from delver_spark.plans.query import filter_params_from_json
+
+    with _pytest.raises(ValueError, match="unknown filter data_type"):
+        filter_params_from_json({"data_type": "graphql"})
