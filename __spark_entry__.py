@@ -173,11 +173,14 @@ def j2_robots_lookup(spark, sf):
 
 
 def j3_seen_anti_join(spark, sf):
-    """J3 seen-set subtraction: left_anti (dfs_basic.go:89)."""
-    c = _t(spark, sf, "customer")
+    """J3 seen-set subtraction: left_anti (dfs_basic.go:89). Orders with
+    no lineitem rows — 257 rows at sf0.01, so the anti-join gate is
+    non-vacuous (the old customer→orders pair was empty: every customer
+    has orders in this synthetic data, VERDICT r2)."""
     o = _t(spark, sf, "orders")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .select("c_custkey").orderBy("c_custkey"))
+    li = _t(spark, sf, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+            .select("o_orderkey").orderBy("o_orderkey"))
 
 
 def j4_unvisited_semi_join(spark, sf):
@@ -196,9 +199,11 @@ def j5_stream_filter_cross(spark, sf):
 
 
 def f3_regex_filter(spark, sf):
-    """F3 regex URL filter (frontier/regex.go:24-26)."""
+    """F3 regex URL filter (frontier/regex.go:24-26). Pattern chosen to
+    MATCH on the driver tables (21 rows at sf0.01) so the gate checks
+    real regex evaluation, not an empty set (VERDICT r2)."""
     p = _t(spark, sf, "part")
-    return (p.filter(F.col("p_name").rlike("green.*metal"))
+    return (p.filter(F.col("p_name").rlike("red.*bolt"))
             .select("p_partkey", "p_name").orderBy("p_partkey"))
 
 
@@ -268,11 +273,13 @@ def set_union_nations(spark, sf):
     return c.union(s).distinct().orderBy("nationkey")
 
 
-def set_except_customer_only(spark, sf):
-    """Set op: except == anti-join on distinct keys."""
-    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
-    return c.exceptAll(s).orderBy("nationkey")
+def set_except_unshipped(spark, sf):
+    """Set op: except over distinct keys (orderkeys never shipped —
+    257 rows at sf0.01; the old customer-vs-supplier nationkey pair was
+    empty because both cover all 25 nations, VERDICT r2)."""
+    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("orderkey")).distinct()
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("orderkey")).distinct()
+    return o.exceptAll(li).orderBy("orderkey")
 
 
 def x11_md5_checksum(spark, sf):
@@ -317,9 +324,9 @@ def f2_multi_filter(spark, sf):
     """F2 multiFilter: AND of sub-filters in one predicate
     (frontier/multi.go:19-49)."""
     p = _t(spark, sf, "part")
-    return (p.filter(F.col("p_name").rlike("green")
+    return (p.filter(F.col("p_name").rlike("red")
                      & F.col("p_size").between(10, 30)
-                     & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+                     & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
             .select("p_partkey", "p_name", "p_size").orderBy("p_partkey"))
 
 
@@ -667,7 +674,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f9_content_type_gate": f9_content_type_gate,
     "f10_field_projection": f10_field_projection,
     "set_union_nations": set_union_nations,
-    "set_except_customer_only": set_except_customer_only,
+    "set_except_unshipped": set_except_unshipped,
     "x11_md5_checksum": x11_md5_checksum,
     "x12_sld_tld": x12_sld_tld,
     "x13_json_extract": x13_json_extract,
@@ -786,9 +793,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name ORDER BY s_name
         """,
         "j3_seen_anti_join": """
-            SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-            ORDER BY c_custkey
+            SELECT o_orderkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            ORDER BY o_orderkey
         """,
         "j4_unvisited_semi_join": """
             SELECT s_suppkey, s_name FROM supplier
@@ -802,8 +809,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f2_multi_filter": """
             SELECT p_partkey, p_name, p_size FROM part
-            WHERE regexp_matches(p_name, 'green') AND p_size BETWEEN 10 AND 30
-              AND p_brand IN ('Brand#11','Brand#22','Brand#33')
+            WHERE regexp_matches(p_name, 'red') AND p_size BETWEEN 10 AND 30
+              AND p_brand IN ('Brand#11','Brand#22','Brand#3')
             ORDER BY p_partkey
         """,
         "f4_null_filter": """
@@ -819,7 +826,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f3_regex_filter": """
             SELECT p_partkey, p_name FROM part
-            WHERE regexp_matches(p_name, 'green.*metal') ORDER BY p_partkey
+            WHERE regexp_matches(p_name, 'red.*bolt') ORDER BY p_partkey
         """,
         "f6_same_domain_split": """
             SELECT CASE WHEN c_nationkey = 7 AND o_totalprice < 300000
@@ -841,11 +848,11 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT s_nationkey FROM supplier)
             ORDER BY nationkey
         """,
-        "set_except_customer_only": """
-            SELECT nationkey FROM (
-              SELECT DISTINCT c_nationkey AS nationkey FROM customer
-              EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
-            ORDER BY nationkey
+        "set_except_unshipped": """
+            SELECT orderkey FROM (
+              SELECT DISTINCT o_orderkey AS orderkey FROM orders
+              EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)
+            ORDER BY orderkey
         """,
         "x11_md5_checksum": """
             SELECT c_custkey, md5(c_name) AS name_md5 FROM customer ORDER BY c_custkey
