@@ -69,6 +69,38 @@ def build_ivf_index(emb: DataFrame, id_col: str = "vec_id",
     return {c: [d[i] for i in range(len(d))] for c, d in by_cell.items()}
 
 
+def build_ivf_index_df(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       cell_col: str = "label") -> DataFrame:
+    """The distributed form of :func:`build_ivf_index`: the same
+    per-cell summed quantized vectors as a ``(cell, i, s)`` DataFrame,
+    NOT collected. For deployments where the cell count itself is large
+    (say 100k cells × 1024 dims = 10⁸ longs — too big for a driver
+    map), persist/bucket this table at ingest and rank probe cells with
+    :func:`rank_probe_cells_df` — a per-probe aggregation over n_cells×dim
+    stats rows, never over the embedding table."""
+    q = quantize(emb, id_col, vec_col, extra_cols=(cell_col,))
+    return (q.select(cell_col, F.posexplode("q").alias("i", "v"))
+            .groupBy(cell_col, "i").agg(F.sum("v").alias("s")))
+
+
+def rank_probe_cells_df(index_df: DataFrame, qvec: list, qcell,
+                        n_probe: int, cell_col: str = "label") -> list:
+    """Rank probe cells from the DataFrame-backed index: score each cell
+    by the exact integer dot product of its summed vector with the query
+    (the query vector enters as a literal array, so the only shuffle is
+    the n_cells-row groupBy over the stats table). Same ties-on-cell-id
+    ordering as the in-memory ranking; equality is pinned by
+    tests/test_plans.py::test_ivf_nprobe_index_df_equal."""
+    qq = F.array(*[F.lit(int(v)) for v in qvec])
+    scored = (index_df.filter(F.col(cell_col) != qcell)
+              .withColumn("_c", F.col("s") * F.element_at(qq, F.col("i") + 1))
+              .groupBy(cell_col).agg(F.sum("_c").alias("score"))
+              .orderBy(F.desc("score"), cell_col)
+              .limit(max(n_probe - 1, 0)))
+    return [qcell] + [r[cell_col] for r in scored.collect()]
+
+
 def rank_probe_cells(index: dict, qvec: list, qcell, n_probe: int) -> list:
     """The query's own cell plus the next ``n_probe - 1`` cells by exact
     integer dot product with the cell's summed vector (ties on cell id).
@@ -81,7 +113,8 @@ def rank_probe_cells(index: dict, qvec: list, qcell, n_probe: int) -> list:
 
 def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
                     id_col: str = "vec_id", cell_col: str = "label",
-                    n_probe: int = 1, index: dict | None = None) -> DataFrame:
+                    n_probe: int = 1, index: dict | None = None,
+                    index_df: DataFrame | None = None) -> DataFrame:
     """IVF probe that actually prunes: the query row's cell (and, for
     ``n_probe > 1``, the next-nearest cells by centroid dot product) is
     resolved DRIVER-SIDE (one 1-row lookup job), then applied as a literal
@@ -104,9 +137,13 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
     qvec, qcell = list(qrow["q"]), qrow[cell_col]
     cells = [qcell]
     if n_probe > 1:
-        if index is None:
-            index = build_ivf_index(emb, id_col, "embedding", cell_col)
-        cells = rank_probe_cells(index, qvec, qcell, n_probe)
+        if index_df is not None:
+            cells = rank_probe_cells_df(index_df, qvec, qcell, n_probe,
+                                        cell_col)
+        else:
+            if index is None:
+                index = build_ivf_index(emb, id_col, "embedding", cell_col)
+            cells = rank_probe_cells(index, qvec, qcell, n_probe)
     qq = F.array(*[F.lit(int(v)) for v in qvec])
     return (q.filter(F.col(cell_col).isin(cells) & (F.col(id_col) != query_id))
             .select(id_col, cell_col,

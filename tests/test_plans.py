@@ -114,6 +114,22 @@ def test_ivf_partitioned_table_prunes_partitions(spark, tmp_path):
         sorted(tuple(r) for r in base.collect())
 
 
+def test_ivf_nprobe_index_df_equal(spark):
+    """The DataFrame-backed index (for cell counts too large for a
+    driver map) must rank cells identically to the in-memory index, and
+    its per-probe work is an aggregation over the stats table only."""
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   build_ivf_index_df,
+                                                   cosine_topk_ivf)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(emb)
+    stats = build_ivf_index_df(emb).localCheckpoint(eager=True)
+    a = cosine_topk_ivf(emb, 0, 8, n_probe=3, index=idx).collect()
+    b = cosine_topk_ivf(emb, 0, 8, n_probe=3, index_df=stats).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_ivf_nprobe_no_table_scan(spark):
     """Multi-probe cell ranking must come from the precomputed index,
     not a per-query full-table aggregation (VERDICT r2 "what's wrong"
