@@ -25,12 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     eng = build_engine(spark, argv[0])
     eng.run()
     lin = eng.lineage_df()
+    empty = len(lin) == 0  # zero-round run → column-less frame
     summary = {
         "mode": eng.mode,
-        "rounds": int(lin["round"].max()) + 1 if len(lin) else 0,
-        "fetched": int(lin["fetched"].sum()),
-        "deduped": int(lin["deduped"].sum()),
-        "enqueued": int(lin["enqueued"].sum()),
+        "rounds": 0 if empty else int(lin["round"].max()) + 1,
+        "fetched": 0 if empty else int(lin["fetched"].sum()),
+        "deduped": 0 if empty else int(lin["deduped"].sum()),
+        "enqueued": 0 if empty else int(lin["enqueued"].sum()),
         "workdir": eng.workdir,
     }
     print(json.dumps(summary))

@@ -163,32 +163,44 @@ def build_engine(spark, app: Application | str | dict, *,
     else:
         validate(app)
 
-    by_type: dict[str, Resource] = {}
+    by_type: dict[str, list[Resource]] = {}
     for r in app.resources:
-        by_type.setdefault(r.type, r)
+        by_type.setdefault(r.type, []).append(r)
+
+    def _sole(rtype: str, purpose: str) -> Resource | None:
+        rs = by_type.get(rtype, [])
+        if len(rs) > 1:
+            # first-of-type would silently pick the wrong one — the
+            # caller must disambiguate with an explicit argument
+            raise ConfigError(
+                f"multiple {rtype} resources "
+                f"({', '.join(r.name for r in rs)}): pass {purpose} "
+                "explicitly to build_engine")
+        return rs[0] if rs else None
 
     if workdir is None:
-        fq = by_type.get("file_queue")
+        fq = _sole("file_queue", "workdir=")
         workdir = fq.parameters.get("path") if fq else None
     if corpus_dir is None:
-        store = by_type.get("filesystem_object_store")
+        store = _sole("filesystem_object_store", "corpus_dir=")
         corpus_dir = store.parameters.get("path") if store else None
     if not workdir or not corpus_dir:
         raise ConfigError("config must provide a file_queue path (workdir) "
                           "and a filesystem_object_store path (corpus)")
 
+    blooms = (by_type.get("rolling_bloom_filter", [])
+              + by_type.get("bloom_filter", []))
+    if len(blooms) > 1:
+        raise ConfigError(
+            f"multiple bloom resources ({', '.join(r.name for r in blooms)}):"
+            " the engine wires exactly one seen-set")
     overrides: dict[str, Any] = {}
-    if "rolling_bloom_filter" in by_type:
-        p = by_type["rolling_bloom_filter"].parameters
-        if "bloom_count" in p:
+    if blooms:
+        p = blooms[0].parameters
+        if blooms[0].type == "bloom_filter":
+            overrides["bloom_count"] = 1
+        elif "bloom_count" in p:
             overrides["bloom_count"] = int(p["bloom_count"])
-        if "max_n" in p:
-            overrides["bloom_max_n"] = int(p["max_n"])
-        if "p" in p:
-            overrides["bloom_p"] = float(p["p"])
-    elif "bloom_filter" in by_type:
-        p = by_type["bloom_filter"].parameters
-        overrides["bloom_count"] = 1
         if "max_n" in p:
             overrides["bloom_max_n"] = int(p["max_n"])
         if "p" in p:

@@ -482,8 +482,12 @@ def detect_language(text: str) -> tuple[str, float]:
     ru = (cp >= 0x0400) & (cp <= 0x04FF)
     # round-3 widening: kana / hangul / devanagari script ranges (the
     # same decision whatlanggo's script detector makes — kana present →
-    # Japanese even when CJK ideographs dominate the glyph count)
-    kana = (cp >= 0x3040) & (cp <= 0x30FF)
+    # Japanese even when CJK ideographs dominate the glyph count).
+    # Halfwidth katakana (FF65-FF9F) count as kana, carved out of the
+    # zh fullwidth block they live in.
+    kana = (((cp >= 0x3040) & (cp <= 0x30FF))
+            | ((cp >= 0xFF65) & (cp <= 0xFF9F)))
+    zh = zh & ~kana
     ko = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))
           | ((cp >= 0x3130) & (cp <= 0x318F)))
     hi = (cp >= 0x0900) & (cp <= 0x097F)
@@ -496,9 +500,14 @@ def detect_language(text: str) -> tuple[str, float]:
     total = sum(counts.values()) or 1
     if counts["kana"] > 0 and counts["kana"] + counts["zh"] >= 0.3 * total:
         return "ja", (counts["kana"] + counts["zh"]) / total
-    for lang in ("zh", "ar", "ru", "ko", "hi"):
-        if counts[lang] > 0 and counts[lang] >= 0.3 * total:
-            return lang, counts[lang] / total
+    # the DOMINANT script wins among those above the 0.3 share floor
+    # (fixed-order voting misclassified majority-hangul text with a
+    # >=30% hanja share as zh); ties break on a fixed order for
+    # determinism
+    order = ("zh", "ar", "ru", "ko", "hi")
+    best = max(order, key=lambda s: (counts[s], -order.index(s)))
+    if counts[best] > 0 and counts[best] >= 0.3 * total:
+        return best, counts[best] / total
     return _latin_language(text)
 
 

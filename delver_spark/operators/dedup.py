@@ -272,7 +272,11 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
              .select(F.greatest("u", "v").alias("u"),
                      F.least("u", "v").alias("v"))
              .distinct().localCheckpoint(eager=True))
+    n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
+        if converged:
+            break
         sym = edges.unionByName(edges.select(F.col("v").alias("u"),
                                              F.col("u").alias("v")))
         lmin = (sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -289,11 +293,18 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
                  .select(F.greatest("a", "b").alias("u"),
                          F.least("a", "b").alias("v"))
                  .distinct().localCheckpoint(eager=True))
-        done = (small.count() == edges.count()
+        n_small = small.count()  # prev round's count carried in a driver
+        done = (n_small == n_edges  # var — no redundant edges.count() job
                 and small.exceptAll(edges).isEmpty())
-        edges = small
+        edges, n_edges = small, n_small
         if done:
-            break
+            converged = True
+    if not converged:
+        # a non-star edge set would emit multiple rows per node — fail
+        # loudly instead of returning a silently-corrupt component map
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (O(log² n) rounds suffice)")
     comp = edges.select(F.col("u").alias("doc_id"),
                         F.col("v").alias("component"))
     roots = (nodes.join(comp, nodes.u == comp.doc_id, "left_anti")

@@ -59,10 +59,7 @@ def build_ivf_index(emb: DataFrame, id_col: str = "vec_id",
     centroids keep the ranking engine-exact: the DuckDB twin reproduces
     bit-identical longs, while float-averaged centroids would tie-break
     on summation order."""
-    q = quantize(emb, id_col, vec_col, extra_cols=(cell_col,))
-    rows = (q.select(cell_col, F.posexplode("q").alias("i", "v"))
-            .groupBy(cell_col, "i").agg(F.sum("v").alias("s"))
-            .collect())
+    rows = build_ivf_index_df(emb, id_col, vec_col, cell_col).collect()
     by_cell: dict = {}
     for r in rows:
         by_cell.setdefault(r[cell_col], {})[r["i"]] = int(r["s"])

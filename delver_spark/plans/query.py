@@ -70,10 +70,12 @@ def filter_params_from_json(doc: dict) -> FilterParams:
     data_type = doc.get("data_type", "composite")
     raw = doc.get("query") or {}
     query: CompositeFilterQuery | MetricFilterQuery
+    # `or`-defaults throughout: JSON null unmarshals to the zero value in
+    # the reference (Go), so an explicit null must not raise here
     if data_type == "metric":
-        query = MetricFilterQuery(key=raw.get("key", ""),
-                                  start=int(raw.get("start", 0)),
-                                  end=int(raw.get("end", 0)))
+        query = MetricFilterQuery(key=raw.get("key") or "",
+                                  start=int(raw.get("start") or 0),
+                                  end=int(raw.get("end") or 0))
     elif data_type == "composite":
         query = CompositeFilterQuery(
             keyword=list(raw.get("keyword") or []),
@@ -89,13 +91,13 @@ def filter_params_from_json(doc: dict) -> FilterParams:
     agg = None
     if doc.get("agg"):
         a = doc["agg"]
-        agg = Aggregator(name=a.get("agg_name", ""),
-                         time_field=a.get("time_field", "timestamp"),
-                         agg_field=a.get("agg_field", "value"),
+        agg = Aggregator(name=a.get("agg_name") or "",
+                         time_field=a.get("time_field") or "timestamp",
+                         agg_field=a.get("agg_field") or "value",
                          time_window_seconds=int(
-                             a.get("time_window_seconds", 60)))
+                             a.get("time_window_seconds") or 60))
     return FilterParams(fields=list(doc.get("fields") or []),
-                        range_days=int(doc.get("range", 0)),
+                        range_days=int(doc.get("range") or 0),
                         data_type=data_type, query=query, agg=agg)
 
 

@@ -166,6 +166,21 @@ def test_cli_main_requires_config_path(capsys):
     assert "Config path" in capsys.readouterr().err
 
 
+def test_ambiguous_resource_types_rejected(spark, unit_corpus, tmp_path):
+    """Two resources of the same assembly-relevant type must error
+    instead of silently picking the first (review fix)."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["resources"].append({"name": "archive_store",
+                             "type": "filesystem_object_store",
+                             "parameters": {"path": "/tmp/elsewhere"}})
+    with pytest.raises(ConfigError, match="multiple filesystem_object_store"):
+        build_engine(spark, doc)
+    # an explicit corpus_dir argument disambiguates
+    eng = build_engine(spark, doc, corpus_dir=unit_corpus)
+    assert eng.corpus_dir == unit_corpus
+
+
 def test_job_manager_needs_no_inbox(unit_corpus, tmp_path):
     """Publishers run under the job manager with only an outbox —
     exactly the reference's seeder wiring (main.go:233-236)."""

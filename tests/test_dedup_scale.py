@@ -182,6 +182,14 @@ def test_star_cc_equals_min_label_random(spark):
             f"trial {trial}: {edges}"
 
 
+def test_star_cc_raises_on_nonconvergence(spark):
+    """Exhausting max_iter before the star fixed point must raise, not
+    return a multi-row-per-node component map (review fix)."""
+    pairs = _cc_pairs(spark, [(i, i + 1) for i in range(200)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components_star(pairs, max_iter=1).collect()
+
+
 def test_star_cc_converges_fast_on_chain(spark):
     """The point of the swap-in: a 200-node chain closes in O(log²)
     star rounds (min-label would need ~200 shuffle rounds)."""

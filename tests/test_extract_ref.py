@@ -169,6 +169,11 @@ def test_language_new_scripts():
         "यह एक अच्छी किताब है": "hi",
         "मुझे हिन्दी बहुत पसंद है": "hi",
         "你来自哪里？": "zh",                   # no kana → still zh
+        # dominant script wins (review fix): majority-hangul text with a
+        # >=30% hanja share must be ko, not first-in-fixed-order zh
+        "韓國語 公園 안녕하세요 감사합니다 서울 時間 學校": "ko",
+        # halfwidth katakana (FF65-FF9F) are kana, not the zh FF00 block
+        "ﾊﾝｶｸｶﾀｶﾅﾃﾞｽ": "ja",
     }
     for text, want in scenarios.items():
         got, conf = detect_language(text)

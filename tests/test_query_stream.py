@@ -158,6 +158,19 @@ def test_filter_params_from_json_metric(spark):
     assert params.agg.time_window_seconds == 300
 
 
+def test_filter_params_from_json_null_values():
+    """Explicit JSON nulls unmarshal to zero values like the Go
+    reference, not TypeErrors (review fix)."""
+    from delver_spark.plans.query import filter_params_from_json
+
+    p = filter_params_from_json(
+        {"data_type": "metric", "range": None,
+         "query": {"key": "k", "start": None, "end": None},
+         "agg": {"agg_name": "sum", "time_window_seconds": None}})
+    assert (p.query.start, p.query.end, p.range_days) == (0, 0, 0)
+    assert p.agg.time_window_seconds == 60
+
+
 def test_filter_params_from_json_rejects_unknown_type():
     import pytest as _pytest
 
