@@ -513,6 +513,21 @@ def text_bpe_tokens(spark, sf):
     return _txt.bpe_token_count(_t(spark, sf, "documents"))
 
 
+def sample_deterministic(spark, sf):
+    """Reproducible hash-rate down-sampling (training-data ablations):
+    keep ~10% of documents by md5(doc_id) bucket — same rows on every
+    engine/run/partitioning, unlike rand(seed)."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return _txt.deterministic_sample(d, rate_milli=100)
+
+
+def sample_language_quota(spark, sf):
+    """Per-language balancing quota: top 25 documents per language by
+    n_chars (ties on doc_id) — the mixing step of a multilingual
+    training-set assembly."""
+    return _txt.language_quota(_t(spark, sf, "documents"), per_lang=25)
+
+
 def dedup_simhash16(spark, sf):
     """16-bit md5-based SimHash signature per document."""
     return _dedup.simhash16(_t(spark, sf, "documents"))
@@ -693,6 +708,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_nprobe": ann_ivf_nprobe,
+    "sample_deterministic": sample_deterministic,
+    "sample_language_quota": sample_language_quota,
     "text_token_count": text_token_count,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_score": text_quality_score,
@@ -1102,6 +1119,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.label IN (SELECT label FROM probe) AND vec_id <> 0)
             SELECT vec_id, label, dot_milli2 FROM dots
             ORDER BY dot_milli2 DESC, vec_id LIMIT 8
+        """,
+        "sample_deterministic": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  * 1000 < 100 * 4294967296
+            ORDER BY doc_id
+        """,
+        "sample_language_quota": """
+            SELECT doc_id, lang, n_chars AS quality, lang_rank
+            FROM (SELECT doc_id, lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_chars DESC, doc_id)
+                           AS lang_rank
+                  FROM documents)
+            WHERE lang_rank <= 25
+            ORDER BY lang, lang_rank
         """,
         "text_bpe_tokens": """
             SELECT doc_id,

@@ -82,3 +82,40 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
                         F.substring(text_col, 1, 64), F.lit(":"),
                         F.substring(F.col(text_col), F.col("n_chars") - 63, F.lit(64))))
     return df.select(id_col, fp.alias("fingerprint")).orderBy(id_col)
+
+
+def deterministic_sample(df: DataFrame, rate_milli: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Reproducible corpus down-sampling: keep a row iff the first 8 hex
+    chars of md5(id) land below the rate (``rate_milli``/1000 of the
+    32-bit space). Hash-based instead of rand(): the SAME rows are kept
+    on every engine, every run, and every partitioning — which is what
+    a training-data pipeline needs for ablations and what rand(seed)
+    cannot give (Spark seeds per-partition, so output changes with the
+    split plan). Keep-rate concentration: md5 is uniform, so the kept
+    fraction is rate ± O(1/√n). One narrow projection + filter —
+    whole-stage codegen, no shuffle at all."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long")
+    return (df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
+            .orderBy(id_col))
+
+
+def language_quota(df: DataFrame, per_lang: int,
+                   id_col: str = "doc_id", lang_col: str = "lang",
+                   quality_col: str = "n_chars") -> DataFrame:
+    """Per-language balancing quota: keep the top ``per_lang`` documents
+    of each language by quality (ties on id for determinism) — the
+    standard mixing step before assembling a multilingual training set.
+    One hash-shuffle on the language key + a per-partition window; at
+    100 TB the window never sees more than one language's rows per
+    partition, and a skewed dominant language can pre-aggregate with
+    the same salted two-phase ranking as the frontier dequeue."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.desc(quality_col), id_col)
+    return (df.withColumn("lang_rank", F.row_number().over(w))
+            .filter(F.col("lang_rank") <= per_lang)
+            .select(id_col, lang_col, F.col(quality_col).alias("quality"),
+                    "lang_rank")
+            .orderBy(lang_col, "lang_rank"))

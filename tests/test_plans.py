@@ -93,6 +93,23 @@ def test_ivf_cell_filter_pushes_to_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_deterministic_sample_partition_invariant(spark):
+    """The hash-rate sample keeps the SAME rows under any partitioning
+    (the property rand(seed) lacks — Spark seeds rand per partition),
+    and stays JVM-side."""
+    from delver_spark.operators.textstats import deterministic_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    a = deterministic_sample(d, 100).collect()
+    b = deterministic_sample(d.repartition(17, "lang"), 100).collect()
+    assert len(a) > 0
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ~10% +- concentration at n=500
+    assert 20 <= len(a) <= 90
+    assert "Python" not in _plan(deterministic_sample(d, 100))
+
+
 def test_ivf_partitioned_table_prunes_partitions(spark, tmp_path):
     """The 100 TB claim made concrete: over a table PARTITIONED by the
     cell column, the literal cell filter becomes directory-level
