@@ -260,4 +260,6 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "corpus/default"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 50
-    print(json.dumps(generate_corpus(out, n_pages=n, n_hosts=h)))
+    r = int(sys.argv[4]) if len(sys.argv) > 4 else 200
+    print(json.dumps(generate_corpus(out, n_pages=n, n_hosts=h,
+                                     max_rounds=r)))

@@ -181,6 +181,26 @@ def test_ambiguous_resource_types_rejected(spark, unit_corpus, tmp_path):
     assert eng.corpus_dir == unit_corpus
 
 
+def test_example_configs_load_and_assemble(spark, unit_corpus, tmp_path):
+    """The shipped example applications (examples/app_*.json) validate
+    and assemble; explicit corpus/workdir args point them at test data."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    for name in ("app_dfs.json", "app_news.json"):
+        app = load_application(os.path.join(root, name))
+        assert len(app.workers) == 4 and len(app.resources) == 4
+    eng = build_engine(spark, os.path.join(root, "app_dfs.json"),
+                       corpus_dir=unit_corpus,
+                       workdir=str(tmp_path / "wd"))
+    assert eng.mode == "dfs"
+    assert eng.params["bloom_max_n"] == 100000  # config owns sizing
+    eng2 = build_engine(spark, os.path.join(root, "app_news.json"),
+                        corpus_dir=unit_corpus,
+                        workdir=str(tmp_path / "wd2"))
+    assert eng2.mode == "news" and eng2.params["bloom_count"] == 3
+
+
 def test_job_manager_needs_no_inbox(unit_corpus, tmp_path):
     """Publishers run under the job manager with only an outbox —
     exactly the reference's seeder wiring (main.go:233-236)."""
