@@ -518,7 +518,7 @@ def sample_deterministic(spark, sf):
     keep ~10% of documents by md5(doc_id) bucket — same rows on every
     engine/run/partitioning, unlike rand(seed)."""
     d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    return _txt.deterministic_sample(d, rate_milli=100)
+    return _txt.deterministic_sample(d, rate_milli=100).orderBy("doc_id")
 
 
 def sample_language_quota(spark, sf):

@@ -261,5 +261,6 @@ if __name__ == "__main__":
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     r = int(sys.argv[4]) if len(sys.argv) > 4 else 200
+    style = sys.argv[5] if len(sys.argv) > 5 else "default"
     print(json.dumps(generate_corpus(out, n_pages=n, n_hosts=h,
-                                     max_rounds=r)))
+                                     max_rounds=r, path_style=style)))

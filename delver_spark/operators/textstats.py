@@ -94,11 +94,11 @@ def deterministic_sample(df: DataFrame, rate_milli: int,
     cannot give (Spark seeds per-partition, so output changes with the
     split plan). Keep-rate concentration: md5 is uniform, so the kept
     fraction is rate ± O(1/√n). One narrow projection + filter —
-    whole-stage codegen, no shuffle at all."""
+    whole-stage codegen, no shuffle at all (callers needing a sorted
+    artifact order the output themselves, as the driver query does)."""
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                     16, 10).cast("long")
-    return (df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
-            .orderBy(id_col))
+    return df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
 
 
 def language_quota(df: DataFrame, per_lang: int,
@@ -107,10 +107,11 @@ def language_quota(df: DataFrame, per_lang: int,
     """Per-language balancing quota: keep the top ``per_lang`` documents
     of each language by quality (ties on id for determinism) — the
     standard mixing step before assembling a multilingual training set.
-    One hash-shuffle on the language key + a per-partition window; at
-    100 TB the window never sees more than one language's rows per
-    partition, and a skewed dominant language can pre-aggregate with
-    the same salted two-phase ranking as the frontier dequeue."""
+    One hash-shuffle on the language key + a windowed rank per key
+    (several languages may hash into one shuffle partition; the window
+    still ranks each language independently). A skewed dominant
+    language can pre-cut with the same salted two-phase ranking as the
+    frontier dequeue."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(lang_col).orderBy(F.desc(quality_col), id_col)
