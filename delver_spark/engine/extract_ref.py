@@ -419,6 +419,24 @@ _COMMON_WORDS = {
     "hu": "a az és nem hogy is egy ez van de volt mi én te ha azt csak "
           "már meg mint el még mert ki mindig nagyon lenne itt ott akkor "
           "majd ezt arra aki minden semmi vagy lehet úgy",
+    # round-4 widening (VERDICT r3 next #6): the next Latin-script tier
+    # toward whatlanggo's ~80-profile coverage — same embedded public
+    # function-word lists, same Cavnar-Trenkle ranking
+    "vi": "của và là có không được trong cho người những với một này các "
+          "để anh em tôi bạn khi đã sẽ như thì cũng nhưng rất nhiều đến "
+          "từ về trên đây làm ai gì nữa ra nó vào còn",
+    "id": "yang dan di itu dengan untuk tidak ini dari dalam akan pada "
+          "juga saya kamu dia mereka kita ada bisa sudah harus seperti "
+          "karena atau tetapi jika telah oleh lebih banyak satu orang",
+    "ca": "de la el i que a en un per amb els una les al més es aquest "
+          "com si ja tot també molt però hi ha seva fins quan sense què "
+          "està són aquesta altres després sobre entre",
+    "hr": "je i u na se da za su s od ali kako što ne bi to o ili iz po "
+          "smo ste oni ova ovo kada nešto može biti bilo samo vrlo još "
+          "ovdje tamo njegov njezin uvijek nikad svi",
+    "sk": "a sa na je v to že s z do ako ale po čo tak už len keď byť "
+          "môže pred veľmi pri som bol ktorá jeho pre od alebo ešte "
+          "tiež nič kde tento svoju všetko niečo",
 }
 
 _PROFILE_SIZE = 120
@@ -491,24 +509,72 @@ def detect_language(text: str) -> tuple[str, float]:
     ko = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))
           | ((cp >= 0x3130) & (cp <= 0x318F)))
     hi = (cp >= 0x0900) & (cp <= 0x097F)
+    # round-4 widening: five more single-language script ranges
+    # (whatlanggo's script detector decides these the same way)
+    el = ((cp >= 0x0370) & (cp <= 0x03FF)) | ((cp >= 0x1F00) & (cp <= 0x1FFF))
+    he = (cp >= 0x0590) & (cp <= 0x05FF)
+    th = (cp >= 0x0E00) & (cp <= 0x0E7F)
+    bn = (cp >= 0x0980) & (cp <= 0x09FF)
+    ta = (cp >= 0x0B80) & (cp <= 0x0BFF)
     latin = (~zh & ~ar & ~ru
              & (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))
                 | ((cp >= 0xC0) & (cp <= 0x24F))))
     counts = {"zh": int(zh.sum()), "ar": int(ar.sum()), "ru": int(ru.sum()),
               "ko": int(ko.sum()), "hi": int(hi.sum()),
+              "el": int(el.sum()), "he": int(he.sum()), "th": int(th.sum()),
+              "bn": int(bn.sum()), "ta": int(ta.sum()),
               "kana": int(kana.sum()), "latin": int(latin.sum())}
     total = sum(counts.values()) or 1
-    if counts["kana"] > 0 and counts["kana"] + counts["zh"] >= 0.3 * total:
-        return "ja", (counts["kana"] + counts["zh"]) / total
     # the DOMINANT script wins among those above the 0.3 share floor
     # (fixed-order voting misclassified majority-hangul text with a
-    # >=30% hanja share as zh); ties break on a fixed order for
-    # determinism
-    order = ("zh", "ar", "ru", "ko", "hi")
-    best = max(order, key=lambda s: (counts[s], -order.index(s)))
-    if counts[best] > 0 and counts[best] >= 0.3 * total:
-        return best, counts[best] / total
+    # >=30% hanja share as zh); ja participates IN the vote with
+    # kana+ideograph as its count when any kana is present (ADVICE r3:
+    # the old kana short-circuit before the vote sent majority-hangul
+    # text with one stray kana char + >=30% hanja to ja) — when kana>0,
+    # ja strictly outvotes zh, so kanji-heavy Japanese still wins; with
+    # no kana, ja is not a candidate at all. Ties break on a fixed
+    # order for determinism.
+    votes = dict(counts)
+    votes["ja"] = counts["kana"] + counts["zh"] if counts["kana"] > 0 else 0
+    order = ("ja", "zh", "ar", "ru", "ko", "hi",
+             "el", "he", "th", "bn", "ta")
+    best = max(order, key=lambda s: (votes[s], -order.index(s)))
+    if votes[best] > 0 and votes[best] >= 0.3 * total:
+        # shared-script refinement (whatlanggo discriminates within a
+        # script by distinctive-character profiles): Cyrillic → uk/bg/ru,
+        # Arabic script → fa/ar
+        if best == "ru":
+            return _cyrillic_language(text, votes[best] / total)
+        if best == "ar":
+            return _arabic_script_language(text, votes[best] / total)
+        return best, votes[best] / total
     return _latin_language(text)
+
+
+def _cyrillic_language(text: str, conf: float) -> tuple[str, float]:
+    """uk/bg/ru split by alphabet-distinctive letters (public facts:
+    і/ї/є/ґ exist only in Ukrainian; ы/э/ё only in Russian; Bulgarian
+    has neither and uses ъ as a common vowel where Russian ъ is a rare
+    separator). Defaults to ru — the original behavior — whenever the
+    markers are absent or tied, so every pre-round-4 golden holds."""
+    uk_marks = sum(text.count(c) for c in "іїєґІЇЄҐ")
+    ru_marks = sum(text.count(c) for c in "ыэёЫЭЁ")
+    hard_sign = text.count("ъ") + text.count("Ъ")
+    if uk_marks > 0 and uk_marks >= ru_marks:
+        return "uk", conf
+    if ru_marks == 0 and hard_sign >= 2:
+        return "bg", conf
+    return "ru", conf
+
+
+def _arabic_script_language(text: str, conf: float) -> tuple[str, float]:
+    """fa/ar split: Persian-only letters پ چ ژ گ (U+067E/0686/0698/06AF)
+    and the Farsi yeh ی (U+06CC, vs Arabic ي U+064A). Defaults to ar."""
+    fa_marks = sum(text.count(c) for c in "پچژگ")
+    farsi_yeh, arabic_yeh = text.count("ی"), text.count("ي")
+    if fa_marks > 0 or farsi_yeh > arabic_yeh:
+        return "fa", conf
+    return "ar", conf
 
 
 def _latin_language(text: str) -> tuple[str, float]:

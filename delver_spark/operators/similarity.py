@@ -66,6 +66,26 @@ def build_ivf_index(emb: DataFrame, id_col: str = "vec_id",
     return {c: [d[i] for i in range(len(d))] for c, d in by_cell.items()}
 
 
+def merge_ivf_index(base: dict, delta: dict) -> dict:
+    """Incremental IVF-index maintenance: merge the per-cell summed
+    vectors of an appended batch into an existing index. Sums are
+    decomposable, so ``merge(build(A), build(B)) == build(A ∪ B)``
+    exactly (integer arithmetic, no rounding) — pinned by
+    tests/test_plans.py::test_ivf_index_incremental_merge. At ingest,
+    each appended partition contributes its partial per-cell sums and
+    the merge is the same treeAggregate shape as the bloom merge; no
+    full-table rebuild."""
+    out = {c: list(v) for c, v in base.items()}
+    for c, sums in delta.items():
+        if c in out:
+            if len(out[c]) != len(sums):
+                raise ValueError(f"dim mismatch for cell {c!r}")
+            out[c] = [a + b for a, b in zip(out[c], sums)]
+        else:
+            out[c] = list(sums)
+    return out
+
+
 def build_ivf_index_df(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        cell_col: str = "label") -> DataFrame:

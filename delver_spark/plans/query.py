@@ -91,11 +91,22 @@ def filter_params_from_json(doc: dict) -> FilterParams:
     agg = None
     if doc.get("agg"):
         a = doc["agg"]
-        agg = Aggregator(name=a.get("agg_name") or "",
-                         time_field=a.get("time_field") or "timestamp",
-                         agg_field=a.get("agg_field") or "value",
+
+        # Go zero-value fidelity (ADVICE r3): an EXPLICIT JSON null
+        # unmarshals to the zero value (0 / ""), exactly as Go's
+        # encoding/json leaves the field; the dataclass defaults apply
+        # only when the key is absent from the wire document.
+        def _g(key, zero, default):
+            if key not in a:
+                return default
+            v = a[key]
+            return zero if v is None else v
+
+        agg = Aggregator(name=_g("agg_name", "", ""),
+                         time_field=_g("time_field", "", "timestamp"),
+                         agg_field=_g("agg_field", "", "value"),
                          time_window_seconds=int(
-                             a.get("time_window_seconds") or 60))
+                             _g("time_window_seconds", 0, 60)))
     return FilterParams(fields=list(doc.get("fields") or []),
                         range_days=int(doc.get("range") or 0),
                         data_type=data_type, query=query, agg=agg)

@@ -45,9 +45,16 @@ def profiled_round(cpus: int, corpus: str):
         eng._base_count = eng.frontier_count
         eng.seq = eng.frontier_count
 
+        # SPARK_GRAFT_PROF_ROUNDS > 1 profiles the SUSTAINED drain (the
+        # bench_scaling multi-round regime): the frontier is split into
+        # that many G-sized rounds so the per-round fixed cost shows up
+        # n_rounds times in the stage totals
+        n_rounds = int(os.environ.get("SPARK_GRAFT_PROF_ROUNDS", 1))
+        eng.G = (eng.frontier_count + n_rounds - 1) // n_rounds
         timings = {}
         t0 = time.perf_counter()
-        assert eng.run_round(timings)
+        for _ in range(n_rounds):
+            assert eng.run_round(timings)
         dt = time.perf_counter() - t0
         return dt, timings
     finally:

@@ -133,6 +133,29 @@ def test_validation_missing_inbox(tmp_path, unit_corpus):
         load_application(doc)
 
 
+def test_validation_dangling_outbox_warns_not_raises(tmp_path, unit_corpus):
+    """The reference tolerates dangling outboxes (the fatal check in
+    GetWorkerManager, main.go ~246, is commented out with a TODO), so a
+    reference-valid config must load — with a warning (ADVICE r3)."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["workers"][1]["outbox"] = "nonexistent_queue"
+    with pytest.warns(UserWarning, match="outbox 'nonexistent_queue'"):
+        app = load_application(doc)
+    assert app.workers[1].outbox == "nonexistent_queue"
+
+
+def test_validation_missing_accumulator_rejected(tmp_path, unit_corpus):
+    """A config with no accumulator worker would silently run with
+    defaulted dfs semantics — fail loudly instead (ADVICE r3)."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["workers"] = [w for w in doc["workers"]
+                      if w["type"] != "dfs_basic_accumulator"]
+    with pytest.raises(ConfigError, match="no accumulator worker"):
+        load_application(doc)
+
+
 def test_validation_unknown_worker_type(tmp_path, unit_corpus):
     doc = _app_json(unit_corpus, str(tmp_path / "wd"),
                     "dfs_basic_accumulator")

@@ -174,6 +174,10 @@ def test_language_new_scripts():
         "韓國語 公園 안녕하세요 감사합니다 서울 時間 學校": "ko",
         # halfwidth katakana (FF65-FF9F) are kana, not the zh FF00 block
         "ﾊﾝｶｸｶﾀｶﾅﾃﾞｽ": "ja",
+        # ja joins the dominant-script VOTE instead of short-circuiting
+        # before it (ADVICE r3): majority-hangul text with one stray kana
+        # char and a >=30% hanja share must stay ko, not flip to ja
+        "안녕하세요 서울에서 감사합니다 ッ 韓國語 公園 時間 學校 友情": "ko",
     }
     for text, want in scenarios.items():
         got, conf = detect_language(text)
@@ -195,6 +199,38 @@ def test_language_new_latin_profiles():
         "și să nu este pentru dacă după fără foarte până": "ro",
         "se že jako když může velmi jsem která ještě všechno": "cs",
         "az és nem hogy egy volt csak már mint mindig": "hu",
+    }
+    for text, want in scenarios.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert 0.0 <= conf <= 1.0
+
+
+def test_language_round4_widening():
+    """Round-4 widening toward whatlanggo's coverage: five script-range
+    languages (el/he/th/bn/ta), shared-script splits (uk/bg within
+    Cyrillic, fa within Arabic script), five Latin trigram profiles
+    (vi/id/ca/hr/sk). All pre-round-4 goldens must hold unchanged."""
+    scenarios = {
+        "αυτό είναι ένα πολύ καλό βιβλίο": "el",
+        "זה ספר טוב מאוד": "he",
+        "นี่คือหนังสือที่ดีมาก": "th",
+        "এটি একটি খুব ভালো বই": "bn",
+        "இது ஒரு நல்ல புத்தகம்": "ta",
+        # Cyrillic split: і/ї/є mark uk; common ъ with no ы/э/ё marks bg;
+        # the reference ru golden (ы/э/ё or unmarked) stays ru
+        "це дуже гарна книжка і її автор відомий всім": "uk",
+        "това е първият път в съвременната държава": "bg",
+        "Можно заплатить кредитной карточкой?": "ru",
+        # Arabic-script split: Persian-only letters / Farsi yeh → fa
+        "این کتاب خیلی خوب است و من آن را دوست دارم": "fa",
+        "لِنَذْهَبْ إِلَى السِّيْنَمَا": "ar",
+        # new Latin trigram profiles
+        "của và là những người không được với trong cho": "vi",
+        "yang dan dengan untuk tidak dalam mereka sudah seperti": "id",
+        "aquest és un llibre molt bo i també el seu autor": "ca",
+        "ova knjiga je vrlo dobra i još uvijek nešto može biti": "hr",
+        "táto kniha je veľmi dobrá a ešte niečo môže byť": "sk",
     }
     for text, want in scenarios.items():
         got, conf = detect_language(text)

