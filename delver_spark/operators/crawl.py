@@ -185,6 +185,13 @@ class CrawlEngine:
         # new base when tombstones exceed ~30% of it. On the 10^10
         # deployment this maps 1:1 to Iceberg MOR delete files + appends
         # + background compaction.
+        # True ⇒ frontier order provably collapses to enqueue_seq (all
+        # priorities 0; round/seq share one counter) and the dequeue may
+        # take the distributed big-round path. seed()/resume() verify it
+        # against the actual seed priorities; callers that install a
+        # frontier directly (bench/profile prefills) inherit True and
+        # must use priority-0 rows (all in-repo prefills do).
+        self._seq_orderable = True
         self.frontier: DataFrame | None = None
         self._frontier_delta: DataFrame | None = None
         self._tombstones: DataFrame | None = None
@@ -218,6 +225,12 @@ class CrawlEngine:
             .localCheckpoint(eager=True)
         self.frontier_count = len(rows)
         self._base_count = len(rows)
+        # order-collapse invariant for the big-round dequeue fast path
+        # (frontier.dequeue seq_hint): every non-seed enqueue (refill,
+        # admission) is priority 0 and enqueue_round/enqueue_seq are both
+        # assigned from the one global counter, so if the seeds are all
+        # priority 0 too, frontier order == enqueue_seq order forever
+        self._seq_orderable = all(r[0] == 0 for r in rows)
 
     # ----------------------------------------------------------------- view
     def _frontier_view(self) -> DataFrame:
@@ -354,8 +367,11 @@ class CrawlEngine:
             if self._refill(rnd) == 0:
                 return False
 
+        deq_stats: dict = {}
         batch = dequeue(self._frontier_view(), self.B, self.G,
-                        hot_host_threshold=self.hot_host_threshold) \
+                        hot_host_threshold=self.hot_host_threshold,
+                        seq_hint=self.seq if self._seq_orderable else None,
+                        out_stats=deq_stats) \
             .localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
         arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -368,6 +384,10 @@ class CrawlEngine:
         if small_batch:
             batch_urls = [r["url"] for r in batch.select("url").collect()]
             batch_count = len(batch_urls)
+        elif "batch_count" in deq_stats:
+            # the big-path dequeue derived the count from its own ranking
+            # offsets — no extra count job
+            batch_count = deq_stats["batch_count"]
         else:
             batch_count = batch.count()
         if batch_count == 0:
@@ -913,6 +933,12 @@ class CrawlEngine:
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA) \
             .parquet(m["frontier_dir"]).localCheckpoint(eager=True)
         eng._base_count = eng.frontier_count
+        # re-verify the big-path order-collapse invariant on the restored
+        # frontier (one tiny agg over the checkpointed frame)
+        pr = eng.frontier.agg(F.min("priority").alias("lo"),
+                              F.max("priority").alias("hi")).collect()[0]
+        eng._seq_orderable = (pr["lo"] is None
+                              or (pr["lo"] == 0 and pr["hi"] == 0))
         eng.url_store = spark.read.schema(_STORE_SCHEMA_W_HOST) \
             .parquet(m["url_store_dir"]).localCheckpoint(eager=True)
         return eng

@@ -47,7 +47,10 @@ ORDER_COLS = ["priority", "enqueue_round", "enqueue_seq"]
 
 def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
             hot_host_threshold: int | None = None,
-            n_salts: int = 64) -> DataFrame:
+            n_salts: int = 64,
+            seq_hint: int | None = None,
+            big_path_floor: int = 10000,
+            out_stats: dict | None = None) -> DataFrame:
     """Greedy dequeue under per-host + global budgets in
     (priority, enqueue_round, enqueue_seq) order — provably equal to the
     oracle's sequential greedy (first-B-per-host ∩ global-top-G).
@@ -63,8 +66,33 @@ def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
     is untouched). Python-side pruning was measured and rejected: ANY
     python pass pays the full-frontier Arrow IPC round trip, which costs
     more than the JVM window shuffle it would save (10 s vs 2.8 s at
-    10^7 rows — see bench_frontier.py)."""
-    if hot_host_threshold:
+    10^7 rows — see bench_frontier.py).
+
+    Big-round fast paths (exact, opt-in via ``seq_hint``):
+
+    - ``per_host_budget >= global_budget`` → the host window is a provable
+      no-op on the result: a row with host_rank > G in the top-G would
+      need > G earlier same-host rows, all globally earlier, i.e. > G
+      rows in the top-G — contradiction. The full-frontier host shuffle
+      is skipped entirely.
+    - ``seq_hint`` (the engine's global seq counter) asserts the CALLER'S
+      invariant that frontier order collapses to enqueue_seq alone:
+      every row has the same priority and enqueue_round is monotone
+      non-decreasing in enqueue_seq (true by construction for the crawl
+      engine — one global counter assigns both). Then for
+      ``global_budget > big_path_floor`` the batch is selected by the
+      DISTRIBUTED exact ranking (assign_global_rank sharded on
+      floor(seq/chunk)) instead of TakeOrdered's single-point merge +
+      single-partition pos window — the two core-count-independent
+      ~1.5 s/round costs of the sustained drain (profile_round.py r4).
+      Equality with the plain path is pinned by
+      tests/test_frontier_ops.py::test_dequeue_big_path_exact_equal.
+    ``out_stats``, if given, receives ``batch_count`` when the big path
+    runs (derived from the ranking's own counts — saves the caller's
+    count job)."""
+    if hot_host_threshold and per_host_budget < global_budget:
+        # (with B >= G the host window below is skipped entirely, so the
+        # hot-host pre-cut has nothing to relieve)
         cnt = frontier.groupBy("host").agg(F.count("*").alias("c"))
         hot_hosts = [r["host"] for r in
                      cnt.filter(F.col("c") > hot_host_threshold)
@@ -80,11 +108,28 @@ def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
                           .filter(F.col("_r") <= per_host_budget)
                           .drop("_r", "_salt"))
             frontier = frontier.filter(~is_hot).unionByName(pruned_hot)
-    w_host = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
-    eligible = (frontier
-                .withColumn("host_rank", F.row_number().over(w_host))
-                .filter(F.col("host_rank") <= per_host_budget)
-                .drop("host_rank"))
+    if per_host_budget >= global_budget:
+        eligible = frontier  # host window provably no-op (see docstring)
+    else:
+        w_host = Window.partitionBy("host") \
+            .orderBy(*[F.col(c) for c in ORDER_COLS])
+        eligible = (frontier
+                    .withColumn("host_rank", F.row_number().over(w_host))
+                    .filter(F.col("host_rank") <= per_host_budget)
+                    .drop("host_rank"))
+    if seq_hint is not None and global_budget > big_path_floor:
+        spark = frontier.sparkSession
+        parts = max(spark.sparkContext.defaultParallelism, 4)
+        chunk = max(1, (seq_hint + parts - 1) // parts)
+        rank_stats: dict = {}
+        ranked = assign_global_rank(
+            eligible, ORDER_COLS,
+            F.floor(F.col("enqueue_seq") / F.lit(chunk)), "pos",
+            partitions=parts, out_stats=rank_stats)
+        if out_stats is not None:
+            out_stats["batch_count"] = min(global_budget,
+                                           rank_stats["total"])
+        return ranked.filter(F.col("pos") < global_budget)
     batch = eligible.orderBy(*ORDER_COLS).limit(global_budget)
     # pos over <= G rows: single-partition window is bounded by the budget
     w_pos = Window.orderBy(*[F.col(c) for c in ORDER_COLS])
@@ -257,7 +302,8 @@ def admission_keep_mask_news(h1: np.ndarray, h2: np.ndarray,
 
 def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
                        out_col: str = "rn", partitions: int | None = None,
-                       timings: dict | None = None) -> DataFrame:
+                       timings: dict | None = None,
+                       out_stats: dict | None = None) -> DataFrame:
     """Distributed 0-based global rank by ``order_cols`` (must be a unique
     key) — no single-partition window, no row pickling, no sampling pass.
 
@@ -287,6 +333,8 @@ def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if out_stats is not None:
+        out_stats["total"] = acc  # row count, free from the offsets pass
     schema = sorted_df.drop("_pid").schema.add(out_col, "long")
 
     def add_rank(it):

@@ -34,6 +34,31 @@ def test_dequeue_greedy_equivalence(spark):
     assert [r["pos"] for r in got] == [0, 1, 2, 3]
 
 
+def test_dequeue_big_path_exact_equal(spark):
+    """The distributed big-round dequeue (seq_hint + assign_global_rank)
+    must return EXACTLY the plain path's (rows, pos) — with and without
+    an active per-host budget, across multiple enqueue rounds, with a
+    deliberately skewed host. big_path_floor=0 forces the big path at
+    unit scale."""
+    rng = np.random.default_rng(7)
+    rows = []
+    seq = 0
+    for rnd in range(3):
+        for _ in range(400):
+            host = f"h{int(rng.integers(0, 8))}" if rng.random() < 0.5 \
+                else "hot.test"
+            rows.append((0, rnd, seq, f"u{seq}", host, 0, None))
+            seq += 1
+    fr = _frontier(spark, rows).repartition(8)
+    for B, G in ((5, 300), (1 << 30, 500), (50, 1200), (7, 2000)):
+        plain = dequeue(fr, B, G).orderBy("pos").collect()
+        stats: dict = {}
+        big = dequeue(fr, B, G, seq_hint=seq, big_path_floor=0,
+                      out_stats=stats).orderBy("pos").collect()
+        assert [tuple(r) for r in big] == [tuple(r) for r in plain], (B, G)
+        assert stats["batch_count"] == len(plain), (B, G)
+
+
 def test_distributed_bloom_probe_bit_identical(spark):
     """The 10^10-scale distributed-bitmap probe must return EXACTLY the
     in-memory filter's answer for every url — members, non-members, and
