@@ -437,6 +437,48 @@ _COMMON_WORDS = {
     "sk": "a sa na je v to že s z do ako ale po čo tak už len keď byť "
           "môže pred veľmi pri som bol ktorá jeho pre od alebo ešte "
           "tiež nič kde tento svoju všetko niečo",
+    # round-4 widening, second pass: twelve more Latin-script profiles
+    # (same embedded public function-word lists, same Cavnar-Trenkle
+    # ranking). Languages whose closest neighbor is already profiled and
+    # near-identical in function words (gl↔pt/es, ms↔id, af↔nl) are
+    # deliberately left out: a wrong confident answer is worse than the
+    # neighbor's label.
+    "et": "ja ei on see ta et kui oli ka siis või aga mis ma sa me nad "
+          "need oma kõik üks välja nii veel juba ainult pärast üle ilma "
+          "tema nende midagi kus keegi selle olema",
+    "lt": "ir yra bet kad tai kaip jis ji mes jūs jie buvo būti savo iš "
+          "į su apie po prie per nuo daug labai jau tik dar visi kas kur "
+          "kada nieko taip pat gali šis",
+    "lv": "un ir bet ka tas viņš viņa mēs jūs viņi bija būt savu no uz "
+          "ar par pēc pie caur daudz ļoti jau tikai vēl visi kas kur kad "
+          "nekas arī var šis tā",
+    "sl": "in je da se na za so bi pa ne kot tudi še samo lahko bil bila "
+          "bilo biti vedno nikoli vsi nekaj kje kdaj morda zelo ter med "
+          "brez proti njim kar česa svojo",
+    "sq": "dhe është në një për që me nga si ai ajo ne ju ata ishte të "
+          "jetë shumë vetëm edhe kur ku çfarë asgjë gjithçka pas mbi nën "
+          "midis pa por kjo ky tij saj",
+    "eu": "eta da ez du bat baina hau hori nola zer non noiz asko oso "
+          "bakarrik ere izan zen dira gure zure haien dena ezer atzean "
+          "aurrean gabe artean dago egin behar",
+    "cy": "a yn y mae ac i o ar am gyda ond fel ei hi ni nhw oedd bod yr "
+          "wedi dim byd popeth ble pryd efallai iawn hefyd eto gan fod "
+          "na chi hyn",
+    "ga": "agus tá an is ar le go na sé sí muid sibh siad bhí bheith as "
+          "faoi idir gan mar ach amháin gach rud áit uair seo sin do mo "
+          "a ag ina",
+    "is": "og er að það hann hún við þið þeir var vera en ekki með fyrir "
+          "frá eftir yfir undir milli án mjög bara líka enn allir "
+          "eitthvað hvar hvenær sem um til hef",
+    "mt": "u hija huwa li ma fil għal minn bħal kien tkun ħafna biss "
+          "ukoll meta fejn xi ħaġa kollox wara fuq taħt bejn mingħajr "
+          "dan din jien int aħna huma",
+    "sw": "na ni ya wa kwa katika hii hiyo yeye sisi ninyi wao alikuwa "
+          "kuwa sana tu pia bado wote kitu mahali wakati labda juu chini "
+          "kati bila kama lakini hata",
+    "tl": "at ang ng sa ay mga ito iyan siya kami kayo sila ako ikaw "
+          "naging maging lamang din pa lahat isang bagay saan kailan "
+          "marahil ngunit dahil kung para hindi",
 }
 
 _PROFILE_SIZE = 120
@@ -482,48 +524,69 @@ def _trigram_language(tokens: list[str]) -> tuple[str, float]:
     return best, 1.0 - best_dist / max(worst, 1)
 
 
+# One-pass script classifier (round-4 widening, second pass): a sorted
+# table of DISJOINT codepoint intervals, each mapped to a script bucket.
+# searchsorted + bincount counts every bucket in one pass over the text,
+# regardless of how many scripts are distinguished — the per-script
+# boolean-mask version it replaces needed ~2 vectorized comparisons per
+# range and was re-audited for overlap on every addition. The table is
+# exactly equivalent to the round-3 masks for the pre-existing buckets
+# (the kana carve-outs of the zh fullwidth block are explicit rows; the
+# latin ranges never intersected zh/ar/ru, so the old ~zh&~ar&~ru guard
+# was a no-op).
+_SCRIPT_BUCKETS = (
+    "latin", "zh", "kana", "ko", "ru", "ar", "he", "el", "hi", "bn",
+    "ta", "te", "kn", "ml", "si", "gu", "pa", "or", "th", "lo", "km",
+    "my", "ka", "hy", "am",
+)
+_SCRIPT_INTERVALS = (
+    (0x41, 0x5A, "latin"), (0x61, 0x7A, "latin"), (0xC0, 0x24F, "latin"),
+    (0x0370, 0x03FF, "el"), (0x0400, 0x04FF, "ru"), (0x0530, 0x058F, "hy"),
+    (0x0590, 0x05FF, "he"), (0x0600, 0x06FF, "ar"), (0x0750, 0x077F, "ar"),
+    (0x0900, 0x097F, "hi"), (0x0980, 0x09FF, "bn"), (0x0A00, 0x0A7F, "pa"),
+    (0x0A80, 0x0AFF, "gu"), (0x0B00, 0x0B7F, "or"), (0x0B80, 0x0BFF, "ta"),
+    (0x0C00, 0x0C7F, "te"), (0x0C80, 0x0CFF, "kn"), (0x0D00, 0x0D7F, "ml"),
+    (0x0D80, 0x0DFF, "si"), (0x0E00, 0x0E7F, "th"), (0x0E80, 0x0EFF, "lo"),
+    (0x1000, 0x109F, "my"), (0x10A0, 0x10FF, "ka"), (0x1100, 0x11FF, "ko"),
+    (0x1200, 0x137F, "am"), (0x1780, 0x17FF, "km"), (0x1F00, 0x1FFF, "el"),
+    (0x3000, 0x303F, "zh"), (0x3040, 0x30FF, "kana"), (0x3130, 0x318F, "ko"),
+    (0x4E00, 0x9FFF, "zh"), (0xAC00, 0xD7AF, "ko"), (0xFF00, 0xFF64, "zh"),
+    (0xFF65, 0xFF9F, "kana"), (0xFFA0, 0xFFEF, "zh"),
+)
+_RANGE_STARTS = np.array([s for s, _, _ in _SCRIPT_INTERVALS],
+                         dtype=np.uint32)
+_RANGE_ENDS = np.array([e for _, e, _ in _SCRIPT_INTERVALS],
+                       dtype=np.uint32)
+_RANGE_BUCKET = np.array([_SCRIPT_BUCKETS.index(b)
+                          for _, _, b in _SCRIPT_INTERVALS])
+# dominant-script vote order (tie break: fixed order for determinism);
+# every bucket except kana/latin is a vote candidate, ja is synthesized
+_VOTE_ORDER = ("ja", "zh", "ar", "ru", "ko", "hi", "el", "he", "th",
+               "bn", "ta", "te", "kn", "ml", "si", "gu", "pa", "or",
+               "lo", "km", "my", "ka", "hy", "am")
+
+
 def detect_language(text: str) -> tuple[str, float]:
-    """→ (iso639-1, confidence). Script ranges decide zh/ar/ru; Latin
-    languages by stopword vote."""
+    """→ (iso639-1, confidence). Script ranges decide the non-Latin
+    languages (single-language scripts directly; Cyrillic and Arabic
+    script refine by distinctive letters); Latin languages by stopword
+    vote with a trigram-profile fallback."""
     if not text:
         return "en", 0.0
     if text.isascii():
-        # pure-ASCII text has zero zh/ar/ru codepoints by construction —
+        # pure-ASCII text has zero non-Latin codepoints by construction —
         # skip the utf-32 script scan entirely (62% of corpus docs;
         # measured 80 µs/doc down to the token path alone). Identical
-        # output: the script loop below is a no-op when all counts are 0.
+        # output: the script vote below is a no-op when all counts are 0.
         return _latin_language(text)
     cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    zh = (((cp >= 0x4E00) & (cp <= 0x9FFF)) | ((cp >= 0x3000) & (cp <= 0x303F))
-          | ((cp >= 0xFF00) & (cp <= 0xFFEF)))
-    ar = ((cp >= 0x0600) & (cp <= 0x06FF)) | ((cp >= 0x0750) & (cp <= 0x077F))
-    ru = (cp >= 0x0400) & (cp <= 0x04FF)
-    # round-3 widening: kana / hangul / devanagari script ranges (the
-    # same decision whatlanggo's script detector makes — kana present →
-    # Japanese even when CJK ideographs dominate the glyph count).
-    # Halfwidth katakana (FF65-FF9F) count as kana, carved out of the
-    # zh fullwidth block they live in.
-    kana = (((cp >= 0x3040) & (cp <= 0x30FF))
-            | ((cp >= 0xFF65) & (cp <= 0xFF9F)))
-    zh = zh & ~kana
-    ko = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))
-          | ((cp >= 0x3130) & (cp <= 0x318F)))
-    hi = (cp >= 0x0900) & (cp <= 0x097F)
-    # round-4 widening: five more single-language script ranges
-    # (whatlanggo's script detector decides these the same way)
-    el = ((cp >= 0x0370) & (cp <= 0x03FF)) | ((cp >= 0x1F00) & (cp <= 0x1FFF))
-    he = (cp >= 0x0590) & (cp <= 0x05FF)
-    th = (cp >= 0x0E00) & (cp <= 0x0E7F)
-    bn = (cp >= 0x0980) & (cp <= 0x09FF)
-    ta = (cp >= 0x0B80) & (cp <= 0x0BFF)
-    latin = (~zh & ~ar & ~ru
-             & (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))
-                | ((cp >= 0xC0) & (cp <= 0x24F))))
-    counts = {"zh": int(zh.sum()), "ar": int(ar.sum()), "ru": int(ru.sum()),
-              "ko": int(ko.sum()), "hi": int(hi.sum()),
-              "el": int(el.sum()), "he": int(he.sum()), "th": int(th.sum()),
-              "bn": int(bn.sum()), "ta": int(ta.sum()),
-              "kana": int(kana.sum()), "latin": int(latin.sum())}
+    idx = np.searchsorted(_RANGE_STARTS, cp, side="right").astype(np.int64)
+    idx -= 1
+    idx[idx < 0] = 0
+    hit = (cp >= _RANGE_STARTS[idx]) & (cp <= _RANGE_ENDS[idx])
+    binc = np.bincount(_RANGE_BUCKET[idx[hit]],
+                       minlength=len(_SCRIPT_BUCKETS))
+    counts = {b: int(binc[i]) for i, b in enumerate(_SCRIPT_BUCKETS)}
     total = sum(counts.values()) or 1
     # the DOMINANT script wins among those above the 0.3 share floor
     # (fixed-order voting misclassified majority-hangul text with a
@@ -536,13 +599,11 @@ def detect_language(text: str) -> tuple[str, float]:
     # order for determinism.
     votes = dict(counts)
     votes["ja"] = counts["kana"] + counts["zh"] if counts["kana"] > 0 else 0
-    order = ("ja", "zh", "ar", "ru", "ko", "hi",
-             "el", "he", "th", "bn", "ta")
-    best = max(order, key=lambda s: (votes[s], -order.index(s)))
+    best = max(_VOTE_ORDER, key=lambda s: (votes[s], -_VOTE_ORDER.index(s)))
     if votes[best] > 0 and votes[best] >= 0.3 * total:
         # shared-script refinement (whatlanggo discriminates within a
-        # script by distinctive-character profiles): Cyrillic → uk/bg/ru,
-        # Arabic script → fa/ar
+        # script by distinctive-character profiles):
+        # Cyrillic → be/sr/mk/uk/bg/ru, Arabic script → ur/fa/ar
         if best == "ru":
             return _cyrillic_language(text, votes[best] / total)
         if best == "ar":
@@ -552,11 +613,25 @@ def detect_language(text: str) -> tuple[str, float]:
 
 
 def _cyrillic_language(text: str, conf: float) -> tuple[str, float]:
-    """uk/bg/ru split by alphabet-distinctive letters (public facts:
-    і/ї/є/ґ exist only in Ukrainian; ы/э/ё only in Russian; Bulgarian
-    has neither and uses ъ as a common vowel where Russian ъ is a rare
-    separator). Defaults to ru — the original behavior — whenever the
-    markers are absent or tied, so every pre-round-4 golden holds."""
+    """Cyrillic split by alphabet-distinctive letters (public facts):
+    ў exists only in Belarusian; ђ/ћ only in Serbian and ѓ/ќ/ѕ only in
+    Macedonian (ј/љ/њ/џ are shared by both — Serbian, the larger corpus,
+    is the unmarked default of that pair); і/ї/є/ґ only in Ukrainian;
+    ы/э/ё only in Russian; Bulgarian has none of these and uses ъ as a
+    common vowel where Russian ъ is a rare separator. Checks are ordered
+    so a language's own text can't be claimed by a later rule (Belarusian
+    uses і AND э, so ў must decide before the uk/ru marks). Defaults to
+    ru — the original behavior — whenever every marker is absent, so all
+    pre-round-4 goldens hold."""
+    be_marks = text.count("ў") + text.count("Ў")
+    if be_marks > 0:
+        return "be", conf
+    sr_marks = sum(text.count(c) for c in "ђћЂЋ")
+    mk_marks = sum(text.count(c) for c in "ѓќѕЃЌЅ")
+    if sr_marks or mk_marks:
+        return ("sr" if sr_marks >= mk_marks else "mk"), conf
+    if sum(text.count(c) for c in "јљњџЈЉЊЏ") > 0:
+        return "sr", conf
     uk_marks = sum(text.count(c) for c in "іїєґІЇЄҐ")
     ru_marks = sum(text.count(c) for c in "ыэёЫЭЁ")
     hard_sign = text.count("ъ") + text.count("Ъ")
@@ -568,8 +643,14 @@ def _cyrillic_language(text: str, conf: float) -> tuple[str, float]:
 
 
 def _arabic_script_language(text: str, conf: float) -> tuple[str, float]:
-    """fa/ar split: Persian-only letters پ چ ژ گ (U+067E/0686/0698/06AF)
+    """ur/fa/ar split: Urdu-only letters ٹ ڈ ڑ ں ے ہ ھ
+    (U+0679/0688/0691/06BA/06D2/06C1/06BE — retroflexes, barree yeh, heh
+    goal, heh doachashmee) decide first, because Urdu also uses the
+    Persian letters; then Persian-only پ چ ژ گ (U+067E/0686/0698/06AF)
     and the Farsi yeh ی (U+06CC, vs Arabic ي U+064A). Defaults to ar."""
+    ur_marks = sum(text.count(c) for c in "ٹڈڑںےہھ")
+    if ur_marks > 0:
+        return "ur", conf
     fa_marks = sum(text.count(c) for c in "پچژگ")
     farsi_yeh, arabic_yeh = text.count("ی"), text.count("ي")
     if fa_marks > 0 or farsi_yeh > arabic_yeh:

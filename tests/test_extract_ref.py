@@ -238,6 +238,58 @@ def test_language_round4_widening():
         assert 0.0 <= conf <= 1.0
 
 
+def test_language_round4_second_pass():
+    """Round-4 widening, second pass (→ ~60 languages): thirteen
+    single-language script ranges decided by the one-pass interval
+    table (te/kn/ml/si/gu/pa/or/km/lo/my/ka/hy/am), three more
+    shared-script splits (ur within Arabic script; be/sr/mk within
+    Cyrillic), and twelve Latin trigram profiles
+    (et/lt/lv/sl/sq/eu/cy/ga/is/mt/sw/tl). Every earlier golden holds
+    (test_language_goldens / _new_scripts / _round4_widening run the
+    same suite)."""
+    scenarios = {
+        # script-range singletons
+        "ఇది తెలుగు భాష పరీక్ష వాక్యం": "te",
+        "ಇದು ಕನ್ನಡ ಭಾಷೆಯ ಪರೀಕ್ಷಾ ವಾಕ್ಯ": "kn",
+        "ഇത് മലയാളം ഭാഷയുടെ പരീക്ഷണ വാക്യം": "ml",
+        "මෙය සිංහල භාෂාවේ පරීක්ෂණ වාක්‍යයකි": "si",
+        "આ ગુજરાતી ભાષાનું પરીક્ષણ વાક્ય છે": "gu",
+        "ਇਹ ਪੰਜਾਬੀ ਭਾਸ਼ਾ ਦਾ ਟੈਸਟ ਵਾਕ ਹੈ": "pa",
+        "ଏହା ଓଡ଼ିଆ ଭାଷାର ପରୀକ୍ଷା ବାକ୍ୟ": "or",
+        "នេះជាប្រយោគសាកល្បងភាសាខ្មែរ": "km",
+        "ນີ້ແມ່ນປະໂຫຍກທົດສອບພາສາລາວ": "lo",
+        "ဤသည်မြန်မာဘာသာစကားစမ်းသပ်စာကြောင်းဖြစ်သည်": "my",
+        "ეს არის ქართული ენის სატესტო წინადადება": "ka",
+        "Սա հայերեն լեզվի փորձնական նախադասություն է": "hy",
+        "ይህ የአማርኛ ቋንቋ ሙከራ ዓረፍተ ነገር ነው": "am",
+        # Arabic-script split: Urdu retroflexes/barree-yeh/heh-goal decide
+        # before the Persian letters (Urdu uses those too)
+        "یہ اردو زبان کا ایک آزمائشی جملہ ہے": "ur",
+        # Cyrillic splits: ў → be even though the text also carries the
+        # uk mark і and the ru mark э; ђ/ћ → sr; ѓ/ќ/ѕ → mk
+        "Гэта было ўчора ўвечары ў горадзе і вёсцы": "be",
+        "Ђаци уче ћирилицу сваког дана у школи": "sr",
+        "Ова ќе биде убав ден за сите нас": "mk",
+        # new Latin trigram profiles
+        "ja ei see kui siis ainult pärast tema nende midagi": "et",
+        "ir yra bet kad tai kaip buvo labai nieko apie": "lt",
+        "un ir bet ka tas viņš bija ļoti nekas tikai": "lv",
+        "in je da se za so bi lahko vedno nikoli nekaj": "sl",
+        "dhe është në një për që nga shumë vetëm asgjë": "sq",
+        "eta da ez du bat baina hau nola asko oso ezer": "eu",
+        "a yn y mae ac gyda ond oedd wedi popeth efallai": "cy",
+        "agus tá an is ar le go bhí faoi amháin gach rud": "ga",
+        "og er að það hann hún við þeir ekki mjög eitthvað": "is",
+        "u hija huwa li ma għal minn kien ħafna mingħajr": "mt",
+        "na ni ya wa kwa katika yeye sisi alikuwa sana wakati": "sw",
+        "at ang ng sa ay mga ito siya kami lahat marahil": "tl",
+    }
+    for text, want in scenarios.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert conf > 0.0
+
+
 def test_sentiment_negation_and_valence():
     assert sentiment_binary("This is not good") == 0      # negation flips
     assert sentiment_binary("This is not bad at all") == 1
