@@ -313,6 +313,41 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
     return comp.unionByName(roots).orderBy("doc_id")
 
 
+def resolve_canonical(docs: DataFrame, components: DataFrame,
+                      id_col: str = "doc_id",
+                      quality_col: str = "n_chars") -> DataFrame:
+    """Dedup resolution — the last step of a training-data dedup pass:
+    given the duplicate-cluster assignment ``(doc_id, component)`` from
+    ``connected_components``/``connected_components_star``, pick ONE
+    canonical keeper per cluster (max ``quality_col``, ties → min id —
+    deterministic) and emit the keep/drop decision for every input
+    document as ``(doc_id, component, canonical_id, keep)``. Documents
+    that never appeared in a duplicate pair are singleton clusters and
+    keep themselves.
+
+    Scale shape: one join docs⋈components on the id (components is the
+    clustered subset — usually tiny vs the corpus — so AQE broadcasts
+    it) + one hash aggregation by component (map-side partial
+    ``max_by``). No window over the full corpus, no driver collect. The
+    downstream filter is ``result.filter("keep")`` joined back to the
+    corpus, or equivalently an anti-join on the drop list."""
+    labeled = (docs.select(id_col, quality_col)
+               .join(components, id_col, "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col(id_col))))
+    # max_by on (quality, -id): lexicographic struct max = max quality,
+    # then min id — one deterministic winner per component
+    winners = labeled.groupBy("component").agg(
+        F.max_by(F.col(id_col),
+                 F.struct(F.col(quality_col).alias("q"),
+                          (-F.col(id_col)).alias("nid")))
+        .alias("canonical_id"))
+    return (labeled.join(winners, "component")
+            .select(id_col, "component", "canonical_id",
+                    (F.col(id_col) == F.col("canonical_id")).alias("keep"))
+            .orderBy(id_col))
+
+
 def phash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
                         phash_col: str = "phash", max_dist: int = 12,
                         n_bands: int = 4, band_bits: int = 15) -> DataFrame:

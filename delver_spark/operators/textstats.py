@@ -128,7 +128,8 @@ def language_quota(df: DataFrame, per_lang: int,
     own bucket). Phase 2 runs the exact window over the surviving
     ≤ S·per_lang rows per language. Output is identical to the unsalted
     plan (equality-pinned on an 80%-one-language corpus in
-    tests/test_dedup_scale.py); at an 80%-English 10⁷-doc corpus the
+    tests/test_plans.py::test_language_quota_salted_equals_plain); at an
+    80%-English 10⁷-doc corpus the
     dominant-language window task drops from O(0.8n) rows to
     O(per_lang · S) — measured in bench_quota.py."""
     from pyspark.sql import Window

@@ -94,6 +94,35 @@ def test_connected_components_known_clusters(spark):
         1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_resolve_canonical_keepers(spark):
+    """Dedup resolution: max-quality keeper per cluster, ties → min id,
+    singletons keep themselves; exactly one keeper per component and
+    every drop points at a keeper in its own component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long")
+    comps = D.connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (7, 50),   # tie 2 vs 3 → min id 2
+         (10, 5), (11, 9),                          # 11 wins on quality
+         (42, 1)],                                  # singleton, no pair
+        "doc_id long, n_chars long")
+    got = D.resolve_canonical(docs, comps).toPandas()
+    by_id = {r.doc_id: (r.component, r.canonical_id, r.keep)
+             for r in got.itertuples()}
+    assert by_id == {
+        1: (1, 2, False), 2: (1, 2, True), 3: (1, 2, False),
+        7: (1, 2, False), 10: (10, 11, False), 11: (10, 11, True),
+        42: (42, 42, True)}
+    # structural invariants: one keeper per component; drops' canonical
+    # is kept and in the same component
+    import collections
+    keep_per_comp = collections.Counter(
+        c for c, _, k in by_id.values() if k)
+    assert all(v == 1 for v in keep_per_comp.values())
+    for doc, (comp, canon, keep) in by_id.items():
+        assert by_id[canon][2] and by_id[canon][0] == comp
+
+
 def test_phash_hamming_planted(spark):
     base = 0b101101110001111000011110000111100001111000011110000111100001
     rows = [(0, base),
