@@ -282,23 +282,22 @@ def set_except_unshipped(spark, sf):
     return o.exceptAll(li).orderBy("orderkey")
 
 
-def x11_md5_checksum(spark, sf):
-    """X11 payload MD5 (resource/objectstore/filesystem.go:37-51)."""
+def x11_x12_scalar_fns(spark, sf):
+    """X11 payload MD5 (resource/objectstore/filesystem.go:37-51) + X12
+    naive SLD+TLD split (util/util.go:92-101) in ONE driver entry:
+    per-customer md5 checksum plus a 3-label host synthesized from the
+    digest and split into its last-two-label domain. Consolidated from
+    the r3 separate x11/x12 entries (same move as x14+o6) to free a
+    50-entry gate slot for dedup_resolve_canonical; both scalar
+    functions keep the 1500-row customer gate."""
     c = _t(spark, sf, "customer")
-    return (c.select("c_custkey", F.md5(F.col("c_name")).alias("name_md5"))
+    md5c = F.md5(F.col("c_name"))
+    host = F.concat(F.substring(md5c, 1, 8), F.lit("."),
+                    F.substring(md5c, 9, 4), F.lit(".test"))
+    domain = F.array_join(F.slice(F.split(host, "\\."), -2, 2), ".")
+    return (c.select("c_custkey", md5c.alias("name_md5"),
+                     host.alias("host"), domain.alias("domain"))
             .orderBy("c_custkey"))
-
-
-def x12_sld_tld(spark, sf):
-    """X12 naive SLD+TLD split (util/util.go:92-101) over synthesized hosts."""
-    n = _t(spark, sf, "nation")
-    r = _t(spark, sf, "region")
-    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    host = F.concat(F.lower(F.regexp_replace("n_name", " ", "")), F.lit("."),
-                    F.lower(F.regexp_replace("r_name", " ", "")), F.lit(".test"))
-    j = j.withColumn("host", host)
-    domain = F.array_join(F.slice(F.split(F.col("host"), "\\."), -2, 2), ".")
-    return (j.select("n_name", "host", domain.alias("domain")).orderBy("n_name"))
 
 
 def x13_json_extract(spark, sf):
@@ -442,6 +441,20 @@ def dedup_components_star(spark, sf):
     it shares the recursive-CTE DuckDB twin."""
     pairs = _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
     return _dedup.connected_components_star(pairs)
+
+
+def dedup_resolve_canonical(spark, sf):
+    """Dedup resolution — the last step of a training-data dedup pass:
+    ngram-Jaccard near-dup pairs → connected components → ONE canonical
+    keeper per cluster (max n_chars, ties → min doc_id) → keep/drop
+    decision for EVERY document, singletons keeping themselves
+    (operators/dedup.py:resolve_canonical). Shares the recursive-CTE
+    components body with dedup_components so the three stay in
+    lockstep."""
+    d = _t(spark, sf, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(d)
+    comps = _dedup.connected_components(pairs)
+    return _dedup.resolve_canonical(d.select("doc_id", "n_chars"), comps)
 
 
 def dedup_phash_hamming(spark, sf):
@@ -647,6 +660,36 @@ _COMPONENTS_SQL = f"""
 """
 
 
+# dedup resolution twin: the components reachability body + winner
+# selection (max n_chars, ties → min doc_id) + keep flags for every
+# document (left join; singletons are their own component)
+_RESOLVE_SQL = f"""
+    WITH RECURSIVE p AS ({_NGRAM_CORE_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+    gnodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM gnodes
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m),
+    comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    win AS (
+      SELECT component, doc_id AS canonical_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM labeled)
+    SELECT l.doc_id, l.component, w.canonical_id,
+           l.doc_id = w.canonical_id AS keep
+    FROM labeled l JOIN win w ON w.component = l.component AND w.rn = 1
+    ORDER BY l.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # f8 oracle twin: the news.go blacklists expanded into SQL
 # ---------------------------------------------------------------------------
@@ -729,8 +772,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f10_field_projection": f10_field_projection,
     "set_union_nations": set_union_nations,
     "set_except_unshipped": set_except_unshipped,
-    "x11_md5_checksum": x11_md5_checksum,
-    "x12_sld_tld": x12_sld_tld,
+    "x11_x12_scalar_fns": x11_x12_scalar_fns,
     "x13_json_extract": x13_json_extract,
     "x14_o6_scalar_fns": x14_o6_scalar_fns,
     "t2_stream_composite_filter": t2_stream_composite_filter,
@@ -744,6 +786,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "dedup_phash_hamming": dedup_phash_hamming,
+    "dedup_resolve_canonical": dedup_resolve_canonical,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_nprobe": ann_ivf_nprobe,
@@ -908,17 +951,15 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)
             ORDER BY orderkey
         """,
-        "x11_md5_checksum": """
-            SELECT c_custkey, md5(c_name) AS name_md5 FROM customer ORDER BY c_custkey
-        """,
-        "x12_sld_tld": """
-            SELECT n_name,
-                   lower(replace(n_name,' ','')) || '.' || lower(replace(r_name,' ','')) || '.test' AS host,
-                   array_to_string((string_split(
-                     lower(replace(n_name,' ','')) || '.' || lower(replace(r_name,' ','')) || '.test',
-                     '.'))[-2:], '.') AS domain
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-            ORDER BY n_name
+        "x11_x12_scalar_fns": """
+            WITH h AS (
+              SELECT c_custkey, md5(c_name) AS name_md5,
+                     substr(md5(c_name), 1, 8) || '.' ||
+                     substr(md5(c_name), 9, 4) || '.test' AS host
+              FROM customer)
+            SELECT c_custkey, name_md5, host,
+                   array_to_string((string_split(host, '.'))[-2:], '.') AS domain
+            FROM h ORDER BY c_custkey
         """,
         "x13_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -993,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         # it shares the twin verbatim — the driver gate then pins the
         # large-star/small-star implementation independently of pytest
         "dedup_components_star": _COMPONENTS_SQL,
+        "dedup_resolve_canonical": _RESOLVE_SQL,
         "dedup_phash_hamming": """
             WITH h0 AS (
               SELECT doc_id,
