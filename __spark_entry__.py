@@ -562,6 +562,99 @@ def text_bpe_tokens(spark, sf):
     return _txt.bpe_token_count(_t(spark, sf, "documents"))
 
 
+# Planted multi-line / PII documents: the driver tables are single-line
+# word salad with no PII, so the repetition and scrub gates need
+# deterministic plants to be non-vacuous (same pattern as
+# _planted_embeddings / the doc_fingerprint short doc). No quotes or
+# backslashes in the strings, so they embed verbatim in the DuckDB twin
+# VALUES lists (the \n becomes a literal newline inside the SQL string,
+# which DuckDB accepts).
+_REP_DOCS = [
+    (2000000, "alpha beta\nalpha beta\ngamma delta\nalpha beta\nepsilon"),
+    (2000001, "spam spam spam spam spam ham"),
+    (2000002, "clean line one\nclean line two\nclean line three"),
+]
+_PII_DOCS = [
+    (2000000, "contact alice.smith@example.test for account help"),
+    (2000001, "call 555-123-4567 or 555.987.6543 before noon"),
+    (2000002, "escalate to bob@mail.example.test or 321-654-0987"),
+    (2000003, "local part 123.456.7890@relay.example.test is one email"),
+]
+
+
+def _values_sql(rows):
+    return ", ".join(f"({i}, '{t}')" for i, t in rows)
+
+
+def text_repetition_filters(spark, sf):
+    """Gopher-style repetition keep/drop filters over documents plus
+    planted multi-line docs (testdata text has no newlines, so the
+    line-duplication branch needs plants to be exercised)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    return _txt.repetition_stats(d.unionByName(planted))
+
+
+def text_pii_scrub(spark, sf):
+    """Email/phone PII counting + redaction over documents plus planted
+    PII docs (testdata text has no PII; plants cover multi-hit rows and
+    the phone-shaped-email-local-part single-count case)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    return _txt.pii_scrub(d.unionByName(planted))
+
+
+def decontaminate_ngram(spark, sf):
+    """Benchmark decontamination: flag documents sharing any word 5-gram
+    with a benchmark set (docs with doc_id % 37 == 0 stand in for the
+    eval suite, so self-matches guarantee a non-vacuous gate and shared
+    word-salad 5-grams exercise cross-document hits). The benchmark gram
+    set is broadcast — the corpus side is never shuffled."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return _txt.ngram_decontaminate(d, bench, n=5)
+
+
+def set_ops_union_except(spark, sf):
+    """§2.6 set ops (union distinct + except) in ONE tagged driver entry —
+    consolidated from the r3 separate set_union_nations /
+    set_except_unshipped entries (the x14+o6 50-slot move) to free a
+    gate slot for the round-4 training-data operators."""
+    u = (set_union_nations(spark, sf)
+         .select(F.lit("union_nations").alias("op"),
+                 F.col("nationkey").cast("long").alias("key")))
+    x = (set_except_unshipped(spark, sf)
+         .select(F.lit("except_unshipped").alias("op"),
+                 F.col("orderkey").cast("long").alias("key")))
+    return u.unionByName(x).orderBy("op", "key")
+
+
+def f4_f9_filter_gates(spark, sf):
+    """F4 null filter + F9 content-type gate in ONE tagged driver entry
+    (both one-predicate filters; consolidated to free a gate slot)."""
+    a = f4_null_filter(spark, sf).select(
+        F.lit("f4_null").alias("gate"),
+        F.col("r_regionkey").cast("long").alias("key"),
+        F.col("r_name").alias("val"))
+    b = f9_content_type_gate(spark, sf).select(
+        F.lit("f9_content_type").alias("gate"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("source").alias("val"))
+    return a.unionByName(b).orderBy("gate", "key")
+
+
+def f6_j5_fanout_ops(spark, sf):
+    """F6 same-domain split + J5 stream×filter cross product in ONE
+    tagged driver entry (consolidated to free a gate slot)."""
+    a = f6_same_domain_split(spark, sf).select(
+        F.lit("f6_split").alias("op"), F.col("branch").alias("a"),
+        F.col("n").cast("string").alias("b"))
+    b = j5_stream_filter_cross(spark, sf).select(
+        F.lit("j5_cross").alias("op"), F.col("r_name").alias("a"),
+        F.col("o_orderstatus").alias("b"))
+    return a.unionByName(b).orderBy("op", "a", "b")
+
+
 def sample_deterministic(spark, sf):
     """Reproducible hash-rate down-sampling (training-data ablations):
     keep ~10% of documents by md5(doc_id) bucket — same rows on every
@@ -762,16 +855,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j2_robots_lookup": j2_robots_lookup,
     "j3_seen_anti_join": j3_seen_anti_join,
     "j4_unvisited_semi_join": j4_unvisited_semi_join,
-    "j5_stream_filter_cross": j5_stream_filter_cross,
     "f2_multi_filter": f2_multi_filter,
     "f3_regex_filter": f3_regex_filter,
-    "f4_null_filter": f4_null_filter,
-    "f6_same_domain_split": f6_same_domain_split,
+    "f4_f9_filter_gates": f4_f9_filter_gates,
+    "f6_j5_fanout_ops": f6_j5_fanout_ops,
     "f8_news_admission": f8_news_admission,
-    "f9_content_type_gate": f9_content_type_gate,
     "f10_field_projection": f10_field_projection,
-    "set_union_nations": set_union_nations,
-    "set_except_unshipped": set_except_unshipped,
+    "set_ops_union_except": set_ops_union_except,
     "x11_x12_scalar_fns": x11_x12_scalar_fns,
     "x13_json_extract": x13_json_extract,
     "x14_o6_scalar_fns": x14_o6_scalar_fns,
@@ -797,6 +887,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "doc_fingerprint": doc_fingerprint,
+    "text_repetition_filters": text_repetition_filters,
+    "text_pii_scrub": text_pii_scrub,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 
@@ -901,10 +994,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
             ORDER BY s_suppkey
         """,
-        "j5_stream_filter_cross": """
-            SELECT r_name, o_orderstatus
+        "f6_j5_fanout_ops": """
+            SELECT 'f6_split' AS op,
+                   CASE WHEN c_nationkey = 7 AND o_totalprice < 300000
+                        THEN 'enqueue' ELSE 'stash' END AS a,
+                   CAST(count(*) AS VARCHAR) AS b
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY a
+            UNION ALL
+            SELECT 'j5_cross', r_name, o_orderstatus
             FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
-            ORDER BY r_name, o_orderstatus
+            ORDER BY op, a, b
         """,
         "f2_multi_filter": """
             SELECT p_partkey, p_name, p_size FROM part
@@ -912,8 +1012,14 @@ def oracle_sql() -> dict[str, str]:
               AND p_brand IN ('Brand#11','Brand#22','Brand#3')
             ORDER BY p_partkey
         """,
-        "f4_null_filter": """
-            SELECT r_regionkey, r_name FROM region WHERE TRUE ORDER BY r_regionkey
+        "f4_f9_filter_gates": """
+            SELECT 'f4_null' AS gate, CAST(r_regionkey AS BIGINT) AS key,
+                   r_name AS val
+            FROM region WHERE TRUE
+            UNION ALL
+            SELECT 'f9_content_type', doc_id, source
+            FROM documents WHERE source LIKE '%1%'
+            ORDER BY gate, key
         """,
         "x14_o6_scalar_fns": """
             SELECT n_nationkey,
@@ -925,31 +1031,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name FROM part
             WHERE regexp_matches(p_name, 'red.*bolt') ORDER BY p_partkey
         """,
-        "f6_same_domain_split": """
-            SELECT CASE WHEN c_nationkey = 7 AND o_totalprice < 300000
-                        THEN 'enqueue' ELSE 'stash' END AS branch, count(*) AS n
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY branch ORDER BY branch
-        """,
         "f8_news_admission": _F8_NEWS_SQL,
-        "f9_content_type_gate": """
-            SELECT doc_id, source FROM documents
-            WHERE source LIKE '%1%' ORDER BY doc_id
-        """,
         "f10_field_projection": """
             SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
         """,
-        "set_union_nations": """
-            SELECT DISTINCT nationkey FROM (
-              SELECT c_nationkey AS nationkey FROM customer
-              UNION ALL SELECT s_nationkey FROM supplier)
-            ORDER BY nationkey
-        """,
-        "set_except_unshipped": """
-            SELECT orderkey FROM (
-              SELECT DISTINCT o_orderkey AS orderkey FROM orders
-              EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)
-            ORDER BY orderkey
+        "set_ops_union_except": """
+            SELECT 'union_nations' AS op, CAST(nationkey AS BIGINT) AS key
+            FROM (SELECT DISTINCT nationkey FROM (
+                    SELECT c_nationkey AS nationkey FROM customer
+                    UNION ALL SELECT s_nationkey FROM supplier))
+            UNION ALL
+            SELECT 'except_unshipped', CAST(orderkey AS BIGINT)
+            FROM (SELECT DISTINCT o_orderkey AS orderkey FROM orders
+                  EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)
+            ORDER BY op, key
         """,
         "x11_x12_scalar_fns": """
             WITH h AS (
@@ -1265,5 +1360,74 @@ def oracle_sql() -> dict[str, str]:
                        || ':' || substr(text, greatest(n_chars - 63, 1), 64))
                      AS fingerprint
             FROM d ORDER BY doc_id
+        """,
+        "text_repetition_filters": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {_values_sql(_REP_DOCS)}) v(doc_id, text)),
+            arr AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+                     list_filter(string_split_regex(text, '[ \\n]'), x -> x <> '') AS ws
+              FROM d),
+            stats AS (
+              SELECT doc_id,
+                     len(ls) AS n_lines,
+                     len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+                     len(ws) AS n_words,
+                     len(ws) - len(list_distinct(ws)) AS n_dup_words,
+                     coalesce(list_max(list_transform(list_distinct(ws),
+                         w -> len(list_filter(ws, x -> x = w)))), 0)
+                       AS top_word_count
+              FROM arr)
+            SELECT doc_id, n_lines, n_dup_lines, n_words, n_dup_words,
+                   top_word_count,
+                   n_dup_lines * 10 > n_lines * 3 AS flag_dup_lines,
+                   top_word_count * 5 > n_words AS flag_top_word,
+                   n_dup_words * 10 > n_words * 7 AS flag_dup_words,
+                   NOT (n_dup_lines * 10 > n_lines * 3
+                        OR top_word_count * 5 > n_words
+                        OR n_dup_words * 10 > n_words * 7) AS keep
+            FROM stats ORDER BY doc_id
+        """,
+        "text_pii_scrub": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {_values_sql(_PII_DOCS)}) v(doc_id, text)),
+            s AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{_txt.EMAIL_PATTERN}',
+                                    '<EMAIL>', 'g') AS t1
+              FROM d)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_txt.EMAIL_PATTERN}')) AS n_emails,
+                   len(regexp_extract_all(t1, '{_txt.PHONE_PATTERN}')) AS n_phones,
+                   len(regexp_extract_all(text, '{_txt.EMAIL_PATTERN}'))
+                     + len(regexp_extract_all(t1, '{_txt.PHONE_PATTERN}')) > 0
+                     AS has_pii,
+                   length(regexp_replace(t1, '{_txt.PHONE_PATTERN}',
+                                         '<PHONE>', 'g')) AS n_chars_scrubbed,
+                   md5(regexp_replace(t1, '{_txt.PHONE_PATTERN}',
+                                      '<PHONE>', 'g')) AS scrubbed_md5
+            FROM s ORDER BY doc_id
+        """,
+        "decontaminate_ngram": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+              FROM w, unnest(generate_series(1, len(ws)-4)) AS t(i)),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n_hits
+              FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

@@ -1,8 +1,10 @@
 """Text analysis for training-data pipelines: token counting, quality
-scoring, heuristic language-ID, and document fingerprinting — all pure
-column expressions (whole-stage codegen, no Python), each with a DuckDB
-oracle twin in __spark_entry__.py. Integer/string outputs only, so
-cross-engine hashes match exactly."""
+scoring, heuristic language-ID, document fingerprinting, repetition
+filters, PII scrubbing, and benchmark decontamination — pure column
+expressions wherever the semantics allow (whole-stage codegen, no
+Python), each with a DuckDB oracle twin in __spark_entry__.py.
+Integer/string/boolean outputs only, so cross-engine hashes match
+exactly."""
 
 from __future__ import annotations
 
@@ -89,6 +91,120 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
                         F.substring(text_col, 1, 64), F.lit(":"),
                         F.substring(F.col(text_col), tail_start, F.lit(64))))
     return df.select(id_col, fp.alias("fingerprint")).orderBy(id_col)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape):
+    per-document duplicate-line fraction, duplicate-word fraction, and
+    top-word frequency, with the standard keep/drop thresholds. All
+    counting is array arithmetic on the row itself — one narrow
+    projection, no shuffle, whole-stage codegen — so the filter costs a
+    single scan at any corpus size. Thresholds are evaluated with
+    integer cross-multiplication (``dup*10 > 3*n`` instead of
+    ``dup/n > 0.3``) so the outputs are exact ints/bools and the DuckDB
+    twin hashes bit-identically.
+
+    Flags: >30% duplicate lines, >20% top-word mass, >70% duplicate
+    words (word-salad corpora sit near the last cut, so the gate
+    exercises both sides); ``keep`` is the conjunction of the three.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: x != "")
+    words = F.filter(F.split(F.col(text_col), "[ \n]"),
+                     lambda x: x != "")
+    d = df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+        F.size(words).alias("n_words"),
+        (F.size(words) - F.size(F.array_distinct(words))).alias("n_dup_words"),
+        F.coalesce(
+            F.array_max(F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)))),
+            F.lit(0)).alias("top_word_count"))
+    flag_lines = F.col("n_dup_lines") * 10 > F.col("n_lines") * 3
+    flag_top = F.col("top_word_count") * 5 > F.col("n_words")
+    flag_words = F.col("n_dup_words") * 10 > F.col("n_words") * 7
+    return (d.withColumn("flag_dup_lines", flag_lines)
+            .withColumn("flag_top_word", flag_top)
+            .withColumn("flag_dup_words", flag_words)
+            .withColumn("keep", ~(flag_lines | flag_top | flag_words))
+            .orderBy(id_col))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + greedy quantifiers only, no
+# lookaround, no alternation whose branch order could differ. RE2
+# defaults to Perl-style leftmost-first semantics, same as Java, so the
+# non-overlapping match sets coincide.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_PATTERN = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: count and redact email
+    addresses and NNN-NNN-NNNN / NNN.NNN.NNNN phone numbers. Emails are
+    redacted first and phones counted on the email-redacted text, so a
+    phone-shaped local part ("123.456.7890@x.test") is counted exactly
+    once, deterministically, in both engines. Output is counts + the
+    md5 of the scrubbed text (compact, hash-stable); the scrubbed text
+    itself is a drop-in ``withColumn`` for pipeline use. One narrow
+    projection — no shuffle, no Python."""
+    email_scrubbed = F.regexp_replace(F.col(text_col), EMAIL_PATTERN,
+                                      "<EMAIL>")
+    scrubbed = F.regexp_replace(email_scrubbed, PHONE_PATTERN, "<PHONE>")
+    n_emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN))
+    n_phones = F.regexp_count(email_scrubbed, F.lit(PHONE_PATTERN))
+    return (df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_phones > 0).alias("has_pii"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+        .orderBy(id_col))
+
+
+def ngram_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma shape):
+    flag corpus documents sharing any word ``n``-gram with a benchmark
+    set. The benchmark side is tiny relative to the corpus (eval suites
+    are KBs, corpora are TBs), so its distinct gram set is broadcast
+    into the corpus-side join: the 100 TB side is never shuffled — one
+    scan, a broadcast-hash semi-join on the gram, and a groupBy over
+    only the matching (doc, gram) rows. Docs shorter than ``n`` words
+    produce no grams and are trivially clean.
+
+    Returns every corpus doc with its matching-gram count and a
+    ``contaminated`` flag (count > 0)."""
+    from pyspark.sql.functions import broadcast
+
+    def grams(frame: DataFrame, out: str) -> DataFrame:
+        words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                         lambda x: x != "")
+        k = F.size(words) - (n - 1)
+        g = F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(id_col, F.explode(g).alias(out))
+
+    bench_grams = grams(bench, "gram").select("gram").distinct()
+    hits = (grams(docs, "gram")
+            .join(broadcast(bench_grams), "gram")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                    .alias("contaminated"))
+            .orderBy(id_col))
 
 
 def deterministic_sample(df: DataFrame, rate_milli: int,

@@ -1,0 +1,119 @@
+"""Pins for the round-4 training-data quality operators: Gopher-style
+repetition filters, PII scrubbing, and n-gram benchmark decontamination
+(operators/textstats.py). Hand-computed expected values on crafted docs;
+the cross-engine (DuckDB-twin) equality is pinned separately by
+test_entry_contract.py on the sf0.01 tables + planted docs."""
+
+import hashlib
+
+import pytest
+
+from delver_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "alpha beta\nalpha beta\ngamma delta\nalpha beta"),
+         (2, "spam spam spam spam ham"),
+         (3, "one two three four five six seven"),
+         (4, ""),
+         (5, "contact alice.smith@example.test or call 555-123-4567 now"),
+         (6, "dual 123.456.7890@x.test plus 321-654-0987")],
+        "doc_id long, text string")
+
+
+def test_repetition_stats_exact(docs):
+    rows = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
+    # doc 1: 4 lines, "alpha beta" x3 -> 2 dup lines (>30% -> flag);
+    # 8 words, top word "alpha" x3 (3*5 > 8 -> flag); 4 dup words (<=70%).
+    r = rows[1]
+    assert (r["n_lines"], r["n_dup_lines"]) == (4, 2)
+    assert (r["n_words"], r["n_dup_words"], r["top_word_count"]) == (8, 4, 3)
+    assert r["flag_dup_lines"] and r["flag_top_word"]
+    assert not r["flag_dup_words"] and not r["keep"]
+    # doc 2: top word 4/5 -> flag_top_word; dup words 3/5 (<=70% -> no flag)
+    r = rows[2]
+    assert r["top_word_count"] == 4 and r["flag_top_word"]
+    assert not r["flag_dup_words"]
+    # doc 3: 7 distinct words, one line -> clean keep
+    assert rows[3]["keep"] and rows[3]["top_word_count"] == 1
+    # doc 4: empty text -> all zero counts, keep (vacuously clean)
+    r = rows[4]
+    assert (r["n_lines"], r["n_words"], r["top_word_count"]) == (0, 0, 0)
+    assert r["keep"]
+
+
+def test_repetition_dup_words_flag(spark):
+    # boundary pins: top word at exactly 20% does NOT flag (strict >);
+    # 75% duplicate words with top word at exactly 20% fires ONLY the
+    # dup-words flag.
+    d = spark.createDataFrame(
+        [(1, "a a b b c c d d e e"),  # top=2: 2*5 = 10 words, not >
+         (2, "a a a a b b b b c c c c d d d d e e e e")],
+        # 20 words, 5 distinct -> 15 dup (75% > 70%); top=4: 4*5=20, not >
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.repetition_stats(d).collect()}
+    assert rows[1]["n_dup_words"] == 5 and not rows[1]["flag_top_word"]
+    r = rows[2]
+    assert (r["n_dup_words"], r["top_word_count"]) == (15, 4)
+    assert r["flag_dup_words"] and not r["flag_top_word"] and not r["keep"]
+
+
+def test_pii_scrub_counts_and_redaction(docs):
+    rows = {r["doc_id"]: r for r in T.pii_scrub(docs).collect()}
+    assert rows[3]["has_pii"] is False
+    assert (rows[5]["n_emails"], rows[5]["n_phones"]) == (1, 1)
+    expected5 = "contact <EMAIL> or call <PHONE> now"
+    assert rows[5]["scrubbed_md5"] == hashlib.md5(
+        expected5.encode()).hexdigest()
+    assert rows[5]["n_chars_scrubbed"] == len(expected5)
+    # phone-shaped local part is consumed by the email redaction and
+    # counted exactly once (as an email); the standalone phone separately
+    r = rows[6]
+    assert (r["n_emails"], r["n_phones"]) == (1, 1)
+    assert r["scrubbed_md5"] == hashlib.md5(
+        b"dual <EMAIL> plus <PHONE>").hexdigest()
+
+
+def test_pii_scrub_multiple_hits(spark):
+    d = spark.createDataFrame(
+        [(1, "a@b.test c@d.test 111-222-3333 444.555.6666")],
+        "doc_id long, text string")
+    r = T.pii_scrub(d).collect()[0]
+    assert (r["n_emails"], r["n_phones"]) == (2, 2)
+    assert r["scrubbed_md5"] == hashlib.md5(
+        b"<EMAIL> <EMAIL> <PHONE> <PHONE>").hexdigest()
+
+
+def test_decontaminate_hits_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"),   # grams at 1,2 hit bench
+         (2, "ONE Two THREE four FIVE"),       # lowercased -> exact bench doc
+         (3, "totally different words here now"),
+         (4, "one two three four"),            # < 5 words: no grams
+         (5, "one two three four five one two three four five")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "one two three four five")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            T.ngram_decontaminate(docs, bench, n=5).collect()}
+    assert rows[1]["n_hits"] == 1 and rows[1]["contaminated"]
+    assert rows[2]["n_hits"] == 1 and rows[2]["contaminated"]
+    assert rows[3]["n_hits"] == 0 and not rows[3]["contaminated"]
+    assert rows[4]["n_hits"] == 0 and not rows[4]["contaminated"]
+    # duplicated grams in one doc each count (6 windows of 10 words
+    # contain the bench gram at offsets 1 and 6)
+    assert rows[5]["n_hits"] == 2
+
+
+def test_decontaminate_bench_dedup(spark):
+    # the benchmark side is distinct-ed: the same gram in two bench docs
+    # must not double-count corpus hits
+    docs = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(98, "one two three four five"), (99, "one two three four five")],
+        "doc_id long, text string")
+    r = T.ngram_decontaminate(docs, bench, n=5).collect()[0]
+    assert r["n_hits"] == 1
