@@ -141,3 +141,55 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
 
     return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+def curate_image_caption(df: DataFrame, min_side: int = 64,
+                         max_aspect_milli: int = 3000,
+                         min_caption_tokens: int = 3,
+                         max_caption_tokens: int = 77) -> DataFrame:
+    """LAION-style image+caption curation over the canonical pair table
+    (image_id, bytes, w, h, fmt, caption, phash): metadata gates + exact
+    perceptual-hash dedup, emitting every input row with a
+    ``drop_reason`` (null = kept) so pipeline loss is observable per
+    stage. Near-dup clustering composes separately: feed the kept rows
+    to dedup.phash_hamming_pairs -> connected_components ->
+    resolve_canonical.
+
+    Gates (integer arithmetic only, whole-stage codegen; first failing
+    gate names the reason):
+      too_small    min(w, h) < min_side
+      aspect       max(w,h)*1000 > max_aspect_milli*min(w,h)
+      caption_len  whitespace token count outside
+                   [min_caption_tokens, max_caption_tokens]
+      phash_dup    another gate-passing row with the SAME phash has more
+                   pixels (ties: smaller image_id wins)
+
+    The dedup is one hash-shuffle window on phash over gate-passing rows
+    only — payload bytes are carried through the shuffle ONLY if the
+    caller selected them; curation needs just the metadata columns, so
+    select (image_id, w, h, caption, phash) upstream and join bytes back
+    by image_id at the end (the crawl engine's never-shuffle-payloads
+    rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_tokens = F.size(F.filter(F.split(F.col("caption"), " "),
+                               lambda x: x != ""))
+    gate = (F.when(F.least("w", "h") < min_side, "too_small")
+            .when(F.greatest("w", "h") * 1000
+                  > F.lit(max_aspect_milli) * F.least("w", "h"), "aspect")
+            .when((n_tokens < min_caption_tokens)
+                  | (n_tokens > max_caption_tokens), "caption_len"))
+    d = (df.withColumn("_gate", gate)
+         .withColumn("_pass", gate.isNull()))
+    # rank only among gate-PASSING rows of a phash (partitioning by the
+    # pass flag keeps a failing row from stealing rank 1)
+    win = Window.partitionBy("phash", "_pass").orderBy(
+        F.desc(F.col("w").cast("long") * F.col("h")), F.asc("image_id"))
+    ranked = d.withColumn("_rn", F.row_number().over(win))
+    reason = F.coalesce(
+        F.col("_gate"),
+        F.when(F.col("_rn") > 1, F.lit("phash_dup")))
+    return (ranked.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .drop("_gate", "_pass", "_rn"))

@@ -58,3 +58,39 @@ def test_video_frame_sample(spark):
     out = video_frame_sample(df, every_n=2).collect()
     assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4]
     assert all(len(r["frame"]) == w * h * 3 for r in out)
+
+
+def test_curate_image_caption(spark):
+    from delver_spark.operators.multimodal import curate_image_caption
+
+    cap = "a nice red car parked"
+    rows = [
+        # (image_id, bytes, w, h, fmt, caption, phash)
+        ("i1", b"", 100, 100, "ppm", cap, 111),   # dup of i2, fewer pixels
+        ("i2", b"", 200, 200, "ppm", cap, 111),   # phash-dup keeper
+        ("i3", b"", 32, 100, "ppm", cap, 333),    # min side < 64
+        ("i4", b"", 400, 100, "ppm", cap, 444),   # aspect 4.0 > 3.0
+        ("i5", b"", 100, 100, "ppm", "hi there", 555),        # 2 tokens
+        ("i6", b"", 500, 500, "ppm", "x", 111),   # gate-fail, same phash:
+                                                  # must NOT steal rank 1
+        ("i7", b"", 128, 128, "ppm", cap, 222),   # tie with i8 on pixels:
+        ("i8", b"", 128, 128, "ppm", cap, 222),   # smaller id (i7) wins
+        ("i9", b"", 100, 100, "ppm", " ".join(["t"] * 78), 999),  # 78 toks
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string,"
+              " caption string, phash long")
+    out = {r["image_id"]: r for r in curate_image_caption(df).collect()}
+    assert len(out) == 9
+    assert out["i1"]["drop_reason"] == "phash_dup"
+    assert out["i2"]["keep"] and out["i2"]["drop_reason"] is None
+    assert out["i3"]["drop_reason"] == "too_small"
+    assert out["i4"]["drop_reason"] == "aspect"
+    assert out["i5"]["drop_reason"] == "caption_len"
+    assert out["i6"]["drop_reason"] == "caption_len"  # gate names the
+    # FIRST failure; its 500x500 pixels must not evict i2 from the group
+    assert out["i7"]["keep"]
+    assert out["i8"]["drop_reason"] == "phash_dup"
+    assert out["i9"]["drop_reason"] == "caption_len"
+    # canonical-shape columns pass through untouched
+    assert set(df.columns) < set(out["i2"].asDict())

@@ -107,6 +107,22 @@ def test_decontaminate_hits_and_short_docs(spark):
     assert rows[5]["n_hits"] == 2
 
 
+def test_plan_shapes(spark, docs):
+    # repetition/pii are single-scan projections: the ONLY exchange in
+    # the plan is the caller-facing orderBy (range partitioning) — no
+    # hash shuffle at any corpus size
+    for op in (T.repetition_stats, T.pii_scrub):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+    # decontamination joins are broadcast on BOTH sides (bench grams in,
+    # hit counts out) — the corpus is never sort-merge-joined
+    bench = docs.limit(1)
+    plan = T.ngram_decontaminate(docs, bench)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_decontaminate_bench_dedup(spark):
     # the benchmark side is distinct-ed: the same gram in two bench docs
     # must not double-count corpus hits
