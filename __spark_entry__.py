@@ -1384,10 +1384,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_lines, n_dup_lines, n_words, n_dup_words,
                    top_word_count,
                    n_dup_lines * 10 > n_lines * 3 AS flag_dup_lines,
-                   top_word_count * 5 > n_words AS flag_top_word,
+                   top_word_count >= 2 AND top_word_count * 5 > n_words
+                     AS flag_top_word,
                    n_dup_words * 10 > n_words * 7 AS flag_dup_words,
                    NOT (n_dup_lines * 10 > n_lines * 3
-                        OR top_word_count * 5 > n_words
+                        OR (top_word_count >= 2
+                            AND top_word_count * 5 > n_words)
                         OR n_dup_words * 10 > n_words * 7) AS keep
             FROM stats ORDER BY doc_id
         """,

@@ -94,7 +94,8 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     append: bool = False) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape):
     per-document duplicate-line fraction, duplicate-word fraction, and
     top-word frequency, with the standard keep/drop thresholds. All
@@ -108,6 +109,10 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     Flags: >30% duplicate lines, >20% top-word mass, >70% duplicate
     words (word-salad corpora sit near the last cut, so the gate
     exercises both sides); ``keep`` is the conjunction of the three.
+
+    ``append=True`` returns the INPUT frame with the stat/flag columns
+    appended (no ordering) — same single scan, no self-join, for
+    composition into larger pipelines (see operators/assemble.py).
     """
     lines = F.filter(F.split(F.col(text_col), "\n"),
                      lambda x: x != "")
@@ -130,21 +135,31 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                  F.lit(0).alias("best")),
         _run_step, lambda acc: acc.best), F.lit(0))
-    d = df.select(
-        id_col,
-        F.size(lines).alias("n_lines"),
-        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
-        F.size(words).alias("n_words"),
-        (F.size(words) - F.size(F.array_distinct(words))).alias("n_dup_words"),
-        top.alias("top_word_count"))
+    d = (df
+         .withColumn("n_lines", F.size(lines))
+         .withColumn("n_dup_lines",
+                     F.size(lines) - F.size(F.array_distinct(lines)))
+         .withColumn("n_words", F.size(words))
+         .withColumn("n_dup_words",
+                     F.size(words) - F.size(F.array_distinct(words)))
+         .withColumn("top_word_count", top))
     flag_lines = F.col("n_dup_lines") * 10 > F.col("n_lines") * 3
-    flag_top = F.col("top_word_count") * 5 > F.col("n_words")
+    # top >= 2 guards the short-doc degeneracy: with < 5 all-distinct
+    # words, top=1 satisfies 1*5 > n — a repetition flag must never fire
+    # on a document with zero repeated words
+    flag_top = ((F.col("top_word_count") >= 2)
+                & (F.col("top_word_count") * 5 > F.col("n_words")))
     flag_words = F.col("n_dup_words") * 10 > F.col("n_words") * 7
-    return (d.withColumn("flag_dup_lines", flag_lines)
-            .withColumn("flag_top_word", flag_top)
-            .withColumn("flag_dup_words", flag_words)
-            .withColumn("keep", ~(flag_lines | flag_top | flag_words))
-            .orderBy(id_col))
+    d = (d.withColumn("flag_dup_lines", flag_lines)
+         .withColumn("flag_top_word", flag_top)
+         .withColumn("flag_dup_words", flag_words)
+         .withColumn("keep", ~(flag_lines | flag_top | flag_words)))
+    if append:
+        return d
+    return d.select(id_col, "n_lines", "n_dup_lines", "n_words",
+                    "n_dup_words", "top_word_count", "flag_dup_lines",
+                    "flag_top_word", "flag_dup_words", "keep") \
+        .orderBy(id_col)
 
 
 # PII patterns chosen to behave identically under Java regex (Spark) and

@@ -133,3 +133,61 @@ def test_decontaminate_bench_dedup(spark):
         "doc_id long, text string")
     r = T.ngram_decontaminate(docs, bench, n=5).collect()[0]
     assert r["n_hits"] == 1
+
+
+def test_assemble_training_set_stages(spark):
+    from delver_spark.operators.assemble import (
+        assemble_training_set,
+        assembly_report,
+    )
+
+    rows = [
+        # (doc_id, text, lang, n_chars)
+        (1, "a a a a a", "en", 10),                   # repetition flag
+        (2, "good solid text one", "en", 100),        # dup keeper (quality)
+        (3, "good solid text one", "en", 50),         # exact_dup drop
+        (4, "completely different words here", "en", 80),
+        (5, "one two three four five six", "en", 70), # contaminated
+        (6, "primero texto unico aqui", "es", 90),
+        (7, "segundo texto distinto aca", "es", 60),
+        (8, "tercero texto sobrante mas", "es", 30),  # quota (per_lang=2)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    bench = spark.createDataFrame(
+        [(99, "one two three four five")], "doc_id long, text string")
+    out = assemble_training_set(docs, bench, per_lang=2)
+    got = {r["doc_id"]: r["drop_stage"] for r in out.collect()}
+    assert got == {1: "repetition", 2: None, 3: "exact_dup", 4: None,
+                   5: "contaminated", 6: None, 7: None, 8: "quota"}
+    rep = {r["drop_stage"]: r["n"] for r in
+           assembly_report(out).collect()}
+    assert rep == {None: 4, "repetition": 1, "exact_dup": 1,
+                   "contaminated": 1, "quota": 1}
+    # deterministic: a second run over a different partitioning agrees
+    got2 = {r["doc_id"]: r["drop_stage"]
+            for r in assemble_training_set(
+                docs.repartition(7), bench, per_lang=2).collect()}
+    assert got2 == got
+    # single composed plan: no sort-merge join anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_assemble_sample_stage(spark):
+    import hashlib
+
+    from delver_spark.operators.assemble import assemble_training_set
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} here", "en", 50 + i)
+         for i in range(100)],
+        "doc_id long, text string, lang string, n_chars long")
+    out = assemble_training_set(docs, rate_milli=500)
+    got = {r["doc_id"]: r["drop_stage"] for r in out.collect()}
+    expected_kept = {
+        i for i in range(100)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) * 1000
+        < 500 * (1 << 32)}
+    assert {i for i, s in got.items() if s is None} == expected_kept
+    assert all(s in (None, "sample") for s in got.values())
