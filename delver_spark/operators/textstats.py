@@ -171,6 +171,15 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 PHONE_PATTERN = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
 
+def scrubbed_text(text_col: str = "text"):
+    """The PII-redaction Column (emails first, then phones on the
+    email-redacted text) for drop-in ``withColumn`` composition — e.g.
+    rewrite the kept rows of assemble_training_set before export."""
+    email_scrubbed = F.regexp_replace(F.col(text_col), EMAIL_PATTERN,
+                                      "<EMAIL>")
+    return F.regexp_replace(email_scrubbed, PHONE_PATTERN, "<PHONE>")
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """PII redaction for training corpora: count and redact email
@@ -183,7 +192,7 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
     projection — no shuffle, no Python."""
     email_scrubbed = F.regexp_replace(F.col(text_col), EMAIL_PATTERN,
                                       "<EMAIL>")
-    scrubbed = F.regexp_replace(email_scrubbed, PHONE_PATTERN, "<PHONE>")
+    scrubbed = scrubbed_text(text_col)
     n_emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN))
     n_phones = F.regexp_count(email_scrubbed, F.lit(PHONE_PATTERN))
     return (df.select(

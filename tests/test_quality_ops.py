@@ -191,3 +191,11 @@ def test_assemble_sample_stage(spark):
         < 500 * (1 << 32)}
     assert {i for i, s in got.items() if s is None} == expected_kept
     assert all(s in (None, "sample") for s in got.values())
+
+
+def test_scrubbed_text_column(spark):
+    d = spark.createDataFrame(
+        [(1, "mail x@y.test or dial 555-123-4567")],
+        "doc_id long, text string")
+    r = d.withColumn("clean", T.scrubbed_text()).collect()[0]
+    assert r["clean"] == "mail <EMAIL> or dial <PHONE>"
