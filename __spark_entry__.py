@@ -643,6 +643,48 @@ def f4_f9_filter_gates(spark, sf):
     return a.unionByName(b).orderBy("gate", "key")
 
 
+def a1_a4_metric_rollups(spark, sf):
+    """A1 date-histogram rollup + A4 first-occurrence dedupe in ONE
+    tagged driver entry (consolidated to free a gate slot for
+    dedup_duplicate_spans; -1 sentinels instead of NULLs keep the
+    pandas dtypes integral on both engines)."""
+    a = a1_metric_date_histogram(spark, sf).select(
+        F.lit("a1_histogram").alias("op"), F.col("day").alias("k1"),
+        F.col("event_type").alias("k2"), F.col("n").cast("string").alias("k3"),
+        F.col("value_sum_milli").alias("n1"),
+        F.col("value_avg_milli").alias("d1"))
+    b = a4_dedupe_first_occurrence(spark, sf).select(
+        F.lit("a4_first").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("ts_s").alias("k3"),
+        F.lit(-1).cast("long").alias("n1"),
+        F.lit(-1.0).alias("d1"))
+    return a.unionByName(b).orderBy("op", "k1", "k2")
+
+
+# planted passages for the duplicate-spans gate: two docs sharing a
+# 10-word passage with different surroundings + one doc with an
+# intra-doc repeat (same VALUES-embedding constraints as _REP_DOCS)
+_SPAN_PASSAGE = "the quick brown fox jumps over the lazy dog tonight"
+_SPAN_DOCS = [
+    (3000000, "intro words here " + _SPAN_PASSAGE + " closing remarks now"),
+    (3000001, "different opening stanza " + _SPAN_PASSAGE + " and a tail"),
+    (3000002, "loop alpha beta gamma delta epsilon zeta eta theta"
+              " loop alpha beta gamma delta epsilon zeta eta theta"),
+]
+
+
+def dedup_duplicate_spans(spark, sf):
+    """Exact substring-level dedup (dedup.duplicate_spans): maximal
+    repeated-passage spans over documents + planted shared/intra-doc
+    passages. window=4 so the small-vocab word salad also produces
+    organic cross-document hits alongside the plants."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+    return _dedup.duplicate_spans(d.unionByName(planted), window=4)
+
+
 def f6_j5_fanout_ops(spark, sf):
     """F6 same-domain split + J5 stream×filter cross product in ONE
     tagged driver entry (consolidated to free a gate slot)."""
@@ -853,9 +895,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o2_politeness_window": o2_politeness_window,
     "o3_search_order": o3_search_order,
     "o4_refill_pick": o4_refill_pick,
-    "a1_metric_date_histogram": a1_metric_date_histogram,
+    "a1_a4_metric_rollups": a1_a4_metric_rollups,
     "a2_tumbling_window_mean": a2_tumbling_window_mean,
-    "a4_dedupe_first_occurrence": a4_dedupe_first_occurrence,
     "a5_subdomain_explosion": a5_subdomain_explosion,
     "a6_enumeration_pairs": a6_enumeration_pairs,
     "j1_payload_lookup": j1_payload_lookup,
@@ -884,6 +925,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": dedup_components_star,
     "dedup_phash_hamming": dedup_phash_hamming,
     "dedup_resolve_canonical": dedup_resolve_canonical,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_label": ann_ivf_label,
     "ann_ivf_nprobe": ann_ivf_nprobe,
@@ -951,12 +993,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(source) AS first_source
             FROM (SELECT source, count(*) AS c FROM documents GROUP BY source HAVING c > 10)
         """,
-        "a1_metric_date_histogram": """
-            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_sum_milli,
-                   count(*) AS n,
-                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS DOUBLE)/count(*) AS value_avg_milli
-            FROM events GROUP BY day, event_type ORDER BY day, event_type
+        "a1_a4_metric_rollups": """
+            SELECT 'a1_histogram' AS op,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS k1,
+                   event_type AS k2,
+                   CAST(count(*) AS VARCHAR) AS k3,
+                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS n1,
+                   CAST(sum(CAST(round(value*1000) AS BIGINT)) AS DOUBLE)/count(*) AS d1
+            FROM events GROUP BY k1, k2
+            UNION ALL
+            SELECT 'a4_first', CAST(user_id AS VARCHAR),
+                   CAST(event_id AS VARCHAR),
+                   strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                   CAST(-1 AS BIGINT), -1.0
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events) WHERE rn = 1
+            ORDER BY op, k1, k2
         """,
         "a2_tumbling_window_mean": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
@@ -964,11 +1017,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts
             FROM events GROUP BY hour ORDER BY hour
-        """,
-        "a4_dedupe_first_occurrence": """
-            SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-                  FROM events) WHERE rn = 1 ORDER BY user_id
         """,
         "a5_subdomain_explosion": """
             SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
@@ -1421,6 +1469,37 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(t1, '{_txt.PHONE_PATTERN}',
                                       '<PHONE>', 'g')) AS scrubbed_md5
             FROM s ORDER BY doc_id
+        """,
+        "dedup_duplicate_spans": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {_values_sql(_SPAN_DOCS)}) v(doc_id, text)),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+              FROM d),
+            g AS (
+              SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+3], ' ')) AS h
+              FROM w, unnest(generate_series(1, len(ws)-3)) AS t(i)),
+            seeds AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS cnt
+              FROM g QUALIFY cnt > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > lag(pos, 1, -1073741824)
+                            OVER (PARTITION BY doc_id ORDER BY pos) + 3
+                          THEN 1 ELSE 0 END AS brk
+              FROM seeds),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM isl)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+            FROM isl2 GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
         """,
         "decontaminate_ngram": """
             WITH w AS (

@@ -545,3 +545,53 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
                             .cast("long")))
     return (verified.filter(F.col("cos_milli") >= threshold_milli)
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
+
+
+def duplicate_spans(docs: DataFrame, window: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-passage detection — exact SUBSTRING-level
+    dedup (the Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" suffix-array pass, re-shaped for Spark):
+    every overlapping ``window``-word window whose text occurs MORE THAN
+    ONCE in the corpus (any document, any position — intra-doc repeats
+    count) seeds a duplicate span; overlapping/adjacent seeds merge into
+    maximal (doc, span_start, span_end) word-offset spans (1-based,
+    inclusive). Callers cut or down-weight the spans.
+
+    Plan: two shuffles, both inherent to a corpus-global property —
+    (1) count-over-window-fingerprint (a window function, no join),
+    (2) per-doc island merge (lag + running sum + group). Fingerprint is
+    md5 of the joined words — the SAME function as the DuckDB twin, so
+    collision behavior is identical cross-engine; at 100 TB swap in
+    xxhash64 to shrink the shuffle, the plan is unchanged. The seed
+    table is one row per word position (overlapping windows) — the
+    inherent cost of substring granularity; stride sampling trades
+    recall for a proportionally smaller shuffle."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    k = F.size(words) - (window - 1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(words, i, window), " ")).alias("h"))
+    )).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    g = (docs.select(id_col, F.explode(grams).alias("g"))
+         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+    seeds = (g.withColumn("cnt", F.count("*").over(W.partitionBy("h")))
+             .filter(F.col("cnt") > 1))
+    wdoc = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos", 1, -(1 << 30)).over(wdoc) + (window - 1),
+        1).otherwise(0)
+    isl = (seeds.withColumn("brk", brk)
+           .withColumn("grp", F.sum("brk").over(
+               wdoc.rowsBetween(W.unboundedPreceding, 0))))
+    return (isl.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (window - 1)).alias("span_end"))
+            .select(id_col, "span_start", "span_end")
+            .orderBy(id_col, "span_start"))

@@ -199,3 +199,23 @@ def test_scrubbed_text_column(spark):
         "doc_id long, text string")
     r = d.withColumn("clean", T.scrubbed_text()).collect()[0]
     assert r["clean"] == "mail <EMAIL> or dial <PHONE>"
+
+
+def test_duplicate_spans_exact(spark):
+    from delver_spark.operators.dedup import duplicate_spans
+
+    P = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + P + " closing remarks now"),
+         (2, "different opening stanza " + P + " and another tail"),
+         (3, "clean document with no repeated passages at all whatsoever"),
+         (4, "loop alpha beta gamma delta epsilon zeta eta theta"
+             " loop alpha beta gamma delta epsilon zeta eta theta"),
+         (5, "short text")],  # < window words: no grams
+        "doc_id long, text string")
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans(docs, window=8).collect())
+    # docs 1/2 share the 10-word passage at word offsets 4-13; doc 4 is
+    # an intra-doc repeat of a 9-word phrase (seeds at 1,2 and 10,11 ->
+    # two maximal spans; the unique boundary-crossing windows split them)
+    assert got == [(1, 4, 13), (2, 4, 13), (4, 1, 9), (4, 10, 18)]
