@@ -595,3 +595,40 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
                  (F.max("pos") + (window - 1)).alias("span_end"))
             .select(id_col, "span_start", "span_end")
             .orderBy(id_col, "span_start"))
+
+
+def cut_spans(docs: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """The cut step of substring dedup: rewrite ``text_col`` with every
+    word covered by a ``duplicate_spans`` span removed. Removes ALL
+    occurrences of a repeated passage (the C4 "remove repeated
+    boilerplate everywhere" stance — repeated passages are usually
+    navigation/licence/spam text that is worthless in every copy);
+    keep-one-occurrence semantics would need a canonical-occurrence
+    choice (rank a fingerprint's occurrences by (doc, pos), exempt the
+    first) — compose that upstream by filtering the spans table if
+    needed.
+
+    One shuffle join on ``id_col`` (the spans aggregation; docs co-
+    shuffle), then a pure array rewrite: words are index-tagged with
+    ``transform``, span membership tested with ``exists`` — no Python.
+    Word spacing is normalized to single spaces (the tokenization is
+    whitespace-based, so that is already the only information the span
+    offsets can address)."""
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct("span_start", "span_end"))
+               .alias("_spans")))
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    tagged = F.transform(words, lambda w, i: F.struct(
+        w.alias("w"), (i + 1).alias("pos")))
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(tagged, lambda s: ~F.exists(
+        spans_arr, lambda r: (s.pos >= r.span_start)
+        & (s.pos <= r.span_end)))
+    out = F.array_join(F.transform(kept, lambda s: s.w), " ")
+    return (docs.join(sp, id_col, "left")
+            .withColumn(text_col, out)
+            .drop("_spans"))

@@ -219,3 +219,25 @@ def test_duplicate_spans_exact(spark):
     # an intra-doc repeat of a 9-word phrase (seeds at 1,2 and 10,11 ->
     # two maximal spans; the unique boundary-crossing windows split them)
     assert got == [(1, 4, 13), (2, 4, 13), (4, 1, 9), (4, 10, 18)]
+
+
+def test_cut_spans_rewrite(spark):
+    from delver_spark.operators.dedup import cut_spans, duplicate_spans
+
+    P = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + P + " closing remarks now"),
+         (2, "different opening stanza " + P + " and another tail"),
+         (3, "clean document with no repeated passages at all whatsoever"),
+         (4, "loop alpha beta gamma delta epsilon zeta eta theta"
+             " loop alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    spans = duplicate_spans(docs, window=8)
+    got = {r["doc_id"]: r["text"]
+           for r in cut_spans(docs, spans).collect()}
+    # the shared passage is cut from BOTH docs (cut-all semantics);
+    # non-span words survive, spacing normalized
+    assert got[1] == "intro words here closing remarks now"
+    assert got[2] == "different opening stanza and another tail"
+    assert got[3] == "clean document with no repeated passages at all whatsoever"
+    assert got[4] == ""  # both copies of the intra-doc repeat removed
