@@ -67,17 +67,24 @@ def main():
                               .filter("contaminated").count())
     timings["decontaminate_sec"] = round(time.perf_counter() - t0, 2)
 
+    from delver_spark.operators.dedup import duplicate_spans
+    t0 = time.perf_counter()
+    extras["span_rows"] = duplicate_spans(docs, window=8).count()
+    timings["spans_sec"] = round(time.perf_counter() - t0, 2)
+
     total = sum(timings.values())
+    n_ops = len(timings)
     out = {"metric": "hygiene_ops", "n_docs": n_docs, "cpus": cpus,
            **timings, "total_sec": round(total, 2),
-           "docs_per_sec": int(3 * n_docs / total), **extras}
+           "docs_per_sec": int(n_ops * n_docs / total), **extras}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n| hygiene ops ({n_docs} docs, local[{cpus}]) | repetition "
             f"{timings['repetition_sec']}s, pii {timings['pii_sec']}s, "
-            f"decontaminate {timings['decontaminate_sec']}s | "
+            f"decontaminate {timings['decontaminate_sec']}s, spans "
+            f"{timings['spans_sec']}s | "
             f"{out['docs_per_sec']} doc-passes/s |\n")
 
 

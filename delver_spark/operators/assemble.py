@@ -28,8 +28,11 @@ a single plan — no intermediate materializations, two window shuffles +
 one broadcast join total at any corpus size).
 
 PII is deliberately counted, not dropped (redaction, not removal, is
-the training-pipeline norm): compose textstats.pii_scrub on the kept
-set to rewrite the text.
+the training-pipeline norm): compose textstats.pii_scrub /
+scrubbed_text on the kept set to rewrite the text. Substring-level
+dedup likewise composes as a PRE-step (it rewrites text instead of
+dropping docs): dedup.duplicate_spans -> dedup.cut_spans before
+assembly, so the repetition/dedup stages here see the cut text.
 """
 
 from __future__ import annotations

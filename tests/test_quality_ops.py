@@ -219,6 +219,12 @@ def test_duplicate_spans_exact(spark):
     # an intra-doc repeat of a 9-word phrase (seeds at 1,2 and 10,11 ->
     # two maximal spans; the unique boundary-crossing windows split them)
     assert got == [(1, 4, 13), (2, 4, 13), (4, 1, 9), (4, 10, 18)]
+    # the skew-safe plan (groupBy+join, no gram shuffle by fingerprint)
+    # must be output-identical to the default window plan
+    safe = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                  for r in duplicate_spans(docs, window=8,
+                                           skew_safe=True).collect())
+    assert safe == got
 
 
 def test_cut_spans_rewrite(spark):
