@@ -193,3 +193,100 @@ def curate_image_caption(df: DataFrame, min_side: int = 64,
     return (ranked.withColumn("drop_reason", reason)
             .withColumn("keep", F.col("drop_reason").isNull())
             .drop("_gate", "_pass", "_rn"))
+
+
+# SDXL-shaped default bucket list (w, h), ratio-ascending — the standard
+# multiples-of-64 ladder around a 1024x1024 budget. Public knowledge
+# (the NovelAI/SDXL aspect-bucketing recipe); pass your own list for a
+# different resolution budget.
+SDXL_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048), (576, 1792), (640, 1536), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1536, 640),
+    (1792, 576), (2048, 512),
+]
+
+
+def bucket_boundaries_milli(buckets: list[tuple[int, int]]) -> list[int]:
+    """Milli-aspect decision boundaries between ratio-sorted buckets.
+
+    ``r_i = bw*1000 DIV bh`` (exact integer milli-ratio); the boundary
+    between bucket i and i+1 is the rounded-up midpoint
+    ``(r_i + r_{i+1} + 1) DIV 2`` — an image lands in bucket
+    ``#{boundaries <= its own milli-ratio}``. Quantizing the nearest-
+    aspect rule to integer milli keeps assignment bit-identical across
+    engines (float log-ratio argmin is the usual formulation but its
+    ties are ULP-dependent). Buckets must be strictly ratio-ascending.
+    """
+    r = [bw * 1000 // bh for bw, bh in buckets]
+    if any(b >= a for b, a in zip(r, r[1:])):
+        raise ValueError(f"bucket list must be strictly ratio-ascending: {r}")
+    return [(a + b + 1) // 2 for a, b in zip(r, r[1:])]
+
+
+def aspect_bucket_batches(df: DataFrame, buckets=None, batch_size: int = 32,
+                          order_col: str = "image_id",
+                          w_col: str = "w", h_col: str = "h",
+                          scale_safe: bool = False,
+                          chunk: int = 65536) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment — the packing step of an
+    image-model training pipeline (SDXL-style): map every image to the
+    nearest-aspect target resolution bucket, then deal each bucket's
+    images into fixed-size batches in a deterministic order, so one
+    training batch always shares a resolution.
+
+    Adds columns: ``bucket_id`` (index into ``buckets``), ``bucket_w``/
+    ``bucket_h`` (target resolution), ``batch_idx`` (0-based within
+    bucket), ``slot`` (0..batch_size-1). Tail batches are short;
+    filter ``slot``-complete batches downstream if the trainer can't
+    pad. All arithmetic is integer (DIV / %), so a DuckDB window twin
+    is bit-identical.
+
+    Plans (output-equality pinned in tests/test_multimodal.py):
+    - default: one ``row_number`` window per bucket — correct, but a
+      window partition is ONE task, so at 10^10 images a ~17-bucket
+      list funnels the corpus through 17 tasks.
+    - ``scale_safe=True``: the frontier's sharded two-phase ranking
+      (``frontier.assign_global_rank``) over (bucket_id, order_col) —
+      rows shuffle on ``bucket_id * 2^40 + order DIV chunk`` (monotone
+      in the sort order, so per-shard offsets from one tiny collect
+      reconstruct the exact global rank), then per-bucket start offsets
+      (a ~len(buckets)-row agg, broadcast back) convert global rank to
+      rank-in-bucket. Parallelism = #shards, not #buckets. Requires a
+      non-negative NUMERIC ``order_col`` (at ingest scale use the
+      image's sequence id; string ids need a numeric key first).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if buckets is None:
+        buckets = SDXL_BUCKETS
+    bnds = bucket_boundaries_milli(buckets)
+    aspect = F.expr(f"CAST({w_col} AS BIGINT) * 1000 DIV {h_col}")
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + (aspect >= F.lit(b)).cast("int")
+    d = df.withColumn("bucket_id", bucket)
+    if scale_safe:
+        from .frontier import assign_global_rank
+        pid = (F.col("bucket_id").cast("long") * (1 << 40)
+               + F.expr(f"CAST({order_col} AS BIGINT) DIV {chunk}"))
+        ranked = assign_global_rank(d, ["bucket_id", order_col], pid,
+                                    out_col="_grn")
+        offs = ranked.groupBy("bucket_id").agg(F.min("_grn").alias("_b0"))
+        d = (ranked.join(F.broadcast(offs), "bucket_id")
+             .withColumn("_rk", F.col("_grn") - F.col("_b0"))
+             .drop("_grn", "_b0"))
+    else:
+        win = Window.partitionBy("bucket_id").orderBy(order_col)
+        d = d.withColumn("_rk", F.row_number().over(win) - 1)
+    bw = F.element_at(F.array(*[F.lit(w) for w, _ in buckets]),
+                      F.col("bucket_id") + 1)
+    bh = F.element_at(F.array(*[F.lit(h) for _, h in buckets]),
+                      F.col("bucket_id") + 1)
+    return (d.withColumn("bucket_w", bw)
+            .withColumn("bucket_h", bh)
+            .withColumn("batch_idx",
+                        F.expr(f"_rk DIV {batch_size}").cast("long"))
+            .withColumn("slot", (F.col("_rk") % batch_size).cast("long"))
+            .drop("_rk"))

@@ -94,3 +94,65 @@ def test_curate_image_caption(spark):
     assert out["i9"]["drop_reason"] == "caption_len"
     # canonical-shape columns pass through untouched
     assert set(df.columns) < set(out["i2"].asDict())
+
+
+def test_aspect_bucket_batches_assignment(spark):
+    from delver_spark.operators.multimodal import (SDXL_BUCKETS,
+                                                   aspect_bucket_batches,
+                                                   bucket_boundaries_milli)
+
+    # hand-computed assignments: milli-aspect vs the midpoint boundaries
+    # (1024,1024) has r=1000, neighbors (960,1088) r=882 and (1088,960)
+    # r=1133 -> boundaries 941 and 1067
+    rows = [(1, 1024, 1024),   # 1000 -> bucket 8 (square)
+            (2, 1066, 1000),   # 1066 < 1067 -> still square bucket
+            (3, 1067, 1000),   # == boundary -> next bucket (9)
+            (4, 100, 4000),    # extreme portrait -> bucket 0
+            (5, 4000, 100),    # extreme landscape -> last bucket
+            (6, 941, 1000)]    # == boundary 941 -> bucket 8
+    df = spark.createDataFrame(rows, "image_id long, w int, h int")
+    out = {r["image_id"]: r
+           for r in aspect_bucket_batches(df, batch_size=4,
+                                          order_col="image_id").collect()}
+    assert out[1]["bucket_id"] == 8 and out[1]["bucket_w"] == 1024
+    assert out[2]["bucket_id"] == 8
+    assert out[3]["bucket_id"] == 9 and out[3]["bucket_w"] == 1088
+    assert out[4]["bucket_id"] == 0 and out[4]["bucket_h"] == 2048
+    assert out[5]["bucket_id"] == len(SDXL_BUCKETS) - 1
+    assert out[6]["bucket_id"] == 8
+    # batch dealing within the square bucket: ids 1, 2, 6 in order
+    sq = sorted((r["image_id"], r["batch_idx"], r["slot"])
+                for r in out.values() if r["bucket_id"] == 8)
+    assert sq == [(1, 0, 0), (2, 0, 1), (6, 0, 2)]
+    # non-ascending bucket list must raise
+    with pytest.raises(ValueError):
+        bucket_boundaries_milli([(1024, 1024), (512, 2048)])
+
+
+def test_aspect_bucket_batches_scale_safe_equal(spark):
+    from delver_spark.operators.multimodal import aspect_bucket_batches
+
+    # 1000 synthetic images over the full ratio range, odd batch tails,
+    # non-contiguous ids spanning multiple pid shards
+    df = spark.range(1000).selectExpr(
+        "id * 131 AS image_id",
+        "CAST(64 + (id * 7919) % 1984 AS INT) AS w",
+        "CAST(64 + (id * 104729) % 1984 AS INT) AS h")
+    cols = ["image_id", "bucket_id", "bucket_w", "bucket_h",
+            "batch_idx", "slot"]
+    naive = sorted(tuple(r) for r in aspect_bucket_batches(
+        df, batch_size=7).select(*cols).collect())
+    safe = sorted(tuple(r) for r in aspect_bucket_batches(
+        df, batch_size=7, scale_safe=True, chunk=4096)
+        .select(*cols).collect())
+    assert naive == safe
+    # every batch except a bucket's tail is exactly full
+    from collections import Counter
+    sizes = Counter((r[1], r[4]) for r in naive)
+    by_bucket = {}
+    for (b, bi), n in sizes.items():
+        by_bucket.setdefault(b, []).append((bi, n))
+    for b, lst in by_bucket.items():
+        lst.sort()
+        assert all(n == 7 for _, n in lst[:-1])
+        assert 1 <= lst[-1][1] <= 7
