@@ -93,6 +93,23 @@ def o3_search_order(spark, sf):
             .select("event_id", "user_id", _ts("ts").alias("ts_s")))
 
 
+def o3_f10_search_ops(spark, sf):
+    """O3 ES search-template order/cap + F10 default field projection in
+    ONE tagged entry (consolidated to free the gate slot for
+    pack_training_shards; both single-op functions stay callable)."""
+    a = o3_search_order(spark, sf).select(
+        F.lit("o3_order").alias("op"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("ts_s").alias("k2"),
+        F.col("user_id").cast("long").alias("n"))
+    b = f10_field_projection(spark, sf).select(
+        F.lit("f10_projection").alias("op"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("lang").alias("k2"),
+        F.col("n_chars").cast("long").alias("n"))
+    return a.unionByName(b).orderBy("op", "k1")
+
+
 def o4_refill_pick(spark, sf):
     """O4 refill host pick: first (lexicographic) group with enough rows."""
     d = _t(spark, sf, "documents")
@@ -150,6 +167,21 @@ def a6_enumeration_pairs(spark, sf):
     return (a.join(b, (a.p_type == b.p_type_b) & (a.size_a == b.size_b + 1))
             .groupBy("p_type").agg(F.count("*").alias("pairs"))
             .orderBy("p_type"))
+
+
+def a5_a6_extract_rollups(spark, sf):
+    """A5 count-distinct-explosion + A6 off-by-one pair counting in ONE
+    tagged driver entry (consolidated to free the gate slot for
+    image_bucket_batches; both single-op functions stay callable)."""
+    a = a5_subdomain_explosion(spark, sf).select(
+        F.lit("a5_explosion").alias("op"),
+        F.col("c_nationkey").cast("string").alias("key"),
+        F.col("n_segments").cast("long").alias("n"),
+        F.col("explosion").alias("flag"))
+    b = a6_enumeration_pairs(spark, sf).select(
+        F.lit("a6_pairs").alias("op"), F.col("p_type").alias("key"),
+        F.col("pairs").cast("long").alias("n"), F.lit(False).alias("flag"))
+    return a.unionByName(b).orderBy("op", "key")
 
 
 def j1_payload_lookup(spark, sf):
@@ -484,6 +516,44 @@ def dedup_phash_hamming(spark, sf):
                        F.col("phash").bitwiseXOR(mask).alias("phash")))
     return _dedup.phash_hamming_pairs(base.unionByName(planted))
 
+
+def image_bucket_batches(spark, sf):
+    """SDXL-style aspect-ratio bucketed batch assignment
+    (multimodal.aspect_bucket_batches): nearest-aspect bucket by exact
+    integer milli-ratio midpoints, then deterministic fixed-size batch
+    dealing per bucket. Image dims synthesized from doc_id (driver
+    tables carry no image table); runs the scale_safe sharded-rank plan
+    so the gate exercises the 100TB path, twin is the plain window."""
+    from delver_spark.operators.multimodal import aspect_bucket_batches
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        (64 + (F.col("doc_id") * 7919) % 1984).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 104729) % 1984).cast("int").alias("h"))
+    out = aspect_bucket_batches(d, batch_size=16, order_col="doc_id",
+                                scale_safe=True, chunk=4096)
+    return (out.select(
+        "doc_id", F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        F.col("bucket_w").cast("long").alias("bucket_w"),
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        "batch_idx", "slot").orderBy("doc_id"))
+
+
+
+def pack_training_shards(spark, sf):
+    """Deterministic fixed-range shard packing (assemble.pack_shards):
+    documents in doc_id order cut into ~4 KB training shards by exact
+    int64 prefix-sum arithmetic. Runs the scale_safe distributed
+    prefix-sum plan (frontier.assign_global_prefix_sum) so the gate
+    exercises the 100TB path; the twin is the plain SQL window."""
+    from delver_spark.operators.assemble import pack_shards
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("nbytes"))
+    out = pack_shards(d, "nbytes", "doc_id", 4096,
+                      scale_safe=True, chunk=64)
+    return (out.select("doc_id", "nbytes", "shard_id", "sample_idx",
+                       "offset_in_shard").orderBy("doc_id"))
 
 
 def ann_cosine_topk(spark, sf):
@@ -825,6 +895,42 @@ _RESOLVE_SQL = f"""
 """
 
 
+# aspect-bucket twin: boundary/dimension constants come from the SAME
+# helper the operator uses, so the two can't drift
+from delver_spark.operators.multimodal import (  # noqa: E402
+    SDXL_BUCKETS as _AB_BUCKETS,
+    bucket_boundaries_milli as _ab_bounds,
+)
+
+_AB_BOUND_SQL = " + ".join(
+    f"(CASE WHEN (w * 1000) // h >= {b} THEN 1 ELSE 0 END)"
+    for b in _ab_bounds(_AB_BUCKETS))
+_AB_WS = ", ".join(str(w) for w, _ in _AB_BUCKETS)
+_AB_HS = ", ".join(str(h) for _, h in _AB_BUCKETS)
+_IMAGE_BUCKET_SQL = f"""
+    WITH m AS (
+      SELECT doc_id,
+             64 + (doc_id * 7919) % 1984 AS w,
+             64 + (doc_id * 104729) % 1984 AS h
+      FROM documents),
+    b AS (
+      SELECT doc_id, w, h,
+             CAST({_AB_BOUND_SQL} AS BIGINT) AS bucket_id
+      FROM m),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket_id
+                                   ORDER BY doc_id) - 1 AS rk
+      FROM b)
+    SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           bucket_id,
+           CAST([{_AB_WS}][CAST(bucket_id AS INT) + 1] AS BIGINT) AS bucket_w,
+           CAST([{_AB_HS}][CAST(bucket_id AS INT) + 1] AS BIGINT) AS bucket_h,
+           CAST(rk // 16 AS BIGINT) AS batch_idx,
+           CAST(rk % 16 AS BIGINT) AS slot
+    FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # f8 oracle twin: the news.go blacklists expanded into SQL
 # ---------------------------------------------------------------------------
@@ -884,7 +990,8 @@ _F8_NEWS_SQL = f"""
 # 50 rows, so this dict holds EXACTLY 50 entries — every key gets a row
 # every round. New operators earn a slot by consolidating two trivial
 # existing entries into one tagged union (history: x14+o6 and x11+x12 in
-# early r4; set_union+set_except, f4+f9, f6+j5 later in r4). Keys are
+# early r4; set_union+set_except, f4+f9, f6+j5, a5+a6, o3+f10 later in
+# r4). Keys are
 # otherwise never renamed; the underlying single-op functions stay
 # defined and callable for tests/SURVEY references.
 
@@ -893,12 +1000,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "o1_fifo_dequeue": o1_fifo_dequeue,
     "o2_politeness_window": o2_politeness_window,
-    "o3_search_order": o3_search_order,
+    "o3_f10_search_ops": o3_f10_search_ops,
     "o4_refill_pick": o4_refill_pick,
     "a1_a4_metric_rollups": a1_a4_metric_rollups,
     "a2_tumbling_window_mean": a2_tumbling_window_mean,
-    "a5_subdomain_explosion": a5_subdomain_explosion,
-    "a6_enumeration_pairs": a6_enumeration_pairs,
+    "a5_a6_extract_rollups": a5_a6_extract_rollups,
+    "image_bucket_batches": image_bucket_batches,
     "j1_payload_lookup": j1_payload_lookup,
     "j2_robots_lookup": j2_robots_lookup,
     "j3_seen_anti_join": j3_seen_anti_join,
@@ -908,7 +1015,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f4_f9_filter_gates": f4_f9_filter_gates,
     "f6_j5_fanout_ops": f6_j5_fanout_ops,
     "f8_news_admission": f8_news_admission,
-    "f10_field_projection": f10_field_projection,
+    "pack_training_shards": pack_training_shards,
     "set_ops_union_except": set_ops_union_except,
     "x11_x12_scalar_fns": x11_x12_scalar_fns,
     "x13_json_extract": x13_json_extract,
@@ -985,9 +1092,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) WHERE host_rank <= 3
             ORDER BY ts, event_id LIMIT 200
         """,
-        "o3_search_order": """
-            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-            FROM events ORDER BY ts, event_id LIMIT 10000
+        "o3_f10_search_ops": """
+            SELECT * FROM (
+              SELECT 'o3_order' AS op, CAST(event_id AS VARCHAR) AS k1,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS k2,
+                     CAST(user_id AS BIGINT) AS n
+              FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 10000)
+              UNION ALL
+              SELECT 'f10_projection', CAST(doc_id AS VARCHAR), lang,
+                     CAST(n_chars AS BIGINT)
+              FROM documents
+            ) ORDER BY op, k1
         """,
         "o4_refill_pick": """
             SELECT min(source) AS first_source
@@ -1018,16 +1133,20 @@ def oracle_sql() -> dict[str, str]:
                    min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts
             FROM events GROUP BY hour ORDER BY hour
         """,
-        "a5_subdomain_explosion": """
-            SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
-                   count(DISTINCT c_mktsegment) >= 5 AS explosion
-            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+        "a5_a6_extract_rollups": """
+            SELECT * FROM (
+              SELECT 'a5_explosion' AS op, CAST(c_nationkey AS VARCHAR) AS key,
+                     CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n,
+                     count(DISTINCT c_mktsegment) >= 5 AS flag
+              FROM customer GROUP BY c_nationkey
+              UNION ALL
+              SELECT 'a6_pairs' AS op, a.p_type AS key,
+                     CAST(count(*) AS BIGINT) AS n, FALSE AS flag
+              FROM part a JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size + 1
+              GROUP BY a.p_type
+            ) ORDER BY op, key
         """,
-        "a6_enumeration_pairs": """
-            SELECT a.p_type, count(*) AS pairs
-            FROM part a JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size + 1
-            GROUP BY a.p_type ORDER BY a.p_type
-        """,
+        "image_bucket_batches": _IMAGE_BUCKET_SQL,
         "j1_payload_lookup": """
             SELECT o_orderkey, c_name, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1087,8 +1206,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(p_name, 'red.*bolt') ORDER BY p_partkey
         """,
         "f8_news_admission": _F8_NEWS_SQL,
-        "f10_field_projection": """
-            SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+        "pack_training_shards": """
+            WITH s AS (
+              SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nbytes
+              FROM documents),
+            c AS (
+              SELECT doc_id, nbytes,
+                     CAST(COALESCE(sum(nbytes) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS c
+              FROM s)
+            SELECT doc_id, nbytes, c // 4096 AS shard_id,
+                   CAST(row_number() OVER (PARTITION BY c // 4096
+                        ORDER BY doc_id) - 1 AS BIGINT) AS sample_idx,
+                   c - min(c) OVER (PARTITION BY c // 4096) AS offset_in_shard
+            FROM c ORDER BY doc_id
         """,
         "set_ops_union_except": """
             SELECT 'union_nations' AS op, CAST(nationkey AS BIGINT) AS key

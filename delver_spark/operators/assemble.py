@@ -108,3 +108,56 @@ def assembly_report(assembled: DataFrame) -> DataFrame:
     return (assembled.groupBy("drop_stage")
             .agg(F.count("*").alias("n"))
             .orderBy(F.col("drop_stage").asc_nulls_first()))
+
+
+def pack_shards(df: DataFrame, size_col: str, order_col: str,
+                target_bytes: int, scale_safe: bool = False,
+                chunk: int = 65536) -> DataFrame:
+    """Deterministic training-shard packing (the WebDataset step after
+    assembly/curation): cut the concatenated byte stream (rows in
+    ``order_col`` order) at exact multiples of ``target_bytes``; a row
+    belongs to the shard its FIRST byte falls in —
+    ``shard_id = exclusive_prefix_sum(size) DIV target_bytes``.
+
+    Fixed-range sharding, NOT greedy close-at-cap: greedy resets its
+    counter at every shard close, so each boundary depends on the
+    previous one — an inherently sequential scan. The fixed-range rule
+    is boundary-independent, which is what makes it a prefix sum
+    (distributable) and one SQL window for an engine twin. The cost is
+    a weaker size guarantee: every shard's byte total lies within
+    ±max_row_bytes of target (with rows larger than the target, shard
+    ids can even be skipped). For training shards where a sample is
+    ≪ the shard target, the difference is noise. All arithmetic int64.
+
+    Adds: ``shard_id``, ``sample_idx`` (0-based position in shard),
+    ``offset_in_shard`` (byte offset of the row in its shard's stream).
+
+    Plans (output-equality pinned in tests/test_quality_ops.py):
+    - default: one global unpartitioned window — correct, single-task;
+      fine below ~10^7 rows.
+    - ``scale_safe=True``: frontier.assign_global_prefix_sum sharded on
+      ``order DIV chunk`` (monotone pid → exact global cumsum from one
+      tiny per-shard-totals collect). Parallelism = #shards. Requires a
+      non-negative NUMERIC unique ``order_col``.
+    The per-shard ``sample_idx``/``offset_in_shard`` window afterwards
+    shuffles on shard_id — high-cardinality, and a shard holds at most
+    target_bytes/min_row_size rows, so no partition can exceed that
+    bound regardless of corpus size."""
+    if scale_safe:
+        from .frontier import assign_global_prefix_sum
+        pid = F.expr(f"CAST({order_col} AS BIGINT) DIV {chunk}")
+        d = assign_global_prefix_sum(df, [order_col], pid, size_col,
+                                     out_col="_c")
+    else:
+        w = (Window.orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        d = df.withColumn("_c", F.coalesce(
+            F.sum(F.col(size_col).cast("long")).over(w), F.lit(0)))
+    d = d.withColumn("shard_id",
+                     F.expr(f"_c DIV {target_bytes}").cast("long"))
+    ws = Window.partitionBy("shard_id").orderBy(order_col)
+    return (d.withColumn("sample_idx",
+                         (F.row_number().over(ws) - 1).cast("long"))
+            .withColumn("offset_in_shard",
+                        F.col("_c") - F.min("_c").over(ws))
+            .drop("_c"))

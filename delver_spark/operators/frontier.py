@@ -363,6 +363,68 @@ def assign_global_rank(df: DataFrame, order_cols: list[str], pid_expr,
     return sorted_df.mapInPandas(add_rank, schema)
 
 
+def assign_global_prefix_sum(df: DataFrame, order_cols: list[str], pid_expr,
+                             weight_col: str, out_col: str = "psum",
+                             partitions: int | None = None) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``weight_col`` in ``order_cols``
+    order — the weighted generalization of :func:`assign_global_rank`
+    (rank == prefix sum of weight 1). Same contract: ``order_cols`` is a
+    unique key, ``pid_expr`` is an integer Column monotone non-decreasing
+    in that order; rows shuffle once by pid, per-pid weight totals come
+    from one tiny collect, and a single Arrow pass adds
+    ``out_col = sum of all earlier rows' weights`` (first row gets 0).
+
+    Weights must be non-negative integers (the result is exact int64,
+    so an engine twin — e.g. DuckDB ``sum() OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — is bit-identical)."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = (df.withColumn("_pid", pid_expr.cast("long"))
+                 .repartition(partitions, F.col("_pid"))
+                 .sortWithinPartitions(*cols)
+                 .localCheckpoint(eager=True))
+    totals = {r["_pid"]: r["_w"] for r in
+              sorted_df.groupBy("_pid")
+              .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+              .collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    schema = sorted_df.drop("_pid").schema.add(out_col, "long")
+
+    def add_psum(it):
+        carry: dict[int, int] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pids = pdf["_pid"].to_numpy()
+            w = pdf[weight_col].to_numpy().astype(np.int64)
+            ps = np.empty(len(pdf), dtype=np.int64)
+            start = 0
+            while start < len(pdf):
+                pid = int(pids[start])
+                end = start
+                while end < len(pdf) and pids[end] == pid:
+                    end += 1
+                run = w[start:end]
+                base = offsets[pid] + carry.get(pid, 0)
+                # exclusive cumsum of the run, shifted by what this pid
+                # has already emitted in earlier batches
+                ps[start:end] = base + np.concatenate(
+                    ([0], np.cumsum(run[:-1])))
+                carry[pid] = carry.get(pid, 0) + int(run.sum())
+                start = end
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = ps
+            yield out
+
+    return sorted_df.mapInPandas(add_psum, schema)
+
+
 def bloom_words_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     """The bloom bitmap as a DataFrame of (word_idx:long, word:long) —
     the distributed representation for scales where the bitmap no longer

@@ -29,7 +29,9 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_column_pruning(spark):
-    df = entrymod.queries()["f10_field_projection"](spark, SF)
+    # single-op function (consolidated into o3_f10_search_ops in the gate
+    # dict late r4; the pruning pin wants the bare projection plan)
+    df = entrymod.f10_field_projection(spark, SF)
     plan = _plan(df)
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" in read_schema and "lang" in read_schema

@@ -247,3 +247,63 @@ def test_cut_spans_rewrite(spark):
     assert got[2] == "different opening stanza and another tail"
     assert got[3] == "clean document with no repeated passages at all whatsoever"
     assert got[4] == ""  # both copies of the intra-doc repeat removed
+
+
+def test_pack_shards_semantics(spark):
+    from delver_spark.operators.assemble import pack_shards
+
+    # target 100, fixed-range rule: shard = exclusive cumsum DIV 100.
+    # sizes 60,60,150,30,30,50,10 -> starts 0,60,120,270,300,330,380:
+    # {1,2} shard 0; {3} shard 1 (overshoots into [200,300));
+    # {4} shard 2 (start 270); {5,6,7} shard 3
+    rows = [(1, 60), (2, 60), (3, 150), (4, 30), (5, 30), (6, 50), (7, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+    out = {r["doc_id"]: r for r in pack_shards(
+        df, "nbytes", "doc_id", 100).collect()}
+    want = {1: (0, 0, 0), 2: (0, 1, 60), 3: (1, 0, 0), 4: (2, 0, 0),
+            5: (3, 0, 0), 6: (3, 1, 30), 7: (3, 2, 80)}
+    got = {k: (v["shard_id"], v["sample_idx"], v["offset_in_shard"])
+           for k, v in out.items()}
+    assert got == want
+
+
+def test_pack_shards_scale_safe_equal(spark):
+    from delver_spark.operators.assemble import pack_shards
+
+    # non-contiguous ids over many pid shards, zero-size rows included
+    df = spark.range(2000).selectExpr(
+        "id * 37 AS doc_id",
+        "CAST((id * 7919) % 997 AS BIGINT) AS nbytes")
+    cols = ["doc_id", "shard_id", "sample_idx", "offset_in_shard"]
+    naive = sorted(tuple(r) for r in pack_shards(
+        df, "nbytes", "doc_id", 4096).select(*cols).collect())
+    safe = sorted(tuple(r) for r in pack_shards(
+        df, "nbytes", "doc_id", 4096, scale_safe=True, chunk=1024)
+        .select(*cols).collect())
+    assert naive == safe
+    # fixed-range size bound: non-final shard totals within target ±
+    # max row size (996 here), and no shard-id gaps since max row < target
+    from collections import defaultdict
+    tot = defaultdict(int)
+    sizes = {r[0]: r[1] for r in df.collect()}
+    for doc_id, shard, _, _ in naive:
+        tot[shard] += sizes[doc_id]
+    last = max(tot)
+    assert set(tot) == set(range(last + 1))
+    assert all(4096 - 996 < t < 4096 + 996
+               for s, t in tot.items() if s != last)
+
+
+def test_assign_global_prefix_sum_exact(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from delver_spark.operators.frontier import assign_global_prefix_sum
+
+    df = spark.range(5000).selectExpr(
+        "id AS k", "CAST((id * 31) % 113 AS BIGINT) AS w")
+    out = assign_global_prefix_sum(
+        df, ["k"], F.expr("k DIV 256"), "w", out_col="c")
+    got = np.array([r["c"] for r in out.orderBy("k").collect()])
+    w = (np.arange(5000, dtype=np.int64) * 31) % 113
+    want = np.concatenate(([0], np.cumsum(w[:-1])))
+    assert (got == want).all()
