@@ -23,6 +23,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from ..fixtures.codecs import decode as _decode_image
+from ..fixtures.codecs import encode as _encode_image
 
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -141,6 +142,71 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
 
     return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+def _cover_crop(pix: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    """Nearest-neighbor cover-resize + center-crop to exactly (bh, bw, 3).
+
+    Integer-exact: the binding side is chosen by cross-multiplication
+    (``bw*h >= bh*w`` → width binds), the covered size floors to at
+    least the target (floor(h*bw/w) >= bh exactly when bw*h >= bh*w),
+    and the crop offset is the floor midpoint — no float scale factor,
+    so results are bit-identical on any platform."""
+    h, w, _ = pix.shape
+    if bw * h >= bh * w:
+        rw, rh = bw, h * bw // w
+    else:
+        rw, rh = w * bh // h, bh
+    r = _resize_nn(pix, rh, rw)
+    top, left = (rh - bh) // 2, (rw - bw) // 2
+    return r[top:top + bh, left:left + bw]
+
+
+def resize_to_bucket(df: DataFrame, out_fmt: str | None = None) -> DataFrame:
+    """Decode → cover-resize → center-crop → re-encode every image to its
+    row's (bucket_w, bucket_h) target — the materialization step between
+    aspect-bucket assignment and shard packing: compose
+    ``aspect_bucket_batches`` (adds bucket_w/bucket_h) → this → join the
+    new bytes back / pack shards.
+
+    Input columns: image_id, bytes, fmt, bucket_w, bucket_h. Output:
+    (image_id, bytes, w, h, fmt) with w/h == the bucket target and
+    ``fmt`` = ``out_fmt`` (default: keep each row's input format).
+
+    Scale shape: a narrow ``mapInArrow`` over the scan — payload bytes
+    never shuffle and never convert through pandas PyBytes (the
+    Arrow→pandas big-BINARY path anti-scales with python worker count;
+    decode reads zero-copy views of the Arrow buffers, same idiom as
+    the crawl extract stage)."""
+    import pyarrow as pa
+
+    from .extract import _binary_views
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("image_id")).to_pylist()
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            bws = rb.column(names.index("bucket_w")).to_pylist()
+            bhs = rb.column(names.index("bucket_h")).to_pylist()
+            views = _binary_views(rb.column(names.index("bytes")))
+            out_bytes, out_fmts = [], []
+            for blob, fmt, bw, bh in zip(views, fmts, bws, bhs):
+                pix = _decode_image(blob, fmt)
+                f = out_fmt or fmt
+                out_bytes.append(_encode_image(_cover_crop(pix, bw, bh), f))
+                out_fmts.append(f)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()),
+                 pa.array(out_bytes, pa.binary()),
+                 pa.array([int(b) for b in bws], pa.int32()),
+                 pa.array([int(b) for b in bhs], pa.int32()),
+                 pa.array(out_fmts, pa.string())],
+                names=["image_id", "bytes", "w", "h", "fmt"])
+
+    return (df.select("image_id", "bytes", "fmt", "bucket_w", "bucket_h")
+            .mapInArrow(run, "image_id string, bytes binary, w int, "
+                             "h int, fmt string"))
 
 
 def curate_image_caption(df: DataFrame, min_side: int = 64,

@@ -156,3 +156,89 @@ def test_aspect_bucket_batches_scale_safe_equal(spark):
         lst.sort()
         assert all(n == 7 for _, n in lst[:-1])
         assert 1 <= lst[-1][1] <= 7
+
+
+def test_cover_crop_exact():
+    from delver_spark.operators.multimodal import _cover_crop, _resize_nn
+
+    rng = np.random.default_rng(7)
+    # exact-aspect: pure resize, no crop — must equal _resize_nn directly
+    pix = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    assert (_cover_crop(pix, 128, 128) == _resize_nn(pix, 128, 128)).all()
+    # width binds (image relatively taller): cover then center-crop rows
+    pix = rng.integers(0, 256, (300, 100, 3), dtype=np.uint8)
+    out = _cover_crop(pix, 50, 100)
+    assert out.shape == (100, 50, 3)
+    r = _resize_nn(pix, 300 * 50 // 100, 50)   # rh=150
+    assert (out == r[(150 - 100) // 2: (150 - 100) // 2 + 100]).all()
+    # height binds: crop columns
+    pix = rng.integers(0, 256, (100, 300, 3), dtype=np.uint8)
+    out = _cover_crop(pix, 100, 50)
+    assert out.shape == (50, 100, 3)
+    r = _resize_nn(pix, 50, 300 * 50 // 100)   # rw=150
+    assert (out == r[:, 25:125]).all()
+
+
+def test_resize_to_bucket_pipeline(spark):
+    """curate → aspect-bucket → resize → pack: the full image-training
+    prep chain on real (numpy-codec) payloads."""
+    from delver_spark.operators.assemble import pack_shards
+    from delver_spark.operators.multimodal import (_cover_crop,
+                                                   aspect_bucket_batches,
+                                                   curate_image_caption,
+                                                   resize_to_bucket)
+    from delver_spark.fixtures.codecs import decode, phash64
+
+    rng = np.random.default_rng(11)
+    rows = []
+    dims = [(200, 100), (100, 200), (150, 150), (280, 97), (64, 64),
+            (20, 500)]  # last fails the 3:1 aspect gate (280/97 = 2.89 ok)
+    pix_by_id = {}
+    for i, (w, h) in enumerate(dims):
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        iid = f"i{i}"
+        pix_by_id[iid] = pix
+        rows.append((iid, bytearray(encode(pix, "ppm")), w, h, "ppm",
+                     "a fine caption here", phash64(pix)))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+
+    from pyspark.sql import functions as F
+
+    kept = curate_image_caption(df, min_side=16).filter("keep") \
+        .drop("drop_reason", "keep")
+    assert kept.count() == 5  # i5 dropped by the aspect gate
+    # numeric order key for the scale paths: the fixture id's suffix
+    bucketed = aspect_bucket_batches(
+        kept.withColumn("img_seq", F.expr("CAST(substring(image_id, 2) "
+                                          "AS BIGINT)")),
+        buckets=[(64, 128), (96, 96), (128, 64)], batch_size=2,
+        order_col="img_seq")
+    resized = resize_to_bucket(bucketed)
+    got = {r["image_id"]: r for r in resized.collect()}
+    assert len(got) == 5
+    for iid, r in got.items():
+        pix = decode(bytes(r["bytes"]), "ppm")
+        assert pix.shape == (r["h"], r["w"], 3)
+        # bit-exact vs the local reference computation (ppm lossless)
+        assert (pix == _cover_crop(pix_by_id[iid], r["w"], r["h"])).all()
+    # pack the re-encoded stream into shards; byte accounting must be exact
+    packed = pack_shards(
+        resized.selectExpr("image_id",
+                           "CAST(substring(image_id, 2) AS BIGINT) AS seq",
+                           "CAST(octet_length(bytes) AS BIGINT) AS nbytes"),
+        "nbytes", "seq", 20000)
+    p = {r["image_id"]: r for r in packed.collect()}
+    assert p["i0"]["shard_id"] == 0 and p["i0"]["offset_in_shard"] == 0
+    # exact shard ids + within-shard offsets: recompute from the
+    # seq-ordered sizes
+    ordered = sorted(p.values(), key=lambda r: r["seq"])
+    c = 0
+    starts = {}
+    for r in ordered:
+        sid = c // 20000
+        assert r["shard_id"] == sid
+        starts.setdefault(sid, c)
+        assert r["offset_in_shard"] == c - starts[sid]
+        c += r["nbytes"]
