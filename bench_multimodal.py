@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Image-path throughput bench: the curate → aspect-bucket → resize →
+pack chain over synthetic (image_id, bytes, w, h, fmt, caption, phash)
+rows — the BASELINE input_hint table shape. Measures images/s for the
+resize stage (the decode/encode-bound hot path) and end-to-end chain
+time at two parallelism levels, reporting the scaling efficiency the
+north rule asks for on the IMAGE payload path specifically.
+
+Corpus: sharded parquet (row_group_size=2048 — a single default row
+group is unsplittable, CLAUDE.md) written once under corpus/ and
+reused; sizes drawn deterministically from the SDXL ratio range so
+every bucket is populated.
+
+Env: SPARK_GRAFT_MM_IMAGES (default 20000), SPARK_GRAFT_MM_LEVELS
+(default "4,16" — comma-separated core counts), SPARK_GRAFT_MM_SIDE
+(default 96: max image side in px; keeps the corpus ~1-2 GB at the
+default count).
+
+One JSON line to stdout; appends a row to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_corpus(n: int, max_side: int) -> str:
+    """Deterministic image+caption parquet shards under corpus/."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delver_spark.fixtures.codecs import encode, phash64
+
+    d = os.path.join(HERE, "corpus", f"mmbench_n{n}_s{max_side}")
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(1234)
+    n_shards = max(8, n // 4096)
+    per = (n + n_shards - 1) // n_shards
+    idx = 0
+    for s in range(n_shards):
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [],
+                "fmt": [], "caption": [], "phash": []}
+        for _ in range(min(per, n - idx)):
+            # sizes spanning the SDXL ratio ladder, deterministic
+            w = 16 + int(rng.integers(0, max_side - 16))
+            h = 16 + int(rng.integers(0, max_side - 16))
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            fmt = "ppm" if idx % 3 else "qjpg"
+            rows["image_id"].append(f"img{idx:08d}")
+            rows["bytes"].append(encode(pix, fmt))
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(fmt)
+            rows["caption"].append(f"synthetic caption number {idx} with "
+                                   f"{w}x{h} pixels of noise")
+            rows["phash"].append(phash64(pix))  # already signed int64
+            idx += 1
+        t = pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "caption": pa.array(rows["caption"], pa.string()),
+            "phash": pa.array(rows["phash"], pa.int64()),
+        })
+        pq.write_table(t, os.path.join(d, f"part-{s:04d}.parquet"),
+                       row_group_size=2048)
+    open(os.path.join(d, "_DONE"), "w").write(str(idx))
+    return d
+
+
+def run_level(corpus: str, cpus: int, buckets) -> dict:
+    """One measured pass at local[cpus]; returns stage timings."""
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.assemble import pack_shards
+    from delver_spark.operators.multimodal import (aspect_bucket_batches,
+                                                   curate_image_caption,
+                                                   resize_to_bucket)
+    from delver_spark.session import get_spark
+
+    spark = get_spark(f"mmbench_{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    df = spark.read.parquet(corpus)
+    n = df.count()
+
+    # stage 1: curation gates over metadata only (never ship bytes)
+    meta = df.select("image_id", "w", "h", "caption", "phash")
+    t0 = time.perf_counter()
+    kept = (curate_image_caption(meta, min_side=24)
+            .filter("keep").select("image_id"))
+    n_kept = kept.count()
+    t_curate = time.perf_counter() - t0
+
+    # stage 2+3: bucket assignment (metadata) + resize (payload hot path).
+    # Bytes come straight from the scan via a broadcast semi-join of kept
+    # ids (same never-shuffle-payloads rule as the crawl fetch).
+    seq = F.expr("CAST(substring(image_id, 4) AS BIGINT)")
+    t0 = time.perf_counter()
+    b = aspect_bucket_batches(
+        df.join(F.broadcast(kept), "image_id")
+          .withColumn("img_seq", seq),
+        buckets=buckets, batch_size=32, order_col="img_seq",
+        scale_safe=True, chunk=8192)
+    resized = resize_to_bucket(b)
+    # materialize the metadata projection of the resized stream ONCE
+    # (forces the full decode→resize→encode pass; stores 3 tiny columns)
+    # so the pack stage below doesn't recompute the payload chain
+    sizes = (resized.select(F.col("image_id"), seq.alias("s"),
+                            F.octet_length("bytes").cast("long").alias("nb"))
+             .localCheckpoint(eager=True))
+    t_resize = time.perf_counter() - t0
+    n_resized = n_kept  # 1:1 narrow map over the kept rows
+
+    # stage 4: pack the (metadata-only) resized stream into shards
+    t0 = time.perf_counter()
+    packed = pack_shards(sizes, "nb", "s", 1 << 22,
+                         scale_safe=True, chunk=8192)
+    n_shards = packed.agg(F.max("shard_id")).collect()[0][0] + 1
+    t_pack = time.perf_counter() - t0
+
+    spark.stop()
+    return {"cpus": cpus, "n": n, "kept": n_kept,
+            "curate_s": round(t_curate, 2),
+            "resize_s": round(t_resize, 2),
+            "resize_imgs_per_s": round(n_resized / t_resize, 1),
+            "pack_s": round(t_pack, 2), "shards": int(n_shards),
+            "total_s": round(t_curate + t_resize + t_pack, 2)}
+
+
+def main():
+    n = int(os.environ.get("SPARK_GRAFT_MM_IMAGES", 20000))
+    side = int(os.environ.get("SPARK_GRAFT_MM_SIDE", 96))
+    levels = [int(x) for x in
+              os.environ.get("SPARK_GRAFT_MM_LEVELS", "4,16").split(",")]
+    # small buckets matched to the corpus size range
+    buckets = [(32, 96), (48, 80), (64, 64), (80, 48), (96, 32)]
+    corpus = ensure_corpus(n, side)
+
+    res = [run_level(corpus, c, buckets) for c in levels]
+    lo, hi = res[0], res[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = (hi["resize_imgs_per_s"] / lo["resize_imgs_per_s"]) / ratio
+    out = {"metric": "mm_pipeline", "images": n,
+           "levels": res, "resize_scaling_eff": round(eff, 3)}
+    print(json.dumps(out))
+    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| image pipeline ({n} imgs ≤{side}px) | "
+            f"local[{lo['cpus']}] resize {lo['resize_imgs_per_s']} img/s, "
+            f"chain {lo['total_s']}s | local[{hi['cpus']}] resize "
+            f"{hi['resize_imgs_per_s']} img/s, chain {hi['total_s']}s | "
+            f"resize N→{int(ratio)}N efficiency {out['resize_scaling_eff']}"
+            f" |\n")
+
+
+if __name__ == "__main__":
+    main()
