@@ -6,10 +6,11 @@ resize stage (the decode/encode-bound hot path) and end-to-end chain
 time at two parallelism levels, reporting the scaling efficiency the
 north rule asks for on the IMAGE payload path specifically.
 
-Corpus: sharded parquet (row_group_size=2048 — a single default row
-group is unsplittable, CLAUDE.md) written once under corpus/ and
-reused; sizes drawn deterministically from the SDXL ratio range so
-every bucket is populated.
+Corpus: sharded parquet (row_group_size=512 ≈ 60 MB splits — a single
+default row group is unsplittable, and coarse uneven groups cap task
+packing; see ensure_corpus) written once under corpus/ and reused;
+sizes drawn deterministically from the SDXL ratio range so every
+bucket is populated.
 
 Env: SPARK_GRAFT_MM_IMAGES (default 20000), SPARK_GRAFT_MM_LEVELS
 (default "4,16" — comma-separated core counts), SPARK_GRAFT_MM_SIDE
@@ -25,6 +26,7 @@ import json
 import os
 import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -32,15 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def ensure_corpus(n: int, max_side: int) -> str:
-    """Deterministic image+caption parquet shards under corpus/."""
+def ensure_corpus(n: int, max_side: int, rg_size: int = 512) -> str:
+    """Deterministic image+caption parquet shards under corpus/.
+
+    ``rg_size``: parquet row-group size = the direct-scan split grain.
+    The first cut (2048) gave each file row groups of (2048, 2048, 349)
+    — 27 skewed splits that pack onto 8 cores at ≤0.75 occupancy, which
+    showed up as a fake ~0.65 scaling ceiling. 512-row groups (~60 MB)
+    give ~80 even splits."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from delver_spark.fixtures.codecs import encode, phash64
 
-    d = os.path.join(HERE, "corpus", f"mmbench_n{n}_s{max_side}")
+    d = os.path.join(HERE, "corpus", f"mmbench_n{n}_s{max_side}_rg{rg_size}")
     if os.path.exists(os.path.join(d, "_DONE")):
         return d
     shutil.rmtree(d, ignore_errors=True)
@@ -77,7 +85,7 @@ def ensure_corpus(n: int, max_side: int) -> str:
             "phash": pa.array(rows["phash"], pa.int64()),
         })
         pq.write_table(t, os.path.join(d, f"part-{s:04d}.parquet"),
-                       row_group_size=2048)
+                       row_group_size=rg_size)
     open(os.path.join(d, "_DONE"), "w").write(str(idx))
     return d
 
@@ -88,8 +96,11 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
 
     from delver_spark.operators.assemble import pack_shards
     from delver_spark.operators.multimodal import (aspect_bucket_batches,
+                                                   aspect_bucket_dims,
                                                    curate_image_caption,
-                                                   resize_to_bucket)
+                                                   resize_images_direct,
+                                                   resize_to_bucket,
+                                                   scoped_arrow_batch)
     from delver_spark.session import get_spark
 
     spark = get_spark(f"mmbench_{cpus}", cpus=cpus)
@@ -107,24 +118,47 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
     n_kept = kept.count()
     t_curate = time.perf_counter() - t0
 
-    # stage 2+3: bucket assignment (metadata) + resize (payload hot path).
-    # Bytes come straight from the scan via a broadcast semi-join of kept
-    # ids (same never-shuffle-payloads rule as the crawl fetch).
+    # stage 2: batch dealing on METADATA only (the rank shuffles)
     seq = F.expr("CAST(substring(image_id, 4) AS BIGINT)")
     t0 = time.perf_counter()
-    b = aspect_bucket_batches(
-        df.join(F.broadcast(kept), "image_id")
-          .withColumn("img_seq", seq),
+    batches = aspect_bucket_batches(
+        meta.join(F.broadcast(kept), "image_id")
+            .withColumn("img_seq", seq).drop("caption"),
         buckets=buckets, batch_size=32, order_col="img_seq",
         scale_safe=True, chunk=8192)
-    resized = resize_to_bucket(b)
-    # materialize the metadata projection of the resized stream ONCE
-    # (forces the full decode→resize→encode pass; stores 3 tiny columns)
-    # so the pack stage below doesn't recompute the payload chain
-    sizes = (resized.select(F.col("image_id"), seq.alias("s"),
-                            F.octet_length("bytes").cast("long").alias("nb"))
-             .localCheckpoint(eager=True))
+    batches.write.format("noop").mode("overwrite").save()
+    t_batch = time.perf_counter() - t0
+
+    # stage 3: resize. Default = task-local row-group scan
+    # (resize_images_direct: payload bytes never cross the JVM↔python
+    # socket — the socket plan measured 10x below the single-core python
+    # compute floor AND anti-scaled with cores, see BENCH notes).
+    # SPARK_GRAFT_MM_SOCKET=1 benches the socket plan for comparison.
+    kept_ids = [r["image_id"] for r in kept.collect()]
+    out_dir = tempfile.mkdtemp(prefix="mmbench_resized_")
+    t0 = time.perf_counter()
+    if os.environ.get("SPARK_GRAFT_MM_SOCKET") == "1":
+        # socket comparison plan: payloads cross JVM→python and back
+        resized = resize_to_bucket(
+            aspect_bucket_dims(df.join(F.broadcast(kept), "image_id"),
+                               buckets=buckets))
+        with scoped_arrow_batch(spark, 256):
+            sizes = (resized.select(
+                F.col("image_id"), seq.alias("s"),
+                F.octet_length("bytes").cast("long").alias("nb"))
+                .localCheckpoint(eager=True))
+    else:
+        # production plan: tasks read their own row-group splits AND
+        # write their own output shards; only the manifest flows back
+        manifest = resize_images_direct(spark, corpus, buckets=buckets,
+                                        kept_ids=kept_ids,
+                                        out_dir=out_dir)
+        sizes = (manifest.select(
+            F.col("image_id"), seq.alias("s"),
+            F.col("nbytes").alias("nb"))
+            .localCheckpoint(eager=True))
     t_resize = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
     n_resized = n_kept  # 1:1 narrow map over the kept rows
 
     # stage 4: pack the (metadata-only) resized stream into shards
@@ -137,10 +171,11 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
     spark.stop()
     return {"cpus": cpus, "n": n, "kept": n_kept,
             "curate_s": round(t_curate, 2),
+            "batch_s": round(t_batch, 2),
             "resize_s": round(t_resize, 2),
             "resize_imgs_per_s": round(n_resized / t_resize, 1),
             "pack_s": round(t_pack, 2), "shards": int(n_shards),
-            "total_s": round(t_curate + t_resize + t_pack, 2)}
+            "total_s": round(t_curate + t_batch + t_resize + t_pack, 2)}
 
 
 def main():

@@ -16,6 +16,7 @@ outputs carry features only.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -144,6 +145,26 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
+@contextmanager
+def scoped_arrow_batch(spark, n: int = 256):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` around an
+    ACTION on payload-carrying Arrow UDF plans. At ~100 KB+ binary rows
+    the default 10k-row Arrow batch makes the JVM build multi-GB
+    humongous allocations per in-flight task batch and row→Arrow
+    conversion collapses (measured on the crawl fetch: 256-row batches
+    3.5× faster end-to-end; measured here: the 40k×≤384px resize bench
+    ANTI-scaled 2→8 cores, 76→97 s, until scoped to 256 — the conf is
+    read at job submission, so it must wrap the collect/write, not the
+    plan construction)."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(conf, old)
+
+
 def _cover_crop(pix: np.ndarray, bw: int, bh: int) -> np.ndarray:
     """Nearest-neighbor cover-resize + center-crop to exactly (bh, bw, 3).
 
@@ -166,8 +187,10 @@ def resize_to_bucket(df: DataFrame, out_fmt: str | None = None) -> DataFrame:
     """Decode → cover-resize → center-crop → re-encode every image to its
     row's (bucket_w, bucket_h) target — the materialization step between
     aspect-bucket assignment and shard packing: compose
-    ``aspect_bucket_batches`` (adds bucket_w/bucket_h) → this → join the
-    new bytes back / pack shards.
+    ``aspect_bucket_dims`` (the NARROW bucket assignment — the whole
+    chain then stays a shuffle-free map over the scan) → this → pack
+    shards; batch dealing (``aspect_bucket_batches``) runs on metadata
+    separately.
 
     Input columns: image_id, bytes, fmt, bucket_w, bucket_h. Output:
     (image_id, bytes, w, h, fmt) with w/h == the bucket target and
@@ -207,6 +230,133 @@ def resize_to_bucket(df: DataFrame, out_fmt: str | None = None) -> DataFrame:
     return (df.select("image_id", "bytes", "fmt", "bucket_w", "bucket_h")
             .mapInArrow(run, "image_id string, bytes binary, w int, "
                              "h int, fmt string"))
+
+
+def resize_images_direct(spark, path: str, buckets=None,
+                         out_fmt: str | None = None,
+                         kept_ids=None,
+                         out_dir: str | None = None) -> DataFrame:
+    """Task-local-scan variant of ``aspect_bucket_dims`` →
+    ``resize_to_bucket`` over a parquet payload table: each task reads
+    its own row-group split with pyarrow (memory-mapped, zero-copy) and
+    decodes → cover-crops → re-encodes in place, so payload bytes never
+    cross the JVM↔Python Arrow socket at all — the same design as the
+    crawl fetch (`sources/payload_scan.py`): the socket path tops out at
+    ~40-90 MB/s aggregate REGARDLESS of core count (measured again on
+    this operator: 40k×≤384px images, single-core python compute floor
+    2841 img/s, socket plan 284 img/s at local[2] and ANTI-scaling to
+    252 img/s at local[8]; see BENCH/BASELINE.md r4-s5).
+
+    ``kept_ids``: optional iterable of image_ids to resize (the
+    curation output — bounded by the kept-set size and broadcast to the
+    workers, probed with Arrow-native ``pc.is_in`` per row group: a
+    pandas-Index probe costs one PyUnicode object per row, which both
+    adds ~0.14 ms/row and contends on the CPython allocator across
+    worker processes). Output: (image_id, bytes, w, h, fmt) with
+    w/h = the bucket target.
+
+    ``out_dir``: when set, each task also WRITES its resized payloads as
+    a parquet file under out_dir (one per input split, deterministic
+    name) and the returned DataFrame carries only the manifest
+    (image_id, w, h, fmt, nbytes, shard_path) — payload bytes then
+    cross no process boundary in EITHER direction (the return leg of
+    the socket measured ~5-10 s for 430 MB of resized rows on this
+    host). This is the production shape: tasks read their own input
+    files and write their own output shards; the manifest is what flows
+    through the engine.
+
+    At 100 TB this is "tasks read their own files from object storage";
+    the split list stands in for the Iceberg manifest. Output equality
+    vs the socket plan is pinned in tests/test_multimodal.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.payload_scan import payload_splits
+    from .extract import _binary_views
+
+    if buckets is None:
+        buckets = SDXL_BUCKETS
+    bnds = np.array(bucket_boundaries_milli(buckets), dtype=np.int64)
+    bws = np.array([w for w, _ in buckets], dtype=np.int64)
+    bhs = np.array([h for _, h in buckets], dtype=np.int64)
+    splits = payload_splits(path)
+    key_bc = spark.sparkContext.broadcast(
+        None if kept_ids is None else list(kept_ids))
+    if out_dir is not None:
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+
+    def scan_resize(it):
+        kept = key_bc.value
+        kept_arr = None if kept is None else pa.array(kept, pa.string())
+        for rb in it:
+            names = rb.schema.names
+            paths = rb.column(names.index("path")).to_pylist()
+            rgs = rb.column(names.index("rg")).to_pylist()
+            for p, rg in zip(paths, rgs):
+                tbl = pq.ParquetFile(p, memory_map=True).read_row_group(
+                    int(rg),
+                    columns=["image_id", "bytes", "w", "h", "fmt"])
+                if kept_arr is not None:
+                    hit = pc.is_in(tbl.column("image_id"),
+                                   value_set=kept_arr)
+                    if not pc.any(hit).as_py():
+                        continue
+                    tbl = tbl.filter(hit)
+                ids = tbl.column("image_id").combine_chunks()
+                w = tbl.column("w").to_numpy().astype(np.int64)
+                h = tbl.column("h").to_numpy().astype(np.int64)
+                b = np.searchsorted(bnds, w * 1000 // h, side="right")
+                views = _binary_views(tbl.column("bytes").combine_chunks())
+                fmts = tbl.column("fmt").to_pylist()
+                out_bytes, out_fmts = [], []
+                for blob, fmt, bi in zip(views, fmts, b):
+                    pix = _decode_image(blob, fmt)
+                    f = out_fmt or fmt
+                    out_bytes.append(_encode_image(
+                        _cover_crop(pix, int(bws[bi]), int(bhs[bi])), f))
+                    out_fmts.append(f)
+                if out_dir is None:
+                    yield pa.RecordBatch.from_arrays(
+                        [ids,
+                         pa.array(out_bytes, pa.binary()),
+                         pa.array(bws[b], pa.int32()),
+                         pa.array(bhs[b], pa.int32()),
+                         pa.array(out_fmts, pa.string())],
+                        names=["image_id", "bytes", "w", "h", "fmt"])
+                else:
+                    import os
+                    shard = os.path.join(
+                        out_dir, "%s-rg%05d.parquet"
+                        % (os.path.splitext(os.path.basename(p))[0],
+                           int(rg)))
+                    pq.write_table(pa.table({
+                        "image_id": ids,
+                        "bytes": pa.array(out_bytes, pa.binary()),
+                        "w": pa.array(bws[b], pa.int32()),
+                        "h": pa.array(bhs[b], pa.int32()),
+                        "fmt": pa.array(out_fmts, pa.string()),
+                    }), shard, row_group_size=2048)
+                    yield pa.RecordBatch.from_arrays(
+                        [ids,
+                         pa.array(bws[b], pa.int32()),
+                         pa.array(bhs[b], pa.int32()),
+                         pa.array(out_fmts, pa.string()),
+                         pa.array([len(x) for x in out_bytes], pa.int64()),
+                         pa.array([shard] * len(out_bytes), pa.string())],
+                        names=["image_id", "w", "h", "fmt", "nbytes",
+                               "shard_path"])
+
+    sdf = spark.createDataFrame(splits, "path string, rg int") \
+        .repartition(len(splits))
+    if out_dir is None:
+        return sdf.mapInArrow(scan_resize,
+                              "image_id string, bytes binary, "
+                              "w int, h int, fmt string")
+    return sdf.mapInArrow(scan_resize,
+                          "image_id string, w int, h int, fmt string, "
+                          "nbytes long, shard_path string")
 
 
 def curate_image_caption(df: DataFrame, min_side: int = 64,
@@ -290,6 +440,32 @@ def bucket_boundaries_milli(buckets: list[tuple[int, int]]) -> list[int]:
     return [(a + b + 1) // 2 for a, b in zip(r, r[1:])]
 
 
+def aspect_bucket_dims(df: DataFrame, buckets=None,
+                       w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """The NARROW half of aspect bucketing: add bucket_id/bucket_w/
+    bucket_h as pure per-row integer expressions of (w, h) — no shuffle,
+    so it is safe to run over payload-carrying rows (compose directly
+    with resize_to_bucket over the scan). Batch dealing
+    (aspect_bucket_batches) needs a rank shuffle and must therefore run
+    on METADATA ONLY — never send bytes through it."""
+    from pyspark.sql import functions as F
+
+    if buckets is None:
+        buckets = SDXL_BUCKETS
+    bnds = bucket_boundaries_milli(buckets)
+    aspect = F.expr(f"CAST({w_col} AS BIGINT) * 1000 DIV {h_col}")
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + (aspect >= F.lit(b)).cast("int")
+    bw = F.element_at(F.array(*[F.lit(w) for w, _ in buckets]),
+                      bucket + 1)
+    bh = F.element_at(F.array(*[F.lit(h) for _, h in buckets]),
+                      bucket + 1)
+    return (df.withColumn("bucket_id", bucket)
+            .withColumn("bucket_w", bw)
+            .withColumn("bucket_h", bh))
+
+
 def aspect_bucket_batches(df: DataFrame, buckets=None, batch_size: int = 32,
                           order_col: str = "image_id",
                           w_col: str = "w", h_col: str = "h",
@@ -321,18 +497,17 @@ def aspect_bucket_batches(df: DataFrame, buckets=None, batch_size: int = 32,
       rank-in-bucket. Parallelism = #shards, not #buckets. Requires a
       non-negative NUMERIC ``order_col`` (at ingest scale use the
       image's sequence id; string ids need a numeric key first).
+
+    Both plans SHUFFLE the input rows — run this on metadata only
+    (never-shuffle-payloads rule). When composing with
+    ``resize_to_bucket``, use :func:`aspect_bucket_dims` (the narrow
+    bucket assignment, no shuffle) on the payload-carrying side and
+    this function on the metadata side.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if buckets is None:
-        buckets = SDXL_BUCKETS
-    bnds = bucket_boundaries_milli(buckets)
-    aspect = F.expr(f"CAST({w_col} AS BIGINT) * 1000 DIV {h_col}")
-    bucket = F.lit(0)
-    for b in bnds:
-        bucket = bucket + (aspect >= F.lit(b)).cast("int")
-    d = df.withColumn("bucket_id", bucket)
+    d = aspect_bucket_dims(df, buckets, w_col=w_col, h_col=h_col)
     if scale_safe:
         from .frontier import assign_global_rank
         pid = (F.col("bucket_id").cast("long") * (1 << 40)
@@ -346,13 +521,7 @@ def aspect_bucket_batches(df: DataFrame, buckets=None, batch_size: int = 32,
     else:
         win = Window.partitionBy("bucket_id").orderBy(order_col)
         d = d.withColumn("_rk", F.row_number().over(win) - 1)
-    bw = F.element_at(F.array(*[F.lit(w) for w, _ in buckets]),
-                      F.col("bucket_id") + 1)
-    bh = F.element_at(F.array(*[F.lit(h) for _, h in buckets]),
-                      F.col("bucket_id") + 1)
-    return (d.withColumn("bucket_w", bw)
-            .withColumn("bucket_h", bh)
-            .withColumn("batch_idx",
-                        F.expr(f"_rk DIV {batch_size}").cast("long"))
+    return (d.withColumn("batch_idx",
+                         F.expr(f"_rk DIV {batch_size}").cast("long"))
             .withColumn("slot", (F.col("_rk") % batch_size).cast("long"))
             .drop("_rk"))

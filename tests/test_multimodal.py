@@ -185,6 +185,7 @@ def test_resize_to_bucket_pipeline(spark):
     from delver_spark.operators.assemble import pack_shards
     from delver_spark.operators.multimodal import (_cover_crop,
                                                    aspect_bucket_batches,
+                                                   aspect_bucket_dims,
                                                    curate_image_caption,
                                                    resize_to_bucket)
     from delver_spark.fixtures.codecs import decode, phash64
@@ -209,12 +210,19 @@ def test_resize_to_bucket_pipeline(spark):
     kept = curate_image_caption(df, min_side=16).filter("keep") \
         .drop("drop_reason", "keep")
     assert kept.count() == 5  # i5 dropped by the aspect gate
-    # numeric order key for the scale paths: the fixture id's suffix
-    bucketed = aspect_bucket_batches(
-        kept.withColumn("img_seq", F.expr("CAST(substring(image_id, 2) "
-                                          "AS BIGINT)")),
-        buckets=[(64, 128), (96, 96), (128, 64)], batch_size=2,
-        order_col="img_seq")
+    buckets = [(64, 128), (96, 96), (128, 64)]
+    # the payload path composes the NARROW dims assignment (no shuffle);
+    # batch dealing runs on metadata and must agree on the dims columns
+    bucketed = aspect_bucket_dims(kept, buckets=buckets)
+    batches = aspect_bucket_batches(
+        kept.drop("bytes").withColumn(
+            "img_seq", F.expr("CAST(substring(image_id, 2) AS BIGINT)")),
+        buckets=buckets, batch_size=2, order_col="img_seq")
+    dims_a = sorted((r["image_id"], r["bucket_id"], r["bucket_w"],
+                     r["bucket_h"]) for r in bucketed.collect())
+    dims_b = sorted((r["image_id"], r["bucket_id"], r["bucket_w"],
+                     r["bucket_h"]) for r in batches.collect())
+    assert dims_a == dims_b
     resized = resize_to_bucket(bucketed)
     got = {r["image_id"]: r for r in resized.collect()}
     assert len(got) == 5
@@ -242,3 +250,75 @@ def test_resize_to_bucket_pipeline(spark):
         starts.setdefault(sid, c)
         assert r["offset_in_shard"] == c - starts[sid]
         c += r["nbytes"]
+
+
+def test_resize_images_direct_equals_socket(spark, tmp_path):
+    """The task-local-scan resize must be byte-identical to the
+    aspect_bucket_dims -> resize_to_bucket socket plan, with and
+    without a kept-id filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.multimodal import (aspect_bucket_dims,
+                                                   resize_images_direct,
+                                                   resize_to_bucket)
+
+    rng = np.random.default_rng(5)
+    n = 60
+    ids, blobs, ws, hs, fmts = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 200))
+        h = int(rng.integers(16, 200))
+        fmt = "ppm" if i % 2 else "qjpg"
+        ids.append(f"p{i:04d}")
+        blobs.append(encode(rng.integers(0, 256, (h, w, 3),
+                                         dtype=np.uint8), fmt))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+    t = pa.table({"image_id": pa.array(ids), "bytes": pa.array(blobs,
+                  pa.binary()), "w": pa.array(ws, pa.int32()),
+                  "h": pa.array(hs, pa.int32()), "fmt": pa.array(fmts)})
+    d = tmp_path / "imgs"
+    d.mkdir()
+    # two files, small row groups -> several splits
+    pq.write_table(t.slice(0, 31), str(d / "a.parquet"), row_group_size=8)
+    pq.write_table(t.slice(31), str(d / "b.parquet"), row_group_size=8)
+
+    buckets = [(32, 96), (48, 80), (64, 64), (80, 48), (96, 32)]
+    df = spark.read.parquet(str(d))
+
+    def key(rows):
+        return sorted((r["image_id"], r["w"], r["h"], r["fmt"],
+                       bytes(r["bytes"])) for r in rows)
+
+    socket = key(resize_to_bucket(
+        aspect_bucket_dims(df, buckets=buckets), out_fmt="ppm").collect())
+    direct = key(resize_images_direct(
+        spark, str(d), buckets=buckets, out_fmt="ppm").collect())
+    assert socket == direct and len(direct) == n
+
+    kept = [f"p{i:04d}" for i in range(0, n, 3)]
+    direct_k = key(resize_images_direct(
+        spark, str(d), buckets=buckets, out_fmt="ppm",
+        kept_ids=kept).collect())
+    socket_k = key(resize_to_bucket(
+        aspect_bucket_dims(df.filter(F.col("image_id").isin(kept)),
+                           buckets=buckets), out_fmt="ppm").collect())
+    assert direct_k == socket_k and len(direct_k) == len(kept)
+
+    # out_dir mode: tasks write payload shards, the engine sees only the
+    # manifest; reading the shards back must reproduce the socket output
+    od = tmp_path / "resized"
+    manifest = resize_images_direct(
+        spark, str(d), buckets=buckets, out_fmt="ppm",
+        out_dir=str(od)).collect()
+    assert len(manifest) == n and all("bytes" not in r.asDict()
+                                      for r in manifest)
+    written = key(spark.read.parquet(str(od)).collect())
+    assert written == socket
+    m = {r["image_id"]: r for r in manifest}
+    for iid, w, h, fmt, blob in written:
+        assert m[iid]["nbytes"] == len(blob)
+        assert m[iid]["shard_path"].startswith(str(od))
