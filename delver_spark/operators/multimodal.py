@@ -232,6 +232,42 @@ def resize_to_bucket(df: DataFrame, out_fmt: str | None = None) -> DataFrame:
                              "h int, fmt string"))
 
 
+def caption_alignment_filter(df: DataFrame, threshold_milli: int = 280,
+                             img_col: str = "img_emb",
+                             txt_col: str = "txt_emb",
+                             out_col: str = "aligned") -> DataFrame:
+    """CLIP-score-style image-caption alignment gate (the LAION recipe:
+    keep pairs with cosine(image_emb, text_emb) >= ~0.28) over two
+    ``array<float>`` embedding columns — pure column expressions, JVM
+    whole-stage codegen, no UDF.
+
+    Exactness: embeddings are int-milli quantized (similarity.quantize
+    idiom) and the threshold test is cross-multiplied so the gate is
+    integer-exact and engine-portable rather than float-ULP-dependent:
+    cos >= t  ⟺  dot > 0  AND  (dot*1000)² >= t_milli² * |a|²*|b|²
+    (for t > 0; squared through DECIMAL(38,0) — (dot*1000)² reaches
+    ~10^18 for L2-normalized inputs, a digit from int64 overflow).
+    Adds ``align_milli2`` (the exact integer dot in milli² scale) and
+    ``out_col`` (the gate). Embedding columns come from upstream
+    encoders (not in this env); the operator is the gate itself."""
+    from pyspark.sql import functions as F
+
+    q = [F.transform(F.col(c), lambda x:
+                     F.round(x.cast("double") * 1000).cast("long"))
+         for c in (img_col, txt_col)]
+    dot = F.aggregate(F.zip_with(q[0], q[1], lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n2 = [F.aggregate(F.zip_with(qq, qq, lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+          for qq in q]
+    dec = "decimal(38,0)"
+    lhs = (dot * 1000).cast(dec) * (dot * 1000).cast(dec)
+    rhs = (F.lit(threshold_milli * threshold_milli).cast(dec)
+           * n2[0].cast(dec) * n2[1].cast(dec))
+    return (df.withColumn("align_milli2", dot)
+            .withColumn(out_col, (dot > 0) & (lhs >= rhs)))
+
+
 def resize_images_direct(spark, path: str, buckets=None,
                          out_fmt: str | None = None,
                          kept_ids=None,

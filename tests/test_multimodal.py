@@ -322,3 +322,36 @@ def test_resize_images_direct_equals_socket(spark, tmp_path):
     for iid, w, h, fmt, blob in written:
         assert m[iid]["nbytes"] == len(blob)
         assert m[iid]["shard_path"].startswith(str(od))
+
+
+def test_caption_alignment_filter(spark):
+    import math
+
+    from delver_spark.operators.multimodal import caption_alignment_filter
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    a = unit([1.0, 0.0, 0.0, 0.0])
+    rows = [
+        # (pair, img, txt, expected at t=0.28)
+        ("same", a, a, True),                      # cos 1.0
+        ("orth", a, unit([0.0, 1.0, 0.0, 0.0]), False),   # cos 0.0
+        ("neg", a, [-x for x in a], False),        # cos -1: dot>0 guard
+        ("cos50", a, unit([0.5, math.sqrt(0.75), 0.0, 0.0]), True),  # 0.5
+        ("cos25", a, unit([0.25, math.sqrt(1 - 0.0625), 0.0, 0.0]),
+         False),                                   # 0.25 < 0.28
+        ("cos30", a, unit([0.30, math.sqrt(1 - 0.09), 0.0, 0.0]), True),
+    ]
+    df = spark.createDataFrame(
+        [(p, i, t) for p, i, t, _ in rows],
+        "pair string, img_emb array<float>, txt_emb array<float>")
+    out = {r["pair"]: r for r in caption_alignment_filter(df).collect()}
+    for p, _, _, want in rows:
+        assert out[p]["aligned"] == want, p
+    # exact boundary: cos == threshold passes (>=), checked with crafted
+    # integer-exact quantized vectors: img=(1,0), txt=(0.28, sqrt(..)) at
+    # threshold 280 — quantized dot*1000 == 280 * |a||b| exactly only if
+    # norms cooperate; instead pin the integer score column directly
+    assert out["same"]["align_milli2"] == 1000 * 1000
