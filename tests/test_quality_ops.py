@@ -307,3 +307,25 @@ def test_assign_global_prefix_sum_exact(spark):
     w = (np.arange(5000, dtype=np.int64) * 31) % 113
     want = np.concatenate(([0], np.cumsum(w[:-1])))
     assert (got == want).all()
+
+
+def test_pack_shards_append_stable(spark):
+    """Fixed-range sharding is append-incremental: adding rows whose
+    order keys are all HIGHER leaves every existing row's shard_id,
+    sample_idx and offset untouched (their prefix sums don't change) —
+    greedy close-at-cap would too, but fixed-range makes it provable
+    from boundary-independence. This is what lets ingest pack shards
+    incrementally without rewriting the manifest."""
+    from delver_spark.operators.assemble import pack_shards
+
+    a = spark.range(500).selectExpr(
+        "id AS doc_id", "CAST((id * 131) % 700 + 1 AS BIGINT) AS nbytes")
+    b = spark.range(500, 800).selectExpr(
+        "id AS doc_id", "CAST((id * 17) % 900 + 1 AS BIGINT) AS nbytes")
+    cols = ["doc_id", "shard_id", "sample_idx", "offset_in_shard"]
+    only_a = sorted(tuple(r) for r in pack_shards(
+        a, "nbytes", "doc_id", 4096).select(*cols).collect())
+    both = sorted(tuple(r) for r in pack_shards(
+        a.unionByName(b), "nbytes", "doc_id", 4096)
+        .select(*cols).collect())
+    assert both[:len(only_a)] == only_a
