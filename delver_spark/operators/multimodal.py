@@ -232,6 +232,55 @@ def resize_to_bucket(df: DataFrame, out_fmt: str | None = None) -> DataFrame:
                              "h int, fmt string"))
 
 
+VIDEO_KEYFRAMES_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def video_keyframes(df: DataFrame, every_n: int = 1,
+                    hamming_max: int = 6) -> DataFrame:
+    """Scene-change keyframe selection — the frame-level dedup of a
+    video training pipeline: decode every ``every_n``-th frame, phash64
+    it, and keep a frame only when its Hamming distance to the LAST
+    KEPT frame exceeds ``hamming_max`` (static spans collapse to their
+    first frame; the first sampled frame is always kept).
+
+    The keep-decision is sequential per video, which is exactly why it
+    lives INSIDE the decode task (one video's frames never span tasks —
+    a narrow map over the scan, same shape as video_frame_sample) and
+    not in a window function. Codec is the declared stub
+    (`_video_frames`); swap PyAV in and nothing else changes."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..fixtures.codecs import phash64
+
+        for pdf in it:
+            rows = []
+            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                last = None
+                for idx, frame, w, h in _video_frames(bytes(blob), fmt,
+                                                      every_n):
+                    pix = np.frombuffer(frame, np.uint8).reshape(h, w, 3)
+                    ph = phash64(pix)
+                    if last is not None \
+                            and bin((ph ^ last) & ((1 << 64) - 1)) \
+                            .count("1") <= hamming_max:
+                        continue
+                    last = ph
+                    rows.append((vid, idx, frame, w, h, ph))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in VIDEO_KEYFRAMES_SCHEMA])
+
+    return df.select("video_id", "bytes", "fmt").mapInPandas(
+        run, VIDEO_KEYFRAMES_SCHEMA)
+
+
 def caption_alignment_filter(df: DataFrame, threshold_milli: int = 280,
                              img_col: str = "img_emb",
                              txt_col: str = "txt_emb",

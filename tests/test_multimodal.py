@@ -355,3 +355,27 @@ def test_caption_alignment_filter(spark):
     # threshold 280 — quantized dot*1000 == 280 * |a||b| exactly only if
     # norms cooperate; instead pin the integer score column directly
     assert out["same"]["align_milli2"] == 1000 * 1000
+
+
+def test_video_keyframes(spark):
+    from delver_spark.fixtures.codecs import phash64
+    from delver_spark.operators.multimodal import video_keyframes
+
+    w, h = 16, 16
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = 255 - a                       # inverted scene: far phash
+    frames = [a, a, a, b, b, a]       # static span, cut, static, cut back
+    blob = (w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + len(frames).to_bytes(4, "little")
+            + b"".join(f.tobytes() for f in frames))
+    df = spark.createDataFrame([("v0", blob, "fake-rawrgb")],
+                               "video_id string, bytes binary, fmt string")
+    out = sorted((r["frame_idx"], r["phash"]) for r in
+                 video_keyframes(df, every_n=1, hamming_max=6).collect())
+    # duplicates of the last KEPT frame collapse; scene changes survive
+    assert [i for i, _ in out] == [0, 3, 5]
+    assert out[0][1] == phash64(a) and out[1][1] == phash64(b)
+    # hamming_max=64 keeps only the first frame (everything "similar")
+    only_first = video_keyframes(df, hamming_max=64).collect()
+    assert [r["frame_idx"] for r in only_first] == [0]
