@@ -447,7 +447,8 @@ def resize_images_direct(spark, path: str, buckets=None,
 def curate_image_caption(df: DataFrame, min_side: int = 64,
                          max_aspect_milli: int = 3000,
                          min_caption_tokens: int = 3,
-                         max_caption_tokens: int = 77) -> DataFrame:
+                         max_caption_tokens: int = 77,
+                         skew_safe: bool = False) -> DataFrame:
     """LAION-style image+caption curation over the canonical pair table
     (image_id, bytes, w, h, fmt, caption, phash): metadata gates + exact
     perceptual-hash dedup, emitting every input row with a
@@ -470,7 +471,18 @@ def curate_image_caption(df: DataFrame, min_side: int = 64,
     caller selected them; curation needs just the metadata columns, so
     select (image_id, w, h, caption, phash) upstream and join bytes back
     by image_id at the end (the crawl engine's never-shuffle-payloads
-    rule)."""
+    rule).
+
+    ``skew_safe=True``: a window partition is ONE task, so a
+    mass-duplicated phash (a blank/placeholder image repeated 10^8
+    times) stragglers the default plan — the same failure mode as
+    duplicate_spans. The swap-in computes the keeper per (phash, pass)
+    with ``max_by`` (a full map-side-combinable aggregation: partial
+    keepers merge associatively, so no task ever sees a whole group)
+    and flags keep = "my id is the keeper id" via a join that AQE
+    skew-splits. Output equality is pinned in tests/test_multimodal.py;
+    the default stays the window (one shuffle, no join) because dedup
+    only needs rank==1, not full ranks."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -483,11 +495,30 @@ def curate_image_caption(df: DataFrame, min_side: int = 64,
                   | (n_tokens > max_caption_tokens), "caption_len"))
     d = (df.withColumn("_gate", gate)
          .withColumn("_pass", gate.isNull()))
-    # rank only among gate-PASSING rows of a phash (partitioning by the
-    # pass flag keeps a failing row from stealing rank 1)
-    win = Window.partitionBy("phash", "_pass").orderBy(
-        F.desc(F.col("w").cast("long") * F.col("h")), F.asc("image_id"))
-    ranked = d.withColumn("_rn", F.row_number().over(win))
+    if skew_safe:
+        # keeper per (phash, pass) via max_by on (pixels, -id): the
+        # window's (pixels DESC, id ASC) order expressed as one
+        # associative aggregate — string ids order DESC under max_by's
+        # struct compare, so negate via the struct order (max pixels,
+        # then MIN id = max_by on (pixels, reversed-id)): use min_by
+        # with (negated pixels) instead for exactness on string ids
+        keepers = d.groupBy("phash", "_pass").agg(
+            F.min_by("image_id",
+                     F.struct((-(F.col("w").cast("long") * F.col("h")))
+                              .alias("npx"),
+                              F.col("image_id"))).alias("_keeper"))
+        ranked = (d.join(keepers, ["phash", "_pass"])
+                  .withColumn("_rn",
+                              F.when(F.col("image_id") == F.col("_keeper"),
+                                     1).otherwise(2))
+                  .drop("_keeper"))
+    else:
+        # rank only among gate-PASSING rows of a phash (partitioning by
+        # the pass flag keeps a failing row from stealing rank 1)
+        win = Window.partitionBy("phash", "_pass").orderBy(
+            F.desc(F.col("w").cast("long") * F.col("h")),
+            F.asc("image_id"))
+        ranked = d.withColumn("_rn", F.row_number().over(win))
     reason = F.coalesce(
         F.col("_gate"),
         F.when(F.col("_rn") > 1, F.lit("phash_dup")))

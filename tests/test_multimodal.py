@@ -379,3 +379,30 @@ def test_video_keyframes(spark):
     # hamming_max=64 keeps only the first frame (everything "similar")
     only_first = video_keyframes(df, hamming_max=64).collect()
     assert [r["frame_idx"] for r in only_first] == [0]
+
+
+def test_curate_skew_safe_equal(spark):
+    """skew_safe (max_by keeper + join) must equal the window plan,
+    including on a mass-duplicated phash and gate-failing rows."""
+    from delver_spark.operators.multimodal import curate_image_caption
+
+    cap = "a perfectly fine caption"
+    rows = [("dup%04d" % i, b"", 100 + (i % 7), 100, "ppm", cap, 777)
+            for i in range(500)]                    # one hot phash
+    rows += [("solo", b"", 90, 90, "ppm", cap, 5),
+             ("badcap", b"", 90, 90, "ppm", "x", 777),   # gate-fail in hot
+             ("tiny", b"", 8, 8, "ppm", cap, 777)]       # gate-fail in hot
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string,"
+              " caption string, phash long")
+    cols = ["image_id", "drop_reason", "keep"]
+    a = sorted(tuple(r) for r in
+               curate_image_caption(df, min_side=16).select(*cols).collect())
+    b = sorted(tuple(r) for r in
+               curate_image_caption(df, min_side=16, skew_safe=True)
+               .select(*cols).collect())
+    assert a == b
+    keepers = [r for r in a if r[2]]
+    # hot-phash keeper: max pixels (w=106), smallest id among w==106
+    assert ("dup0006", None, True) in keepers and ("solo", None, True) in keepers
+    assert len(keepers) == 2
