@@ -51,19 +51,41 @@ def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
                           ngram_n: int = 5,
                           id_col: str = "doc_id", text_col: str = "text",
                           lang_col: str = "lang",
-                          quality_col: str = "n_chars") -> DataFrame:
+                          quality_col: str = "n_chars",
+                          skew_safe: bool = False) -> DataFrame:
     """Run the 5-stage assembly; returns every input row + ``drop_stage``
     (null = kept). ``bench``/``per_lang``/``rate_milli`` are optional —
-    omitted stages pass everything through."""
+    omitted stages pass everything through.
+
+    ``skew_safe=True`` swaps the stage-2 exact-dup keeper window for a
+    map-side-combinable ``min_by`` aggregate + join (same pattern and
+    rationale as ``multimodal.curate_image_caption(skew_safe=)``: a
+    text duplicated 10^8 times is exactly what the exact-dup stage
+    exists to catch, and a window partition is one task). For skewed
+    dominant languages in stage 4, pre-cut upstream with
+    textstats.language_quota's salted path. Output equality pinned in
+    tests/test_quality_ops.py."""
     d = _txt.repetition_stats(docs, id_col=id_col, text_col=text_col,
                               append=True)
     d = d.withColumn("_s1", F.col("keep"))
 
     # stage 2: exact-dup keeper among stage-1 survivors; partitioning by
     # (_s1, fingerprint) keeps dropped rows out of the ranking
-    w2 = Window.partitionBy("_s1", F.md5(F.col(text_col))).orderBy(
-        F.desc(quality_col), F.asc(id_col))
-    d = d.withColumn("_s2", F.col("_s1") & (F.row_number().over(w2) == 1))
+    if skew_safe:
+        d = d.withColumn("_fp", F.md5(F.col(text_col)))
+        k2 = d.groupBy("_s1", "_fp").agg(
+            F.min_by(F.col(id_col),
+                     F.struct((-F.col(quality_col).cast("long"))
+                              .alias("nq"), F.col(id_col))).alias("_k2"))
+        d = (d.join(k2, ["_s1", "_fp"])
+             .withColumn("_s2", F.col("_s1")
+                         & (F.col(id_col) == F.col("_k2")))
+             .drop("_fp", "_k2"))
+    else:
+        w2 = Window.partitionBy("_s1", F.md5(F.col(text_col))).orderBy(
+            F.desc(quality_col), F.asc(id_col))
+        d = d.withColumn("_s2", F.col("_s1")
+                         & (F.row_number().over(w2) == 1))
 
     # stage 3: contaminated ids arrive as a broadcast-joined flag
     if bench is not None:

@@ -329,3 +329,32 @@ def test_pack_shards_append_stable(spark):
         a.unionByName(b), "nbytes", "doc_id", 4096)
         .select(*cols).collect())
     assert both[:len(only_a)] == only_a
+
+
+def test_assemble_skew_safe_equal(spark):
+    """skew_safe stage-2 (min_by keeper + join) == the window plan,
+    incl. a mass-duplicated text and quota/sample stages downstream."""
+    from delver_spark.operators.assemble import assemble_training_set
+
+    rows = [(i, "the same exact boilerplate text", "en", 10 + i % 5)
+            for i in range(300)]
+    rows += [(1000 + i, f"unique document number {i}", "en", 50 + i)
+             for i in range(20)]
+    rows += [(2000, "texto en otra lengua", "es", 40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    bench = spark.createDataFrame(
+        [(99, "unique document number 7 and more words")],
+        "doc_id long, text string")
+    a = sorted((r["doc_id"], r["drop_stage"]) for r in
+               assemble_training_set(docs, bench, per_lang=10,
+                                     rate_milli=900).collect())
+    b = sorted((r["doc_id"], r["drop_stage"]) for r in
+               assemble_training_set(docs, bench, per_lang=10,
+                                     rate_milli=900,
+                                     skew_safe=True).collect())
+    assert a == b
+    # the boilerplate block keeps exactly one row at stage 2: highest
+    # quality (n_chars 14 -> i%5==4), smallest id among those (doc_id 4)
+    stage2 = {i for i, s in a if s == "exact_dup"}
+    assert len(stage2) == 299 and 4 not in stage2
