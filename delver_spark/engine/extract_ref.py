@@ -608,6 +608,8 @@ def detect_language(text: str) -> tuple[str, float]:
             return _cyrillic_language(text, votes[best] / total)
         if best == "ar":
             return _arabic_script_language(text, votes[best] / total)
+        if best == "hi":
+            return _devanagari_language(text, votes[best] / total)
         return best, votes[best] / total
     return _latin_language(text)
 
@@ -622,7 +624,13 @@ def _cyrillic_language(text: str, conf: float) -> tuple[str, float]:
     so a language's own text can't be claimed by a later rule (Belarusian
     uses і AND э, so ў must decide before the uk/ru marks). Defaults to
     ru — the original behavior — whenever every marker is absent, so all
-    pre-round-4 goldens hold."""
+    pre-round-4 goldens hold. Session-5 additions, each on a letter
+    that exists in exactly one covered alphabet: ұ → Kazakh, ҷ → Tajik
+    (both also use і/ә etc. shared with uk/tt, so they decide first)."""
+    if text.count("ұ") + text.count("Ұ") > 0:
+        return "kk", conf
+    if text.count("ҷ") + text.count("Ҷ") > 0:
+        return "tg", conf
     be_marks = text.count("ў") + text.count("Ў")
     if be_marks > 0:
         return "be", conf
@@ -658,7 +666,46 @@ def _arabic_script_language(text: str, conf: float) -> tuple[str, float]:
     return "ar", conf
 
 
+# hi/mr/ne closed-class words (copulas/conjunctions/case markers that
+# differ completely across the three Devanagari languages; public
+# facts). को is deliberately in NONE of the sets — it is a common case
+# marker in both Hindi and Nepali.
+_DEVANAGARI_WORDS = {
+    "mr": {"आहे", "आहेत", "आणि", "ही", "त्या", "तो", "झाले", "म्हणून",
+           "होते", "परंतु", "किंवा"},
+    "ne": {"छ", "छन्", "हो", "र", "मा", "यो", "लागि", "गरेको", "भएको",
+           "हुन्छ", "गर्न"},
+    "hi": {"है", "हैं", "का", "की", "के", "में", "और", "यह", "से", "पर",
+           "ने", "था", "लिए"},
+}
+
+
+def _devanagari_language(text: str, conf: float) -> tuple[str, float]:
+    """hi/mr/ne split (whatlanggo separates these within Devanagari):
+    distinctive LETTERS are unreliable across the three, but the
+    closed-class vocabulary is disjoint — vote on full-token hits of
+    each language's copulas/conjunctions. Defaults to hi (the original
+    behavior) on zero hits; hi also wins exact ties (fixed order).
+
+    Tokenize on whitespace/punctuation, NOT ``\\w`` — python's \\w
+    excludes combining marks (category Mn), so a \\w split shreds every
+    Devanagari word at its vowel signs ("आहे" → "आह", "े")."""
+    tokens = set(re.split(r"[\s.,;:!?()\[\]{}\"'।॥|/\\-]+", text))
+    hits = {lang: len(tokens & ws)
+            for lang, ws in _DEVANAGARI_WORDS.items()}
+    best = max(("hi", "mr", "ne"), key=lambda g: hits[g])
+    return best, conf
+
+
 def _latin_language(text: str) -> tuple[str, float]:
+    # distinctive-letter pre-check (session-5): ə/Ə exists in Azerbaijani
+    # alone among Latin orthographies here; ĉĝĥĵŝŭ are Esperanto-only.
+    # Both sit outside the 0xC0-0x24F counting range, so they reach this
+    # path as ordinary Latin-ish text.
+    if text.count("ə") + text.count("Ə") > 0:
+        return "az", 1.0
+    if any(c in text for c in "ĉĝĥĵŝŭĈĜĤĴŜŬ"):
+        return "eo", 1.0
     tokens = [t for t in re.split(r"[^\w’']+", text.lower()) if t]
     tokens = [t.replace("’", "").replace("'", "") for t in tokens]
     best, best_score = "en", 0

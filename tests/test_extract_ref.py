@@ -295,3 +295,27 @@ def test_sentiment_negation_and_valence():
     assert sentiment_binary("This is not bad at all") == 1
     assert sentiment_binary("outstanding success despite fear") == 1  # 5+2-2
     assert sentiment_binary("record loss and fraud") == 0  # 1-3-4
+
+
+def test_language_session5_additions():
+    """kk/tg (unique Cyrillic letters), az/eo (unique Latin letters),
+    mr/ne (Devanagari closed-class vote); every neighboring language's
+    goldens stay pinned by the earlier tests."""
+    cases = {
+        "Қазақстан Республикасының ұлттық тілі қазақ тілі болып табылады":
+            "kk",
+        "Забони тоҷикӣ забони расмии Ҷумҳурии Тоҷикистон аст": "tg",
+        "Azərbaycan dili Azərbaycanın rəsmi dövlət dilidir": "az",
+        "Esperanto estas internacia lingvo kaj ĝi estas tre facila": "eo",
+        "मराठी ही महाराष्ट्राची अधिकृत भाषा आहे आणि ती खूप सुंदर आहे": "mr",
+        "नेपाली भाषा नेपालको आधिकारिक भाषा हो र यो धेरै राम्रो छ": "ne",
+        # hi default unchanged: no mr/ne closed-class hits
+        "यह हिंदी भाषा का एक परीक्षण वाक्य है और यह सुंदर है": "hi",
+        # Russian/Ukrainian unaffected by the kk/tg pre-checks
+        "это очень хорошая книга и я люблю читать её": "ru",
+        "це дуже гарна книжка і її автор відомий всім": "uk",
+    }
+    for text, want in cases.items():
+        got, conf = detect_language(text)
+        assert got == want, (text, got)
+        assert conf > 0
