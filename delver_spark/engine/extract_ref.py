@@ -701,11 +701,14 @@ def _latin_language(text: str) -> tuple[str, float]:
     # distinctive-letter pre-check (session-5): ə/Ə exists in Azerbaijani
     # alone among Latin orthographies here; ĉĝĥĵŝŭ are Esperanto-only.
     # Both sit outside the 0xC0-0x24F counting range, so they reach this
-    # path as ordinary Latin-ish text.
-    if text.count("ə") + text.count("Ə") > 0:
-        return "az", 1.0
-    if any(c in text for c in "ĉĝĥĵŝŭĈĜĤĴŜŬ"):
-        return "eo", 1.0
+    # path as ordinary Latin-ish text. One isascii() C scan gates the
+    # 14 per-letter scans off the hot path (most corpus docs are ASCII
+    # and can't contain either letter set).
+    if not text.isascii():
+        if text.count("ə") + text.count("Ə") > 0:
+            return "az", 1.0
+        if any(c in text for c in "ĉĝĥĵŝŭĈĜĤĴŜŬ"):
+            return "eo", 1.0
     tokens = [t for t in re.split(r"[^\w’']+", text.lower()) if t]
     tokens = [t.replace("’", "").replace("'", "") for t in tokens]
     best, best_score = "en", 0
