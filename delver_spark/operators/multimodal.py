@@ -444,6 +444,24 @@ def resize_images_direct(spark, path: str, buckets=None,
                           "nbytes long, shard_path string")
 
 
+def curation_gate(min_side: int = 64, max_aspect_milli: int = 3000,
+                  min_caption_tokens: int = 3,
+                  max_caption_tokens: int = 77):
+    """The LAION-style metadata gate as a reusable Column over
+    (w, h, caption): the first failing gate's name, null = pass.
+    Stateless per-row integer arithmetic, so the SAME expression serves
+    the batch operator and the streaming twin (stream_image_curation)."""
+    from pyspark.sql import functions as F
+
+    n_tokens = F.size(F.filter(F.split(F.col("caption"), " "),
+                               lambda x: x != ""))
+    return (F.when(F.least("w", "h") < min_side, "too_small")
+            .when(F.greatest("w", "h") * 1000
+                  > F.lit(max_aspect_milli) * F.least("w", "h"), "aspect")
+            .when((n_tokens < min_caption_tokens)
+                  | (n_tokens > max_caption_tokens), "caption_len"))
+
+
 def curate_image_caption(df: DataFrame, min_side: int = 64,
                          max_aspect_milli: int = 3000,
                          min_caption_tokens: int = 3,
@@ -486,13 +504,8 @@ def curate_image_caption(df: DataFrame, min_side: int = 64,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    n_tokens = F.size(F.filter(F.split(F.col("caption"), " "),
-                               lambda x: x != ""))
-    gate = (F.when(F.least("w", "h") < min_side, "too_small")
-            .when(F.greatest("w", "h") * 1000
-                  > F.lit(max_aspect_milli) * F.least("w", "h"), "aspect")
-            .when((n_tokens < min_caption_tokens)
-                  | (n_tokens > max_caption_tokens), "caption_len"))
+    gate = curation_gate(min_side, max_aspect_milli,
+                         min_caption_tokens, max_caption_tokens)
     d = (df.withColumn("_gate", gate)
          .withColumn("_pass", gate.isNull()))
     if skew_safe:

@@ -144,3 +144,38 @@ def run_to_memory(filtered: DataFrame, name: str, spark: SparkSession,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_image_curation(stream: DataFrame,
+                          watermark: str = "30 days",
+                          ts_col: str = "ingest_time",
+                          **gate_kwargs) -> DataFrame:
+    """Streaming twin of multimodal.curate_image_caption over a live
+    (image_id, w, h, caption, phash, <ts_col>) metadata stream — the
+    image-axis analog of stream_dedup: the LAION metadata gates are
+    stateless per-row expressions (the literal SAME Column via
+    multimodal.curation_gate, so batch and stream cannot drift), and
+    the phash dedup becomes FIRST-SEEN-within-watermark
+    (dropDuplicatesWithinWatermark over gate-passing rows only — a
+    failing row still can't shadow a later passing one).
+
+    Semantics divergence, deliberate and documented: the batch
+    operator's keeper is max-pixels-then-min-id over the WHOLE group,
+    which a stream cannot see; the streaming keeper is arrival order
+    ACROSS micro-batches with horizon-bounded state (same note as
+    stream_dedup vs A4) — among duplicates landing in the SAME
+    micro-batch, Spark keeps an arbitrary one (verified empirically:
+    not necessarily the earliest event_time).
+    tests/test_query_stream.py pins batch == stream when first arrival
+    IS the max-pixels keeper, and first-seen-wins when it is not.
+
+    Returns the curated stream (gate-passing, first-seen rows); per-row
+    drop_reason observability is the batch operator's job."""
+    from ..operators.multimodal import curation_gate
+
+    ts = F.to_timestamp(F.col(ts_col))
+    return (stream
+            .filter(curation_gate(**gate_kwargs).isNull())
+            .withColumn("event_time", ts)
+            .withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark(["phash"]))

@@ -254,3 +254,68 @@ def test_filter_params_from_json_rejects_unknown_type():
 
     with _pytest.raises(ValueError, match="unknown filter data_type"):
         filter_params_from_json({"data_type": "graphql"})
+
+
+def test_stream_image_curation(spark, tmp_path):
+    """Streaming curation: identical gates to the batch operator (shared
+    Column), first-seen-within-watermark phash keeper. Pins batch ==
+    stream when the first arrival is the max-pixels keeper, and the
+    documented first-seen divergence when it is not."""
+    from delver_spark.operators.multimodal import curate_image_caption
+    from delver_spark.streaming.stream import (run_to_memory,
+                                               stream_image_curation)
+
+    cap = "a perfectly fine caption"
+    rows = [
+        # (image_id, w, h, caption, phash, ingest_time) — single file, so
+        # arrival order = row order within the one micro-batch... but
+        # dropDuplicates keeps an arbitrary row per batch; use event
+        # times + separate files for deterministic cross-batch order
+        ("first_big", 200, 200, cap, 111, NOW - 100),
+        ("tiny", 8, 8, cap, 111, NOW - 90),        # gate-fail, same phash
+        ("later_small", 50, 50, cap, 111, NOW - 80),
+        ("solo", 90, 90, cap, 222, NOW - 70),
+        ("badcap", 300, 300, "x", 333, NOW - 60),  # caption gate fail
+    ]
+    schema = ("image_id string, w int, h int, caption string, "
+              "phash long, ingest_time long")
+    d = tmp_path / "imgs_stream"
+    d.mkdir()
+    # one file per row -> one micro-batch per row (maxFilesPerTrigger=1)
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).write.parquet(
+            str(d / f"f{i:02d}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/f*"))
+    out = run_to_memory(
+        stream_image_curation(stream, min_side=16), "img_curation", spark)
+    got = sorted(r["image_id"] for r in out.collect())
+    # first_big is both first-seen AND max-pixels -> batch and stream
+    # agree on phash 111; badcap/tiny gated out; solo kept
+    assert got == ["first_big", "solo"]
+    batch_keep = sorted(
+        r["image_id"] for r in curate_image_caption(
+            spark.createDataFrame(rows, schema), min_side=16)
+        .filter("keep").collect())
+    assert got == batch_keep
+    # divergence case: a SMALL image arrives first -> stream keeps it
+    # (first-seen), batch keeps the later bigger one (max-pixels)
+    rows2 = [("small_first", 50, 50, cap, 444, NOW - 50),
+             ("big_later", 400, 400, cap, 444, NOW - 40)]
+    d2 = tmp_path / "imgs_stream2"
+    d2.mkdir()
+    for i, r in enumerate(rows2):
+        spark.createDataFrame([r], schema).write.parquet(
+            str(d2 / f"f{i:02d}"))
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(d2) + "/f*"))
+    out2 = run_to_memory(
+        stream_image_curation(stream2, min_side=16), "img_curation2",
+        spark)
+    assert [r["image_id"] for r in out2.collect()] == ["small_first"]
+    batch2 = {r["image_id"] for r in curate_image_caption(
+        spark.createDataFrame(rows2, schema), min_side=16)
+        .filter("keep").collect()}
+    assert batch2 == {"big_later"}
