@@ -110,12 +110,18 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
     df = spark.read.parquet(corpus)
     n = df.count()
 
-    # stage 1: curation gates over metadata only (never ship bytes)
+    # stage 1: curation gates over metadata only (never ship bytes).
+    # localCheckpoint the kept-id set so the curation shuffle runs ONCE
+    # — stages 2 and 3 both consume `kept`, and without the checkpoint
+    # each silently re-ran the window, misattributing curation cost to
+    # their timings (code-review r4-s5)
     meta = df.select("image_id", "w", "h", "caption", "phash")
     t0 = time.perf_counter()
     kept = (curate_image_caption(meta, min_side=24)
-            .filter("keep").select("image_id"))
-    n_kept = kept.count()
+            .filter("keep").select("image_id")
+            .localCheckpoint(eager=True))
+    kept_ids = [r["image_id"] for r in kept.collect()]
+    n_kept = len(kept_ids)
     t_curate = time.perf_counter() - t0
 
     # stage 2: batch dealing on METADATA only (the rank shuffles)
@@ -134,7 +140,6 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
     # socket — the socket plan measured 10x below the single-core python
     # compute floor AND anti-scaled with cores, see BENCH notes).
     # SPARK_GRAFT_MM_SOCKET=1 benches the socket plan for comparison.
-    kept_ids = [r["image_id"] for r in kept.collect()]
     out_dir = tempfile.mkdtemp(prefix="mmbench_resized_")
     t0 = time.perf_counter()
     if os.environ.get("SPARK_GRAFT_MM_SOCKET") == "1":

@@ -666,26 +666,29 @@ def _arabic_script_language(text: str, conf: float) -> tuple[str, float]:
     return "ar", conf
 
 
-# hi/mr/ne closed-class words (copulas/conjunctions/case markers that
-# differ completely across the three Devanagari languages; public
-# facts). को is deliberately in NONE of the sets — it is a common case
-# marker in both Hindi and Nepali.
+# hi/mr/ne closed-class words. ONLY words absent from everyday Hindi
+# belong in the mr/ne sets (code-review r4-s5 caught the original sets
+# carrying common Hindi function words — तो/ही/हो/होते/परंतु — which
+# flipped plain Hindi to mr/ne): mr keeps its copulas/conjunctions
+# आहे/आहेत/आणि etc.; ne keeps छ/छन्/यो and verbal nouns. को/हो/मा are
+# deliberately in NO set (shared with Hindi).
 _DEVANAGARI_WORDS = {
-    "mr": {"आहे", "आहेत", "आणि", "ही", "त्या", "तो", "झाले", "म्हणून",
-           "होते", "परंतु", "किंवा"},
-    "ne": {"छ", "छन्", "हो", "र", "मा", "यो", "लागि", "गरेको", "भएको",
-           "हुन्छ", "गर्न"},
+    "mr": {"आहे", "आहेत", "आणि", "म्हणून", "किंवा", "झाले", "त्यांनी",
+           "त्याच्या", "येथे", "देखील"},
+    "ne": {"छ", "छन्", "र", "यो", "लागि", "गरेको", "भएको", "हुन्छ",
+           "गर्न", "उनले"},
     "hi": {"है", "हैं", "का", "की", "के", "में", "और", "यह", "से", "पर",
-           "ने", "था", "लिए"},
+           "ने", "था", "लिए", "हो", "तो", "ही"},
 }
 
 
 def _devanagari_language(text: str, conf: float) -> tuple[str, float]:
     """hi/mr/ne split (whatlanggo separates these within Devanagari):
-    distinctive LETTERS are unreliable across the three, but the
-    closed-class vocabulary is disjoint — vote on full-token hits of
-    each language's copulas/conjunctions. Defaults to hi (the original
-    behavior) on zero hits; hi also wins exact ties (fixed order).
+    distinctive LETTERS are unreliable across the three, so vote on
+    full-token hits of closed-class words whose mr/ne sets exclude
+    everything common in Hindi. Leaving the hi default requires a
+    DECISIVE signal: ≥2 mr/ne hits AND strictly more than the hi count
+    (one stray shared token in a short Hindi doc must not flip it).
 
     Tokenize on whitespace/punctuation, NOT ``\\w`` — python's \\w
     excludes combining marks (category Mn), so a \\w split shreds every
@@ -693,22 +696,22 @@ def _devanagari_language(text: str, conf: float) -> tuple[str, float]:
     tokens = set(re.split(r"[\s.,;:!?()\[\]{}\"'।॥|/\\-]+", text))
     hits = {lang: len(tokens & ws)
             for lang, ws in _DEVANAGARI_WORDS.items()}
-    best = max(("hi", "mr", "ne"), key=lambda g: hits[g])
-    return best, conf
+    best = "mr" if hits["mr"] >= hits["ne"] else "ne"
+    if hits[best] >= 2 and hits[best] > hits["hi"]:
+        return best, conf
+    return "hi", conf
+
+
+# Azerbaijani schwa + Esperanto circumflex/breve letters — each exists
+# in exactly one Latin orthography covered here. (Most are INSIDE the
+# 0xC0-0x24F Latin counting range — Ə is U+018F, ĉ..ŭ are U+0109-U+016D;
+# only lowercase ə U+0259 is outside — but the script counter never
+# routes Latin text away from this path, so placement is irrelevant.)
+_AZ_LETTERS = frozenset("əƏ")
+_EO_LETTERS = frozenset("ĉĝĥĵŝŭĈĜĤĴŜŬ")
 
 
 def _latin_language(text: str) -> tuple[str, float]:
-    # distinctive-letter pre-check (session-5): ə/Ə exists in Azerbaijani
-    # alone among Latin orthographies here; ĉĝĥĵŝŭ are Esperanto-only.
-    # Both sit outside the 0xC0-0x24F counting range, so they reach this
-    # path as ordinary Latin-ish text. One isascii() C scan gates the
-    # 14 per-letter scans off the hot path (most corpus docs are ASCII
-    # and can't contain either letter set).
-    if not text.isascii():
-        if text.count("ə") + text.count("Ə") > 0:
-            return "az", 1.0
-        if any(c in text for c in "ĉĝĥĵŝŭĈĜĤĴŜŬ"):
-            return "eo", 1.0
     tokens = [t for t in re.split(r"[^\w’']+", text.lower()) if t]
     tokens = [t.replace("’", "").replace("'", "") for t in tokens]
     best, best_score = "en", 0
@@ -718,6 +721,17 @@ def _latin_language(text: str) -> tuple[str, float]:
             best, best_score = lang, score
     if best_score >= 2:  # decisive stopword vote (all reference goldens)
         return best, best_score / max(len(tokens), 1)
+    # weak vote only: az/eo by their unique letters, ONE set-intersection
+    # pass (code-review r4-s5: the original pre-vote short-circuit sent
+    # English text quoting IPA /ə/ to az with confidence 1.0, and its 14
+    # per-letter scans hit every accented fr/de/es doc; after a decisive
+    # vote these letters can only be stray quotations)
+    if not text.isascii():
+        chars = set(text)
+        if chars & _AZ_LETTERS:
+            return "az", 1.0
+        if chars & _EO_LETTERS:
+            return "eo", 1.0
     # weak vote: trigram-grade refinement (whatlanggo's method) — covers
     # short/stopword-poor text and the it/pt/nl languages
     if tokens:

@@ -72,15 +72,29 @@ def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
     # stage 2: exact-dup keeper among stage-1 survivors; partitioning by
     # (_s1, fingerprint) keeps dropped rows out of the ranking
     if skew_safe:
-        d = d.withColumn("_fp", F.md5(F.col(text_col)))
-        k2 = d.groupBy("_s1", "_fp").agg(
+        # null-safe join key: md5(NULL) is NULL and a plain equi-join
+        # would DROP null-text rows the window plan keeps (code-review
+        # r4-s5); "" is not a producible md5 hex digest, so coalescing
+        # to it adds no collision. Keeper order mirrors the window's
+        # (quality DESC NULLS LAST, id ASC) via an explicit null flag.
+        # _s1 is NULL (not False) for null-text rows — null propagates
+        # through the repetition flags — and the window plan keeps that
+        # group distinct from the False group, so the join key needs
+        # the same (isnull, coalesce) split as _fp
+        q = F.col(quality_col).cast("long")
+        d = (d.withColumn("_fp", F.coalesce(F.md5(F.col(text_col)),
+                                            F.lit("")))
+             .withColumn("_s1q", F.col("_s1").isNull())
+             .withColumn("_s1n", F.coalesce(F.col("_s1"), F.lit(False))))
+        k2 = d.groupBy("_s1q", "_s1n", "_fp").agg(
             F.min_by(F.col(id_col),
-                     F.struct((-F.col(quality_col).cast("long"))
-                              .alias("nq"), F.col(id_col))).alias("_k2"))
-        d = (d.join(k2, ["_s1", "_fp"])
+                     F.struct(q.isNull().cast("int").alias("qnull"),
+                              (-F.coalesce(q, F.lit(0))).alias("nq"),
+                              F.col(id_col))).alias("_k2"))
+        d = (d.join(k2, ["_s1q", "_s1n", "_fp"])
              .withColumn("_s2", F.col("_s1")
                          & (F.col(id_col) == F.col("_k2")))
-             .drop("_fp", "_k2"))
+             .drop("_fp", "_k2", "_s1q", "_s1n"))
     else:
         w2 = Window.partitionBy("_s1", F.md5(F.col(text_col))).orderBy(
             F.desc(quality_col), F.asc(id_col))

@@ -374,8 +374,6 @@ class CrawlEngine:
                         out_stats=deq_stats) \
             .localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
-        arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        arrow_batch_default = self.spark.conf.get(arrow_conf)
         # ---- fetch (J1): small batches push an IN-filter into the parquet
         # scan (row-group pruning on url_canon stats) and broadcast the
         # pruned payload; huge batches (big-G rounds / scaling bench) go
@@ -400,20 +398,14 @@ class CrawlEngine:
         self._tomb_count += batch_count
         self.frontier_count -= batch_count
 
-        # Payload rows are ~10 KB of binary each: at the default 10k-row
-        # Arrow batch size the JVM builds ~100 MB humongous allocations per
-        # in-flight batch and row->Arrow conversion collapses to ~40 MB/s
-        # aggregate (measured: noop mapInArrow round-trip 84 s on a 1.2 GB
-        # corpus at local[16]; 256-row batches -> 3.5x faster end-to-end).
-        # Scoped to the fetch/extract job only; restored in the finally so
-        # a failed round can't leak the small batch size into every later
-        # query on the shared session.
-        self.spark.conf.set(arrow_conf, "256")
-        try:
+        # Payload rows are ~10 KB of binary each: the 256-row Arrow batch
+        # rule (measured rationale in session.scoped_arrow_batch — the
+        # one shared copy of this logic), scoped to the fetch/extract job
+        # only.
+        from ..session import scoped_arrow_batch
+        with scoped_arrow_batch(self.spark, 256):
             extracted = self._fetch_extract(
                 batch, batch_count, batch_urls if small_batch else None)
-        finally:
-            self.spark.conf.set(arrow_conf, arrow_batch_default)
         _t = _mark('fetch_extract', _t)
 
         # post-extract work is a DAG of independent Spark jobs — run them

@@ -376,7 +376,17 @@ def assign_global_prefix_sum(df: DataFrame, order_cols: list[str], pid_expr,
 
     Weights must be non-negative integers (the result is exact int64,
     so an engine twin — e.g. DuckDB ``sum() OVER (... ROWS BETWEEN
-    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — is bit-identical)."""
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — is bit-identical).
+
+    Deliberately NOT unified with assign_global_rank (rank ==
+    prefix-sum of weight 1, so the bodies mirror each other): the rank
+    variant is the crawl admission hot path, carries timings/out_stats
+    instrumentation the engine's profiler depends on, and is pinned by
+    the bit-exact oracle suite — rewiring it through this function buys
+    ~40 shared lines at the cost of churning that path. If you change
+    the shared invariants (pid monotone in order, contiguous pid runs
+    after sortWithinPartitions, per-pid carry across Arrow batches),
+    change BOTH."""
     spark = df.sparkSession
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)

@@ -16,7 +16,6 @@ outputs carry features only.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -145,24 +144,10 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
-@contextmanager
-def scoped_arrow_batch(spark, n: int = 256):
-    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` around an
-    ACTION on payload-carrying Arrow UDF plans. At ~100 KB+ binary rows
-    the default 10k-row Arrow batch makes the JVM build multi-GB
-    humongous allocations per in-flight task batch and row→Arrow
-    conversion collapses (measured on the crawl fetch: 256-row batches
-    3.5× faster end-to-end; measured here: the 40k×≤384px resize bench
-    ANTI-scaled 2→8 cores, 76→97 s, until scoped to 256 — the conf is
-    read at job submission, so it must wrap the collect/write, not the
-    plan construction)."""
-    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(conf)
-    spark.conf.set(conf, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(conf, old)
+# canonical home: session.scoped_arrow_batch (one copy of the
+# load-bearing 256-row payload-batch rule); re-exported here because the
+# image payload operators are its second user
+from ..session import scoped_arrow_batch  # noqa: F401,E402
 
 
 def _cover_crop(pix: np.ndarray, bw: int, bh: int) -> np.ndarray:
@@ -509,22 +494,27 @@ def curate_image_caption(df: DataFrame, min_side: int = 64,
     d = (df.withColumn("_gate", gate)
          .withColumn("_pass", gate.isNull()))
     if skew_safe:
-        # keeper per (phash, pass) via max_by on (pixels, -id): the
-        # window's (pixels DESC, id ASC) order expressed as one
-        # associative aggregate — string ids order DESC under max_by's
-        # struct compare, so negate via the struct order (max pixels,
-        # then MIN id = max_by on (pixels, reversed-id)): use min_by
-        # with (negated pixels) instead for exactness on string ids
-        keepers = d.groupBy("phash", "_pass").agg(
+        # keeper per (phash, pass) via min_by on (null-flag, -pixels,
+        # id): the window's (pixels DESC NULLS LAST, id ASC) order as
+        # one associative aggregate. Join keys are null-SAFE — a plain
+        # equi-join on phash silently drops null-phash rows (upstream
+        # decode failures), breaking the every-row-returned contract
+        # (code-review r4-s5); (isnull, coalesce) as two columns keeps
+        # the join a plain AQE-splittable equi-join with no sentinel
+        # collision.
+        px = F.col("w").cast("long") * F.col("h")
+        d = (d.withColumn("_phq", F.col("phash").isNull())
+             .withColumn("_phn", F.coalesce("phash", F.lit(0))))
+        keepers = d.groupBy("_phq", "_phn", "_pass").agg(
             F.min_by("image_id",
-                     F.struct((-(F.col("w").cast("long") * F.col("h")))
-                              .alias("npx"),
+                     F.struct(px.isNull().cast("int").alias("pnull"),
+                              (-F.coalesce(px, F.lit(0))).alias("npx"),
                               F.col("image_id"))).alias("_keeper"))
-        ranked = (d.join(keepers, ["phash", "_pass"])
+        ranked = (d.join(keepers, ["_phq", "_phn", "_pass"])
                   .withColumn("_rn",
                               F.when(F.col("image_id") == F.col("_keeper"),
                                      1).otherwise(2))
-                  .drop("_keeper"))
+                  .drop("_keeper", "_phq", "_phn"))
     else:
         # rank only among gate-PASSING rows of a phash (partitioning by
         # the pass flag keeps a failing row from stealing rank 1)

@@ -314,6 +314,16 @@ def test_language_session5_additions():
         # Russian/Ukrainian unaffected by the kk/tg pre-checks
         "это очень хорошая книга и я люблю читать её": "ru",
         "це дуже гарна книжка і її автор відомий всім": "uk",
+        # code-review r4-s5 regressions: everyday Hindi containing the
+        # shared function words हो / तो must STAY hi (they were in the
+        # original ne/mr sets), and a stray shared token can't flip a
+        # short doc
+        "तुम कैसे हो": "hi",
+        "अच्छा तो मैं चलता हूँ": "hi",
+        # stray IPA schwa inside decisive English must stay en; ditto a
+        # quoted Esperanto letter in decisive French
+        "the word about is pronounced əˈbaʊt in the dictionary": "en",
+        "le symbole ĉ est une lettre de l'alphabet et il est rare": "fr",
     }
     for text, want in cases.items():
         got, conf = detect_language(text)

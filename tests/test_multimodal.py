@@ -391,7 +391,14 @@ def test_curate_skew_safe_equal(spark):
             for i in range(500)]                    # one hot phash
     rows += [("solo", b"", 90, 90, "ppm", cap, 5),
              ("badcap", b"", 90, 90, "ppm", "x", 777),   # gate-fail in hot
-             ("tiny", b"", 8, 8, "ppm", cap, 777)]       # gate-fail in hot
+             ("tiny", b"", 8, 8, "ppm", cap, 777),       # gate-fail in hot
+             # null phash rows (upstream decode failures) must survive
+             # BOTH plans identically (code-review r4-s5: the equi-join
+             # dropped them); null w exercises the keeper null ordering
+             ("nullp1", b"", 70, 70, "ppm", cap, None),
+             ("nullp2", b"", 60, 60, "ppm", cap, None),
+             ("nullw", b"", None, 80, "ppm", cap, 888),
+             ("fullw", b"", 80, 80, "ppm", cap, 888)]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string,"
               " caption string, phash long")
@@ -403,6 +410,11 @@ def test_curate_skew_safe_equal(spark):
                .select(*cols).collect())
     assert a == b
     keepers = [r for r in a if r[2]]
-    # hot-phash keeper: max pixels (w=106), smallest id among w==106
+    # hot-phash keeper: max pixels (w=106), smallest id among w==106;
+    # null-phash rows form their own group (nullp1 = bigger keeper);
+    # null-pixels rows rank LAST within their phash in both plans
     assert ("dup0006", None, True) in keepers and ("solo", None, True) in keepers
-    assert len(keepers) == 2
+    assert ("nullp1", None, True) in keepers and ("fullw", None, True) in keepers
+    assert ("nullp2", "phash_dup", False) in a
+    assert ("nullw", "phash_dup", False) in a
+    assert len(keepers) == 4

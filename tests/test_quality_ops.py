@@ -340,7 +340,14 @@ def test_assemble_skew_safe_equal(spark):
             for i in range(300)]
     rows += [(1000 + i, f"unique document number {i}", "en", 50 + i)
              for i in range(20)]
-    rows += [(2000, "texto en otra lengua", "es", 40)]
+    rows += [(2000, "texto en otra lengua", "es", 40),
+             # null text + null quality must survive both plans
+             # identically (code-review r4-s5: the equi-join on
+             # md5(NULL) dropped the null-text rows)
+             (3000, None, "en", 10),
+             (3001, None, "en", 20),
+             (3002, "quality is null here", "en", None),
+             (3003, "quality is null here", "en", 30)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, n_chars long")
     bench = spark.createDataFrame(
@@ -355,6 +362,11 @@ def test_assemble_skew_safe_equal(spark):
                                      skew_safe=True).collect())
     assert a == b
     # the boilerplate block keeps exactly one row at stage 2: highest
-    # quality (n_chars 14 -> i%5==4), smallest id among those (doc_id 4)
+    # quality (n_chars 14 -> i%5==4), smallest id among those (doc_id 4);
+    # plus: the null-text pair keeps 3001 (higher quality, 3000 dups) and
+    # the null-quality row 3002 loses to 3003 (NULL quality ranks last in
+    # both plans)
     stage2 = {i for i, s in a if s == "exact_dup"}
-    assert len(stage2) == 299 and 4 not in stage2
+    assert len(stage2) == 301 and 4 not in stage2
+    assert 3000 in stage2 and 3002 in stage2
+    assert 3001 not in stage2 and 3003 not in stage2
