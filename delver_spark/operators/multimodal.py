@@ -318,12 +318,16 @@ def resize_images_direct(spark, path: str, buckets=None,
     252 img/s at local[8]; see BENCH/BASELINE.md r4-s5).
 
     ``kept_ids``: optional iterable of image_ids to resize (the
-    curation output — bounded by the kept-set size and broadcast to the
-    workers, probed with Arrow-native ``pc.is_in`` per row group: a
-    pandas-Index probe costs one PyUnicode object per row, which both
-    adds ~0.14 ms/row and contends on the CPython allocator across
-    worker processes). Output: (image_id, bytes, w, h, fmt) with
-    w/h = the bucket target.
+    curation output — broadcast to the workers and probed with
+    Arrow-native ``pc.is_in`` per row group: a pandas-Index probe costs
+    one PyUnicode object per row, which both adds ~0.14 ms/row and
+    contends on the CPython allocator across worker processes). The
+    list must fit in a driver/executor broadcast — same contract as the
+    crawl fetch's dequeued batch (bounded by G). When the kept set is
+    corpus-sized, don't pass ids at all: materialize the curation
+    verdict as a column or partition of the payload table at curation
+    time and let partition/row-group pruning do the filtering. Output:
+    (image_id, bytes, w, h, fmt) with w/h = the bucket target.
 
     ``out_dir``: when set, each task also WRITES its resized payloads as
     a parquet file under out_dir (one per input split, deterministic
