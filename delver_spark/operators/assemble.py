@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from . import textstats as _txt
 
-DROP_STAGES = ("repetition", "exact_dup", "contaminated", "quota", "sample")
+DROP_STAGES = ("repetition", "exact_dup", "contaminated", "quota", "sample",
+               "invalid")
 
 
 def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
@@ -129,11 +130,18 @@ def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
     else:
         d = d.withColumn("_s5", F.col("_s4"))
 
+    # NULL text propagates NULL through every _sk flag, so all the ~_sk
+    # branches are skipped — without the final branch such rows would be
+    # silently reported as KEPT (ADVICE r4). NULL-ness collapses to _s5:
+    # each later flag is _s(k-1) & <never-null predicate>, so _s5 is NULL
+    # iff _s1 was. The expression is shared by the skew_safe and window
+    # plans, keeping them identical.
     stage = (F.when(~F.col("_s1"), "repetition")
              .when(~F.col("_s2"), "exact_dup")
              .when(~F.col("_s3"), "contaminated")
              .when(~F.col("_s4"), "quota")
-             .when(~F.col("_s5"), "sample"))
+             .when(~F.col("_s5"), "sample")
+             .when(F.col("_s5").isNull(), "invalid"))
     keep_cols = [c for c in d.columns if not c.startswith("_")]
     return d.select(*keep_cols, stage.alias("drop_stage"))
 

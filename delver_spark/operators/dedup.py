@@ -556,9 +556,13 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     Language Models Better" suffix-array pass, re-shaped for Spark):
     every overlapping ``window``-word window whose text occurs MORE THAN
     ONCE in the corpus (any document, any position — intra-doc repeats
-    count) seeds a duplicate span; overlapping/adjacent seeds merge into
-    maximal (doc, span_start, span_end) word-offset spans (1-based,
-    inclusive). Callers cut or down-weight the spans.
+    count) seeds a duplicate span; OVERLAPPING seeds merge into maximal
+    (doc, span_start, span_end) word-offset spans (1-based, inclusive).
+    Seeds exactly ``window`` words apart (adjacent but not overlapping)
+    stay two contiguous rows — coverage is identical either way, and the
+    break condition ``pos > lag + (window-1)`` is what the DuckDB twin
+    pins (ADVICE r4 docstring fix). Callers cut or down-weight the
+    spans.
 
     Two plans, identical output (A/B-pinned):
 

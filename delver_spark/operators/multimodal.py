@@ -439,12 +439,20 @@ def curation_gate(min_side: int = 64, max_aspect_milli: int = 3000,
     """The LAION-style metadata gate as a reusable Column over
     (w, h, caption): the first failing gate's name, null = pass.
     Stateless per-row integer arithmetic, so the SAME expression serves
-    the batch operator and the streaming twin (stream_image_curation)."""
+    the batch operator and the streaming twin (stream_image_curation).
+
+    A leading ``missing_meta`` branch catches NULL w/h/caption
+    explicitly (ADVICE r4): without it every when-condition evaluates
+    NULL for such rows, so decode/metadata failures would silently PASS
+    all gates and enter phash dedup — where all NULL-phash passers
+    collapse to one arbitrary keeper mislabeled ``phash_dup``."""
     from pyspark.sql import functions as F
 
     n_tokens = F.size(F.filter(F.split(F.col("caption"), " "),
                                lambda x: x != ""))
-    return (F.when(F.least("w", "h") < min_side, "too_small")
+    return (F.when(F.col("w").isNull() | F.col("h").isNull()
+                   | F.col("caption").isNull(), "missing_meta")
+            .when(F.least("w", "h") < min_side, "too_small")
             .when(F.greatest("w", "h") * 1000
                   > F.lit(max_aspect_milli) * F.least("w", "h"), "aspect")
             .when((n_tokens < min_caption_tokens)

@@ -398,6 +398,7 @@ def test_curate_skew_safe_equal(spark):
              ("nullp1", b"", 70, 70, "ppm", cap, None),
              ("nullp2", b"", 60, 60, "ppm", cap, None),
              ("nullw", b"", None, 80, "ppm", cap, 888),
+             ("nullcap", b"", 80, 80, "ppm", None, 888),
              ("fullw", b"", 80, 80, "ppm", cap, 888)]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string,"
@@ -412,9 +413,11 @@ def test_curate_skew_safe_equal(spark):
     keepers = [r for r in a if r[2]]
     # hot-phash keeper: max pixels (w=106), smallest id among w==106;
     # null-phash rows form their own group (nullp1 = bigger keeper);
-    # null-pixels rows rank LAST within their phash in both plans
+    # NULL w/h/caption rows are explicit missing_meta drops (ADVICE r4:
+    # before the leading gate branch they silently passed every gate)
     assert ("dup0006", None, True) in keepers and ("solo", None, True) in keepers
     assert ("nullp1", None, True) in keepers and ("fullw", None, True) in keepers
     assert ("nullp2", "phash_dup", False) in a
-    assert ("nullw", "phash_dup", False) in a
+    assert ("nullw", "missing_meta", False) in a
+    assert ("nullcap", "missing_meta", False) in a
     assert len(keepers) == 4

@@ -370,3 +370,8 @@ def test_assemble_skew_safe_equal(spark):
     assert len(stage2) == 301 and 4 not in stage2
     assert 3000 in stage2 and 3002 in stage2
     assert 3001 not in stage2 and 3003 not in stage2
+    # the surviving null-text row is an explicit "invalid" drop, not a
+    # silent keep (ADVICE r4: NULL text propagates NULL through every
+    # stage flag, skipping all ~_sk branches)
+    assert (3001, "invalid") in a
+    assert all(s is not None for i, s in a if i in (3000, 3001))
