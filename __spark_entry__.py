@@ -632,6 +632,125 @@ def text_bpe_tokens(spark, sf):
     return _txt.bpe_token_count(_t(spark, sf, "documents"))
 
 
+def text_token_ops(spark, sf):
+    """Whitespace token counts + BPE-ish pre-tokenizer counts in ONE
+    tagged entry (consolidated r5 to free a gate slot for
+    text_bpe_encode — the REAL BPE op; -1 sentinels keep the value
+    dtypes integral on both engines)."""
+    a = text_token_count(spark, sf).select(
+        F.lit("ws").alias("op"), "doc_id",
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("n_chars").cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"))
+    b = text_bpe_tokens(spark, sf).select(
+        F.lit("pretok").alias("op"), "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("v1"),
+        F.col("n_word_tokens").cast("long").alias("v2"),
+        F.col("n_digit_tokens").cast("long").alias("v3"))
+    return a.unionByName(b).orderBy("op", "doc_id")
+
+
+# Planted docs for the real-BPE gate: the driver corpus is a 31-word
+# salad, so natural-language plants make the merge table non-vacuous
+# (words that merge fully, partially, and not at all), and the empty
+# doc exercises the zero-words path. Same VALUES-embedding constraints
+# as _REP_DOCS (no quotes/backslashes).
+_BPE_DOCS = [
+    (3100000, "the quick brown fox jumps over the lazy dog and the"
+              " plain rain in spain stays mainly on the plain"),
+    (3100001, "wombat zigzag quixotic jukebox flummox syzygy"),
+    (3100002, "partition shuffle broadcast window aggregate stream the"
+              " spark plan codegen 12345 mixed99words"),
+    (3100003, ""),
+]
+
+
+def text_bpe_encode(spark, sf):
+    """REAL BPE token accounting (functions/bpe.py — Sennrich merges,
+    one-at-a-time leftmost-lowest-rank apply, provably == standard BPE)
+    plus token-level sequence packing over the resulting budget column
+    (pack_sequences, context 256, scale_safe sharded prefix sum): the
+    per-doc columns a training-data writer needs. The merge table is
+    the fixed demo vocab (trained once on an embedded seed text) so the
+    DuckDB twin can inline it as VALUES and replay the SAME algorithm
+    as a recursive CTE — a full independent reimplementation, not a
+    stored answer."""
+    from delver_spark.functions import bpe as _bpe
+    from delver_spark.operators.assemble import pack_sequences
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    counts = _bpe.token_counts(d.unionByName(planted), _bpe.demo_merges())
+    return pack_sequences(counts, "n_bpe_tokens", "doc_id", 256,
+                          scale_safe=True).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    """The DuckDB twin of text_bpe_encode: the same fixed merge table
+    (inlined as VALUES) applied by an independent recursive-CTE
+    reimplementation of the one-at-a-time leftmost-lowest-rank loop —
+    each recursion step merges exactly one pair occurrence, words with
+    no applicable merge fall out of the working set, and the final
+    token count per word is min(len(toks)) over the accumulated states
+    (each step shrinks the list by one). rank*100000 + i encodes the
+    (rank, position) argmin; valid while words are < 100000 chars and
+    merge count < 21474 (int32 bound) — demo vocab is 89 merges."""
+    from delver_spark.functions import bpe as _bpe
+
+    merges = _bpe.merges_values_sql(_bpe.demo_merges())
+    planted = ", ".join(f"({i}, '{t}')" for i, t in _BPE_DOCS)
+    return f"""
+        WITH RECURSIVE
+        merges(l, r, rank) AS (SELECT * FROM (VALUES {merges}) m(l, r, rank)),
+        docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES {planted}) p(doc_id, text)),
+        words AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS w
+          FROM docs),
+        wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+        uniq AS (SELECT DISTINCT w FROM wc),
+        bpe(w, toks) AS (
+          SELECT w, string_split(w, '') FROM uniq
+          UNION ALL
+          SELECT w, toks[1:(best % 100000) - 1]
+                    || [toks[best % 100000] || toks[(best % 100000) + 1]]
+                    || toks[(best % 100000) + 2:]
+          FROM (SELECT b.w, any_value(b.toks) AS toks,
+                       min(m.rank * 100000 + u.i) AS best
+                FROM bpe b,
+                     unnest(generate_series(1, len(b.toks) - 1)) AS u(i)
+                JOIN merges m
+                  ON m.l = b.toks[u.i] AND m.r = b.toks[u.i + 1]
+                GROUP BY b.w)),
+        wlen AS (SELECT w, min(len(toks)) AS n_toks FROM bpe GROUP BY w),
+        counts AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(sum(wc.cnt), 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(sum(wc.cnt * wlen.n_toks), 0) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM docs d
+          LEFT JOIN wc ON wc.doc_id = d.doc_id
+          LEFT JOIN wlen ON wlen.w = wc.w
+          GROUP BY d.doc_id),
+        packed AS (
+          SELECT doc_id, n_words, n_bpe_tokens,
+                 CAST(coalesce(sum(n_bpe_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS c
+          FROM counts)
+        SELECT doc_id, n_words, n_bpe_tokens,
+               c // 256 AS seq_first,
+               (c + greatest(n_bpe_tokens, 1) - 1) // 256 AS seq_last,
+               c % 256 AS offset_in_seq
+        FROM packed ORDER BY doc_id
+    """
+
+
+_BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 # Planted multi-line / PII documents: the driver tables are single-line
 # word salad with no PII, so the repetition and scrub gates need
 # deterministic plants to be non-vacuous (same pattern as
@@ -1038,8 +1157,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_nprobe": ann_ivf_nprobe,
     "sample_deterministic": sample_deterministic,
     "sample_language_quota": sample_language_quota,
-    "text_token_count": text_token_count,
-    "text_bpe_tokens": text_bpe_tokens,
+    "text_token_ops": text_token_ops,
+    "text_bpe_encode": text_bpe_encode,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1497,21 +1616,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang_rank <= 25
             ORDER BY lang, lang_rank
         """,
-        "text_bpe_tokens": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-                   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
-                                   t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_word_tokens,
-                   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
-                                   t -> regexp_matches(t, '^[0-9]+$'))) AS n_digit_tokens
-            FROM documents ORDER BY doc_id
+        "text_token_ops": """
+            SELECT 'ws' AS op, doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v1,
+                   CAST(n_chars AS BIGINT) AS v2,
+                   CAST(-1 AS BIGINT) AS v3
+            FROM documents
+            UNION ALL
+            SELECT 'pretok', doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT),
+                   CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                                   t -> regexp_matches(t, '^[A-Za-z]+$'))) AS BIGINT),
+                   CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                                   t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT)
+            FROM documents
+            ORDER BY op, doc_id
         """,
-        "text_token_count": """
-            SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-                   n_chars
-            FROM documents ORDER BY doc_id
-        """,
+        "text_bpe_encode": _BPE_ENCODE_SQL,
         "text_quality_score": """
             SELECT doc_id, n_chars,
                    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,

@@ -64,12 +64,12 @@ def phase_control() -> float:
     # Elementwise transcendentals only — numpy ufuncs are single-threaded
     # (matmul would go through multithreaded BLAS and measure core count,
     # not phase).
-    a = (np.arange(4_000_000, dtype=np.float64) % 997) / 997.0
+    a = (np.arange(8_000_000, dtype=np.float64) % 997) / 997.0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         b = a
-        for _ in range(6):
+        for _ in range(12):
             b = np.sqrt(b * b + 0.25)
         float(b.sum())
         best = min(best, time.perf_counter() - t0)

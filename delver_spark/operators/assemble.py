@@ -146,6 +146,53 @@ def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
     return d.select(*keep_cols, stage.alias("drop_stage"))
 
 
+def pack_sequences(df: DataFrame, tokens_col: str, order_col: str,
+                   context_len: int, scale_safe: bool = False,
+                   chunk: int = 65536) -> DataFrame:
+    """Token-level sequence packing — the step after real BPE
+    tokenization (functions/bpe.py) that pack_shards solves byte-wise:
+    concatenate documents in ``order_col`` order into one token stream
+    and cut fixed ``context_len`` training samples. A document's tokens
+    occupy stream positions [p, p + n) where p = exclusive prefix sum
+    of ``tokens_col``; the emitted columns are
+
+      seq_first      = p DIV context_len        (sample holding token 0)
+      seq_last       = (p + max(n,1) - 1) DIV context_len
+      offset_in_seq  = p MOD context_len        (position of token 0)
+
+    so a downstream writer knows exactly which samples a document spans
+    and where it starts — zero-token documents get the degenerate
+    seq_first == seq_last at their stream position. Fixed-range
+    cutting, same rationale as pack_shards: boundary-independent, so
+    it is ONE prefix sum (distributable) instead of a sequential scan,
+    and append-stable — adding documents after the last order key
+    never changes existing rows. All arithmetic int64.
+
+    Plans (output-equality pinned in tests/test_bpe.py): default =
+    one global window (single task — fine below ~10^7 docs);
+    ``scale_safe=True`` = frontier.assign_global_prefix_sum sharded on
+    ``order DIV chunk`` (monotone pid, exact, parallel). Requires a
+    non-negative NUMERIC unique ``order_col``."""
+    if scale_safe:
+        from .frontier import assign_global_prefix_sum
+        pid = F.expr(f"CAST({order_col} AS BIGINT) DIV {chunk}")
+        d = assign_global_prefix_sum(df, [order_col], pid, tokens_col,
+                                     out_col="_c")
+    else:
+        w = (Window.orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        d = df.withColumn("_c", F.coalesce(
+            F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0)))
+    return (d.withColumn("seq_first",
+                         F.expr(f"_c DIV {context_len}").cast("long"))
+            .withColumn("seq_last",
+                        F.expr(f"(_c + greatest(CAST({tokens_col} AS BIGINT)"
+                               f", 1) - 1) DIV {context_len}").cast("long"))
+            .withColumn("offset_in_seq",
+                        (F.col("_c") % context_len).cast("long"))
+            .drop("_c"))
+
+
 def assembly_report(assembled: DataFrame) -> DataFrame:
     """Per-stage loss accounting over assemble_training_set output:
     (drop_stage, n) with null = the final kept count."""
