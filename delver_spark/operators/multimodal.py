@@ -1,5 +1,8 @@
 """Multimodal payload operators: opaque ``binary`` columns with typed
-metadata, processed in Arrow-batched ``mapInPandas`` passes.
+metadata, processed in ``mapInArrow`` passes over zero-copy views of
+the Arrow buffers (``extract._binary_views`` — per-row ``bytes()``
+copies of big BINARY payloads anti-scale with python worker count,
+CLAUDE.md r1 / BENCH r4-s5).
 
 The image path is fully real (numpy codecs from fixtures.codecs). Audio
 and video decode are STUBBED — this container has no AV libraries — but
@@ -15,10 +18,7 @@ outputs carry features only.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
@@ -47,25 +47,49 @@ def _resize_nn(pix: np.ndarray, th: int, tw: int) -> np.ndarray:
 
 
 def image_features(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFrame:
-    """Decode + feature-extract + resize over (image_id, bytes, fmt)."""
+    """Decode + feature-extract + resize over (image_id, bytes, fmt).
+
+    mapInArrow + zero-copy ``_binary_views`` (r5, VERDICT r4 'what's
+    wrong' #2): the previous mapInPandas pass paid a per-row
+    ``bytes(blob)`` PyBytes copy — the exact Arrow→pandas big-BINARY
+    pattern this repo measured ANTI-scaling with python worker count
+    (CLAUDE.md r1; BENCH r4-s5 socket-plan rows) and designed out of
+    ``resize_to_bucket``. Decode now reads the Arrow buffers in place;
+    only the (small) feature outputs are materialized."""
+    import pyarrow as pa
+
+    from .extract import _binary_views
+
     th, tw = thumb
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            # column-wise zip, not iterrows — per-row Series construction
-            # is the slowest pandas iteration idiom and matters once real
-            # AV decode replaces the stub codecs
-            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                pix = _decode_image(bytes(blob), fmt)
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("image_id"))
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            views = _binary_views(rb.column(names.index("bytes")))
+            ws, hs, mr, mg, mb, thumbs = [], [], [], [], [], []
+            for blob, fmt in zip(views, fmts):
+                pix = _decode_image(blob, fmt)
                 means = pix.reshape(-1, 3).mean(axis=0)
                 t = _resize_nn(pix, th, tw)
-                rows.append((iid, pix.shape[1], pix.shape[0],
-                             float(means[0]), float(means[1]), float(means[2]),
-                             t.tobytes(), tw, th))
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+                ws.append(pix.shape[1])
+                hs.append(pix.shape[0])
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+                thumbs.append(t.tobytes())
+            n = len(fmts)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(ws, pa.int32()), pa.array(hs, pa.int32()),
+                 pa.array(mr, pa.float64()), pa.array(mg, pa.float64()),
+                 pa.array(mb, pa.float64()), pa.array(thumbs, pa.binary()),
+                 pa.array([tw] * n, pa.int32()),
+                 pa.array([th] * n, pa.int32())],
+                names=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    return df.select("image_id", "bytes", "fmt").mapInArrow(
+        run, IMAGE_FEATURES_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
@@ -81,8 +105,11 @@ def _decode_audio(blob: bytes, fmt: str) -> tuple[np.ndarray, int]:
     deterministic fake (little-endian int16 + 4-byte rate header) so the
     plumbing is testable offline; real formats raise."""
     if fmt == "fake-pcm16":
-        rate = int.from_bytes(blob[:4], "little")
-        samples = np.frombuffer(blob[4:], dtype="<i2")
+        # bytes() only the 4-byte header — ``blob`` may be a zero-copy
+        # numpy view of the Arrow buffer (image_features idiom) and the
+        # payload must not be copied per row
+        rate = int.from_bytes(bytes(blob[:4]), "little")
+        samples = np.frombuffer(blob, dtype="<i2", offset=4)
         return samples, rate
     raise NotImplementedError(
         f"audio codec {fmt!r} requires soundfile/librosa (not in this env); "
@@ -90,18 +117,32 @@ def _decode_audio(blob: bytes, fmt: str) -> tuple[np.ndarray, int]:
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """RMS energy over (audio_id, bytes, fmt) — Arrow-batched."""
+    """RMS energy over (audio_id, bytes, fmt) — mapInArrow + zero-copy
+    payload views (r5 migration, same rationale as image_features)."""
+    import pyarrow as pa
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for aid, blob, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
-                samples, rate = _decode_audio(bytes(blob), fmt)
+    from .extract import _binary_views
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("audio_id"))
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            views = _binary_views(rb.column(names.index("bytes")))
+            ns, rates, rmss = [], [], []
+            for blob, fmt in zip(views, fmts):
+                samples, rate = _decode_audio(blob, fmt)
                 rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
-                rows.append((aid, len(samples), rate, int(round(rms * 1000))))
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+                ns.append(len(samples))
+                rates.append(rate)
+                rmss.append(int(round(rms * 1000)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(ns, pa.int64()), pa.array(rates, pa.int32()),
+                 pa.array(rmss, pa.int64())],
+                names=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
-    return df.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    return df.select("audio_id", "bytes", "fmt").mapInArrow(
+        run, AUDIO_FEATURES_SCHEMA)
 
 
 VIDEO_FRAMES_SCHEMA = T.StructType([
@@ -131,17 +172,36 @@ def _video_frames(blob: bytes, fmt: str, every_n: int):
 
 def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling over (video_id, bytes, fmt): one output row per
-    sampled frame (a flatMap shape — mapInPandas yields more rows than in)."""
+    sampled frame (a flatMap shape — the UDF yields more rows than in).
+    mapInArrow + zero-copy views (r5 migration): input payloads are
+    never PyBytes-copied; emitted frames are materialized once, into
+    the output array (that copy IS the output)."""
+    import pyarrow as pa
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
-                for idx, frame, w, h in _video_frames(bytes(blob), fmt, every_n):
-                    rows.append((vid, idx, frame, w, h))
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+    from .extract import _binary_views
 
-    return df.select("video_id", "bytes", "fmt").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            vids = rb.column(names.index("video_id")).to_pylist()
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            views = _binary_views(rb.column(names.index("bytes")))
+            out_v, out_i, out_f, out_w, out_h = [], [], [], [], []
+            for vid, blob, fmt in zip(vids, views, fmts):
+                for idx, frame, w, h in _video_frames(blob, fmt, every_n):
+                    out_v.append(vid)
+                    out_i.append(idx)
+                    out_f.append(bytes(frame))
+                    out_w.append(w)
+                    out_h.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_v, pa.string()), pa.array(out_i, pa.int32()),
+                 pa.array(out_f, pa.binary()), pa.array(out_w, pa.int32()),
+                 pa.array(out_h, pa.int32())],
+                names=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return df.select("video_id", "bytes", "fmt").mapInArrow(
+        run, VIDEO_FRAMES_SCHEMA)
 
 
 # canonical home: session.scoped_arrow_batch (one copy of the
@@ -239,18 +299,24 @@ def video_keyframes(df: DataFrame, every_n: int = 1,
     lives INSIDE the decode task (one video's frames never span tasks —
     a narrow map over the scan, same shape as video_frame_sample) and
     not in a window function. Codec is the declared stub
-    (`_video_frames`); swap PyAV in and nothing else changes."""
+    (`_video_frames`); swap PyAV in and nothing else changes.
+    mapInArrow + zero-copy payload views (r5 migration)."""
+    import pyarrow as pa
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .extract import _binary_views
+
+    def run(batches):
         from ..fixtures.codecs import phash64
 
-        for pdf in it:
-            rows = []
-            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"],
-                                      pdf["fmt"]):
+        for rb in batches:
+            names = rb.schema.names
+            vids = rb.column(names.index("video_id")).to_pylist()
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            views = _binary_views(rb.column(names.index("bytes")))
+            out = {f.name: [] for f in VIDEO_KEYFRAMES_SCHEMA}
+            for vid, blob, fmt in zip(vids, views, fmts):
                 last = None
-                for idx, frame, w, h in _video_frames(bytes(blob), fmt,
-                                                      every_n):
+                for idx, frame, w, h in _video_frames(blob, fmt, every_n):
                     pix = np.frombuffer(frame, np.uint8).reshape(h, w, 3)
                     ph = phash64(pix)
                     if last is not None \
@@ -258,11 +324,22 @@ def video_keyframes(df: DataFrame, every_n: int = 1,
                             .count("1") <= hamming_max:
                         continue
                     last = ph
-                    rows.append((vid, idx, frame, w, h, ph))
-            yield pd.DataFrame(rows, columns=[
-                f.name for f in VIDEO_KEYFRAMES_SCHEMA])
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(bytes(frame))
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["phash"].append(ph)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["video_id"], pa.string()),
+                 pa.array(out["frame_idx"], pa.int32()),
+                 pa.array(out["frame"], pa.binary()),
+                 pa.array(out["w"], pa.int32()),
+                 pa.array(out["h"], pa.int32()),
+                 pa.array(out["phash"], pa.int64())],
+                names=[f.name for f in VIDEO_KEYFRAMES_SCHEMA])
 
-    return df.select("video_id", "bytes", "fmt").mapInPandas(
+    return df.select("video_id", "bytes", "fmt").mapInArrow(
         run, VIDEO_KEYFRAMES_SCHEMA)
 
 
@@ -302,9 +379,42 @@ def caption_alignment_filter(df: DataFrame, threshold_milli: int = 280,
             .withColumn(out_col, (dot > 0) & (lhs >= rhs)))
 
 
+def write_curation_verdict(curated: DataFrame, path: str,
+                           n_ranges: int = 32) -> None:
+    """Materialize a curation verdict as a parquet table laid out for
+    CORPUS-SCALE kept-set filtering (the production alternative to the
+    ``kept_ids`` broadcast — VERDICT r4 'what's wrong' #3): hive-
+    partitioned by ``kept`` (partition pruning drops the dropped side
+    unread) and RANGE-SORTED by image_id within (row-group statistics
+    bound any id-interval probe to a few row groups, so a resize task
+    reads only the verdict rows overlapping its OWN payload row group —
+    per-task memory is bounded by the row-group id span, not the
+    corpus).
+
+    Input: ``curate_image_caption`` output (image_id, drop_reason,
+    null = kept) or any (image_id, kept boolean) frame. At 100 TB this
+    write is one metadata-only pass (image_id + flag — bytes never
+    move) appended to the curation job itself."""
+    from pyspark.sql import functions as F
+
+    cols = set(curated.columns)
+    kept = (F.col("kept") if "kept" in cols
+            else F.col("drop_reason").isNull())
+    # partition value as an explicit 'true'/'false' STRING: hive
+    # directory keys are untyped text and pyarrow's dataset inference
+    # reads them back as strings — an explicit string column makes the
+    # reader-side filter ('kept','=','true') a declared contract
+    # instead of an inference accident
+    (curated.select("image_id", kept.cast("string").alias("kept"))
+     .repartitionByRange(n_ranges, "image_id")
+     .sortWithinPartitions("image_id")
+     .write.partitionBy("kept").mode("overwrite").parquet(path))
+
+
 def resize_images_direct(spark, path: str, buckets=None,
                          out_fmt: str | None = None,
                          kept_ids=None,
+                         verdict_dir: str | None = None,
                          out_dir: str | None = None) -> DataFrame:
     """Task-local-scan variant of ``aspect_bucket_dims`` →
     ``resize_to_bucket`` over a parquet payload table: each task reads
@@ -323,10 +433,19 @@ def resize_images_direct(spark, path: str, buckets=None,
     one PyUnicode object per row, which both adds ~0.14 ms/row and
     contends on the CPython allocator across worker processes). The
     list must fit in a driver/executor broadcast — same contract as the
-    crawl fetch's dequeued batch (bounded by G). When the kept set is
-    corpus-sized, don't pass ids at all: materialize the curation
-    verdict as a column or partition of the payload table at curation
-    time and let partition/row-group pruning do the filtering. Output:
+    crawl fetch's dequeued batch (bounded by G).
+
+    ``verdict_dir``: the CORPUS-SCALE kept-set path (r5 — the
+    production shape the r4 docstring only described): a verdict table
+    written by ``write_curation_verdict`` (hive-partitioned by ``kept``,
+    range-sorted by image_id). Each task reads its payload row group's
+    image_id column FIRST (bytes untouched), takes the id min/max, and
+    fetches only the verdict rows in that interval from the kept=true
+    partition — partition pruning drops the dropped side, row-group
+    statistics bound the interval read, and per-task memory is the
+    row-group id span, never the corpus. Row groups with no kept ids
+    skip the payload read entirely. Equality vs the ``kept_ids`` path
+    is pinned in tests/test_multimodal.py. Output:
     (image_id, bytes, w, h, fmt) with w/h = the bucket target.
 
     ``out_dir``: when set, each task also WRITES its resized payloads as
@@ -349,6 +468,8 @@ def resize_images_direct(spark, path: str, buckets=None,
     from ..sources.payload_scan import payload_splits
     from .extract import _binary_views
 
+    if kept_ids is not None and verdict_dir is not None:
+        raise ValueError("pass kept_ids OR verdict_dir, not both")
     if buckets is None:
         buckets = SDXL_BUCKETS
     bnds = np.array(bucket_boundaries_milli(buckets), dtype=np.int64)
@@ -369,9 +490,34 @@ def resize_images_direct(spark, path: str, buckets=None,
             paths = rb.column(names.index("path")).to_pylist()
             rgs = rb.column(names.index("rg")).to_pylist()
             for p, rg in zip(paths, rgs):
-                tbl = pq.ParquetFile(p, memory_map=True).read_row_group(
-                    int(rg),
-                    columns=["image_id", "bytes", "w", "h", "fmt"])
+                pf = pq.ParquetFile(p, memory_map=True)
+                if verdict_dir is not None:
+                    # ids first — payload bytes stay unread unless some
+                    # id in this row group is kept
+                    ids_only = pf.read_row_group(int(rg),
+                                                 columns=["image_id"])
+                    mm = pc.min_max(ids_only.column("image_id"))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is None:
+                        continue
+                    vslice = pq.read_table(
+                        verdict_dir, columns=["image_id"],
+                        filters=[("kept", "=", "true"),
+                                 ("image_id", ">=", lo),
+                                 ("image_id", "<=", hi)])
+                    hit = pc.is_in(ids_only.column("image_id"),
+                                   value_set=vslice.column("image_id")
+                                   .combine_chunks())
+                    if not pc.any(hit).as_py():
+                        continue
+                    tbl = pf.read_row_group(
+                        int(rg),
+                        columns=["image_id", "bytes", "w", "h",
+                                 "fmt"]).filter(hit)
+                else:
+                    tbl = pf.read_row_group(
+                        int(rg),
+                        columns=["image_id", "bytes", "w", "h", "fmt"])
                 if kept_arr is not None:
                     hit = pc.is_in(tbl.column("image_id"),
                                    value_set=kept_arr)

@@ -421,3 +421,71 @@ def test_curate_skew_safe_equal(spark):
     assert ("nullw", "missing_meta", False) in a
     assert ("nullcap", "missing_meta", False) in a
     assert len(keepers) == 4
+
+
+def test_resize_images_direct_verdict_dir(spark, tmp_path):
+    """The corpus-scale kept-set path (verdict_dir: hive-partitioned,
+    range-sorted verdict table; per-row-group interval probe) must be
+    byte-identical to the kept_ids broadcast path — including row
+    groups with ZERO kept ids (payload read skipped entirely)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delver_spark.operators.multimodal import (
+        resize_images_direct,
+        write_curation_verdict,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 64
+    ids, blobs, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 120))
+        h = int(rng.integers(16, 120))
+        ids.append(f"v{i:04d}")
+        blobs.append(encode(rng.integers(0, 256, (h, w, 3),
+                                         dtype=np.uint8), "ppm"))
+        ws.append(w)
+        hs.append(h)
+    t = pa.table({"image_id": pa.array(ids),
+                  "bytes": pa.array(blobs, pa.binary()),
+                  "w": pa.array(ws, pa.int32()),
+                  "h": pa.array(hs, pa.int32()),
+                  "fmt": pa.array(["ppm"] * n)})
+    d = tmp_path / "imgs"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"), row_group_size=8)
+
+    # keep none of row groups 2-3 (ids v0016..v0031): exercises the
+    # skip-payload-read branch; elsewhere keep every other id
+    kept = [f"v{i:04d}" for i in range(n) if not 16 <= i < 32 and i % 2]
+    verdicts = spark.createDataFrame(
+        [(i, i in set(kept)) for i in ids], "image_id string, kept boolean")
+    vd = tmp_path / "verdict"
+    write_curation_verdict(verdicts, str(vd), n_ranges=4)
+
+    buckets = [(32, 96), (64, 64), (96, 32)]
+
+    def key(rows):
+        return sorted((r["image_id"], r["w"], r["h"], r["fmt"],
+                       bytes(r["bytes"])) for r in rows)
+
+    by_ids = key(resize_images_direct(
+        spark, str(d), buckets=buckets, kept_ids=kept).collect())
+    by_verdict = key(resize_images_direct(
+        spark, str(d), buckets=buckets, verdict_dir=str(vd)).collect())
+    assert by_ids == by_verdict and len(by_verdict) == len(kept)
+
+    # drop_reason-shaped input (curate_image_caption output contract)
+    curated = spark.createDataFrame(
+        [(i, None if i in set(kept) else "too_small") for i in ids],
+        "image_id string, drop_reason string")
+    vd2 = tmp_path / "verdict2"
+    write_curation_verdict(curated, str(vd2), n_ranges=2)
+    by_verdict2 = key(resize_images_direct(
+        spark, str(d), buckets=buckets, verdict_dir=str(vd2)).collect())
+    assert by_verdict2 == by_ids
+
+    with pytest.raises(ValueError, match="not both"):
+        resize_images_direct(spark, str(d), kept_ids=kept,
+                             verdict_dir=str(vd))
