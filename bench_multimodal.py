@@ -152,6 +152,25 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
                 F.col("image_id"), seq.alias("s"),
                 F.octet_length("bytes").cast("long").alias("nb"))
                 .localCheckpoint(eager=True))
+    elif os.environ.get("SPARK_GRAFT_MM_VERDICT") == "1":
+        # corpus-scale kept-set plan (r5): the curation verdict is a
+        # kept-partitioned range-sorted parquet table; resize tasks
+        # probe their own row group's id interval — no driver broadcast
+        # of the id list (its write time is charged to this stage)
+        from delver_spark.operators.multimodal import write_curation_verdict
+        vd = tempfile.mkdtemp(prefix="mmbench_verdict_")
+        write_curation_verdict(
+            curate_image_caption(meta, min_side=24)
+            .select("image_id", F.col("drop_reason").isNull().alias("kept")),
+            vd)
+        manifest = resize_images_direct(spark, corpus, buckets=buckets,
+                                        verdict_dir=vd,
+                                        out_dir=out_dir)
+        sizes = (manifest.select(
+            F.col("image_id"), seq.alias("s"),
+            F.col("nbytes").alias("nb"))
+            .localCheckpoint(eager=True))
+        shutil.rmtree(vd, ignore_errors=True)
     else:
         # production plan: tasks read their own row-group splits AND
         # write their own output shards; only the manifest flows back
@@ -196,12 +215,16 @@ def main():
     lo, hi = res[0], res[-1]
     ratio = hi["cpus"] / lo["cpus"]
     eff = (hi["resize_imgs_per_s"] / lo["resize_imgs_per_s"]) / ratio
-    out = {"metric": "mm_pipeline", "images": n,
+    mode = ("socket" if os.environ.get("SPARK_GRAFT_MM_SOCKET") == "1"
+            else "verdict-table"
+            if os.environ.get("SPARK_GRAFT_MM_VERDICT") == "1"
+            else "kept-ids")
+    out = {"metric": "mm_pipeline", "images": n, "mode": mode,
            "levels": res, "resize_scaling_eff": round(eff, 3)}
     print(json.dumps(out))
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\n| image pipeline ({n} imgs ≤{side}px) | "
+            f"\n| image pipeline ({n} imgs ≤{side}px, {mode}) | "
             f"local[{lo['cpus']}] resize {lo['resize_imgs_per_s']} img/s, "
             f"chain {lo['total_s']}s | local[{hi['cpus']}] resize "
             f"{hi['resize_imgs_per_s']} img/s, chain {hi['total_s']}s | "

@@ -547,10 +547,58 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
 
 
+def _grams_arrow(docs: DataFrame, n: int, id_col: str,
+                 text_col: str) -> DataFrame:
+    """The gram table (id, pos, h) as ONE narrow mapInArrow pass —
+    byte-identical to the declarative explode (python
+    ``hashlib.md5(gram.encode('utf-8'))`` == Spark ``F.md5`` == DuckDB
+    ``md5``; 1-based pos matches ``slice``'s indexing; None text yields
+    no grams like the when(k>=1) null-propagation). Exists because the
+    Catalyst transform-over-sequence + per-position slice + array_join
+    + md5 chain was MEASURED compute-bound (~130 s for 26M grams at
+    500k docs/local[2] — the per-position slice allocation dominates),
+    while the python pass does the same work in ~30 s. Equality pinned
+    in tests/test_quality_ops.py."""
+    import pyarrow as pa
+
+    id_type = dict(zip(docs.schema.names,
+                       (f.dataType.simpleString()
+                        for f in docs.schema)))[id_col]
+    schema = f"{id_col} {id_type}, pos int, h string"
+
+    def run(batches):
+        import hashlib
+
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            out_i, out_p, out_h = [], [], []
+            for did, t in zip(ids, texts):
+                if t is None:
+                    continue
+                ws = [w for w in t.lower().split(" ") if w]
+                join = " ".join
+                md5 = hashlib.md5
+                for i in range(len(ws) - n + 1):
+                    out_i.append(did)
+                    out_p.append(i + 1)
+                    out_h.append(md5(join(ws[i:i + n])
+                                     .encode("utf-8")).hexdigest())
+            pa_id = {"bigint": pa.int64(), "int": pa.int32(),
+                     "string": pa.string()}[id_type]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_i, pa_id), pa.array(out_p, pa.int32()),
+                 pa.array(out_h, pa.string())],
+                names=[id_col, "pos", "h"])
+
+    return docs.select(id_col, text_col).mapInArrow(run, schema)
+
+
 def duplicate_spans(docs: DataFrame, window: int = 8,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    skew_safe: bool = False) -> DataFrame:
+                    skew_safe: bool = False,
+                    use_arrow: bool = True) -> DataFrame:
     """Cross-document repeated-passage detection — exact SUBSTRING-level
     dedup (the Lee et al. 2022 "Deduplicating Training Data Makes
     Language Models Better" suffix-array pass, re-shaped for Spark):
@@ -589,20 +637,36 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     100 TB swap in xxhash64 to shrink the shuffle, the plan is
     unchanged. The gram table is one row per word position (overlapping
     windows) — the inherent cost of substring granularity; stride
-    sampling trades recall for a proportionally smaller shuffle."""
+    sampling trades recall for a proportionally smaller shuffle.
+
+    ``use_arrow`` (default True, r5): generate the gram table with
+    ``_grams_arrow`` (one narrow python pass, byte-identical md5 rows)
+    instead of the Catalyst transform/slice/array_join chain, which was
+    measured compute-bound on per-position slice allocation (~2x the
+    whole stage at 500k docs). Both gram sources feed the SAME
+    window/groupBy + island-merge plan; equality pinned in
+    tests/test_quality_ops.py."""
     from pyspark.sql import Window as W
 
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda x: x != "")
-    k = F.size(words) - (window - 1)
-    grams = F.when(k >= 1, F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice(words, i, window), " ")).alias("h"))
-    )).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    g = (docs.select(id_col, F.explode(grams).alias("g"))
-         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+    if use_arrow:
+        # one narrow python pass generates the identical gram table —
+        # the declarative HOF chain below is compute-bound on its
+        # per-position slice (see _grams_arrow; equality-pinned)
+        g = _grams_arrow(docs, window, id_col, text_col)
+    else:
+        words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                         lambda x: x != "")
+        k = F.size(words) - (window - 1)
+        grams = F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(words, i, window), " "))
+                .alias("h"))
+        )).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+        g = (docs.select(id_col, F.explode(grams).alias("g"))
+             .select(id_col, F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
     if skew_safe:
         dup = g.groupBy("h").agg(F.count("*").alias("cnt")) \
             .filter(F.col("cnt") > 1).select("h")

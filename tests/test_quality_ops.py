@@ -114,10 +114,17 @@ def test_plan_shapes(spark, docs):
     for op in (T.repetition_stats, T.pii_scrub):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning" not in plan, plan
-    # decontamination joins are broadcast on BOTH sides (bench grams in,
-    # hit counts out) — the corpus is never sort-merge-joined
+    # decontamination default (r5): ONE narrow mapInArrow pass — no
+    # join, no hash shuffle; the only exchange is the orderBy
     bench = docs.limit(1)
     plan = T.ngram_decontaminate(docs, bench)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    # the declarative reference plan: joins broadcast on BOTH sides
+    # (bench grams in, hit counts out) — the corpus is never
+    # sort-merge-joined
+    plan = T.ngram_decontaminate(docs, bench, use_arrow=False)._jdf \
         .queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
@@ -375,3 +382,63 @@ def test_assemble_skew_safe_equal(spark):
     # stage flag, skipping all ~_sk branches)
     assert (3001, "invalid") in a
     assert all(s is not None for i, s in a if i in (3000, 3001))
+
+
+def test_decontaminate_arrow_equals_sql_plan(spark):
+    """The r5 mapInArrow decontamination pass (one narrow pass, gram set
+    in the closure) must equal the declarative explode + broadcast
+    semi-join plan exactly — incl. None text, short docs, multi-space,
+    case folding, and multi-occurrence grams."""
+    from delver_spark.operators.textstats import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "The Quick brown fox JUMPS over the lazy dog today"),
+         (2, "the quick brown fox jumps the quick brown fox jumps"),
+         (3, None),
+         (4, "short doc"),
+         (5, "unrelated words entirely here nothing matches at all"),
+         (6, "  the   quick brown fox jumps  over  padded   spaces")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, None)],
+        "doc_id long, text string")
+    a = [tuple(r) for r in
+         ngram_decontaminate(docs, bench, n=5, use_arrow=True).collect()]
+    b = [tuple(r) for r in
+         ngram_decontaminate(docs, bench, n=5, use_arrow=False).collect()]
+    assert a == b
+    got = {r[0]: (r[1], r[2]) for r in a}
+    assert got[1] == (1, True)      # case-folded single occurrence
+    assert got[2] == (2, True)      # the same gram twice = 2 hits
+    assert got[3] == (0, False)     # None text has no grams
+    assert got[4] == (0, False)
+    assert got[6] == (1, True)      # multi-space runs filtered out
+
+
+def test_duplicate_spans_arrow_equals_sql_gram_plan(spark):
+    """The r5 python gram pass must yield byte-identical spans to the
+    declarative explode — same md5, same 1-based positions, same island
+    merge — across plan combinations, incl. None text and intra-doc
+    repeats; and cut_spans over it must agree."""
+    from delver_spark.operators.dedup import cut_spans, duplicate_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, f"one two {passage} three four"),
+         (2, f"{passage} five six seven eight nine ten eleven twelve"),
+         (3, f"{passage} middle words {passage}"),     # intra-doc repeat
+         (4, None),
+         (5, "totally unique words that appear nowhere else at all ok")],
+        "doc_id long, text string")
+    ref = sorted(tuple(r) for r in duplicate_spans(
+        docs, window=8, use_arrow=False).collect())
+    assert ref, "test is vacuous: no spans found"
+    for skew in (False, True):
+        got = sorted(tuple(r) for r in duplicate_spans(
+            docs, window=8, skew_safe=skew, use_arrow=True).collect())
+        assert got == ref, (skew, got, ref)
+    a = sorted(tuple(r) for r in cut_spans(
+        docs, duplicate_spans(docs, window=8, use_arrow=True)).collect())
+    b = sorted(tuple(r) for r in cut_spans(
+        docs, duplicate_spans(docs, window=8, use_arrow=False)).collect())
+    assert a == b
