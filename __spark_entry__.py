@@ -425,7 +425,7 @@ def dedup_minhash_verified(spark, sf):
     return _dedup.minhash_lsh_verified(_t(spark, sf, "documents"))
 
 
-def _planted_embeddings(spark, sf, dim: int = 64):
+def _planted_embeddings(spark, sf, dim: int = 64, with_label: bool = False):
     """Embeddings table + deterministic planted near-duplicates, so the
     pair operators produce NON-EMPTY output at driver scale (VERDICT r2
     #1: the testdata embeddings are random → cos >= 0.95 is vacuously
@@ -436,15 +436,18 @@ def _planted_embeddings(spark, sf, dim: int = 64):
     vectors agree bit-for-bit across engines. The flipped-dim cosine is
     1 - 2*v_i^2/|v|^2 ~ 0.93-1.0, straddling the 0.95 threshold, so the
     verify stage is exercised on both sides of the cut."""
-    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding", "label")
     pert = F.transform(
         "embedding",
         lambda x, i: F.when(i.cast("long") == F.col("vec_id") % dim, -x)
         .otherwise(x))
     planted = (e.filter(F.col("vec_id") % 4 == 0)
                .select((F.col("vec_id") + 1000000).alias("vec_id"),
-                       pert.alias("embedding")))
-    return e.unionByName(planted)
+                       pert.alias("embedding"), "label"))
+    out = e.unionByName(planted)
+    # planted copies INHERIT the original's label (cluster), so the
+    # cluster-scoped semdedup gate sees the planted pair inside one cell
+    return out if with_label else out.drop("label")
 
 
 def dedup_embedding_lsh(spark, sf):
@@ -473,6 +476,31 @@ def dedup_components_star(spark, sf):
     it shares the recursive-CTE DuckDB twin."""
     pairs = _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
     return _dedup.connected_components_star(pairs)
+
+
+def dedup_components_ops(spark, sf):
+    """Tagged union of the two connected-components plans (same 50-slot
+    consolidation policy as x14+o6): 'minlabel' = iterative min-label
+    propagation, 'star' = large-star/small-star — the two MUST produce
+    the identical component map, so the union pins both against one
+    recursive-CTE twin in a single gate row."""
+    d = _t(spark, sf, "documents")
+    minl = (_dedup.connected_components(_dedup.ngram_jaccard_pairs(d))
+            .withColumn("method", F.lit("minlabel")))
+    star = (_dedup.connected_components_star(_dedup.ngram_jaccard_pairs(d))
+            .withColumn("method", F.lit("star")))
+    return minl.unionByName(star).orderBy("method", "doc_id")
+
+
+def dedup_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    the planted-near-dup embeddings — within-cell exact int-cosine
+    pairs, min-label dup groups, keeper = lowest centroid-cosine (the
+    paper's least-prototypical rule). The embeddings table's `label`
+    column is the ingest-time cluster (IVF cell); planted copies
+    inherit their original's label so the gate's dup pairs are
+    in-cell and the keep=false branch is non-vacuous."""
+    return _dedup.semdedup(_planted_embeddings(spark, sf, with_label=True))
 
 
 def dedup_resolve_canonical(spark, sf):
@@ -983,6 +1011,102 @@ _COMPONENTS_SQL = f"""
     FROM reach GROUP BY n ORDER BY doc_id
 """
 
+# dedup_components_ops twin: one component map (the CTE above), tagged
+# twice — the Spark side unions the min-label and star plans, which
+# must agree row-for-row, so the twin IS the same map under both tags.
+_COMPONENTS_OPS_SQL = f"""
+    WITH RECURSIVE p AS ({_NGRAM_CORE_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+    gnodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM gnodes
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m),
+    comp AS (SELECT n AS doc_id, min(m) AS component
+             FROM reach GROUP BY n)
+    SELECT doc_id, component, method
+    FROM comp CROSS JOIN (SELECT unnest(['minlabel', 'star']) AS method)
+    ORDER BY method, doc_id
+"""
+
+# semdedup twin: the planted-embeddings explosion WITH the inherited
+# label (cluster), per-cell integer centroid sums, within-cell pair
+# cosines, reachability components, keeper = (cent_cos_milli ASC,
+# vec_id ASC). Norm products cast to DOUBLE BEFORE multiplying — the
+# exact form the Spark plan uses (see operators/dedup.py:semdedup).
+_SEMDEDUP_SQL = """
+    WITH RECURSIVE exl0 AS (
+      SELECT vec_id, label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    exl AS (
+      SELECT vec_id, label, i, val FROM exl0
+      UNION ALL
+      SELECT orig + 1000000 AS vec_id, label, i,
+             CASE WHEN i - 1 = orig % 64 THEN -val ELSE val END AS val
+      FROM (SELECT vec_id AS orig, label, i, val FROM exl0
+            WHERE vec_id % 4 = 0)),
+    cells AS (SELECT DISTINCT vec_id, label FROM exl),
+    norms AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS nm
+              FROM exl GROUP BY vec_id),
+    cent AS (SELECT label, i, CAST(sum(val) AS BIGINT) AS s
+             FROM exl GROUP BY label, i),
+    cnorm AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS nc
+              FROM cent GROUP BY label),
+    cdot AS (SELECT e.vec_id, CAST(sum(e.val * c.s) AS BIGINT) AS d
+             FROM exl e JOIN cent c ON c.label = e.label AND c.i = e.i
+             GROUP BY e.vec_id),
+    scored AS (
+      SELECT cl.vec_id, cl.label,
+             CAST(round(d * 1000.0 / sqrt(CAST(nm AS DOUBLE)
+                                          * CAST(nc AS DOUBLE)))
+                  AS BIGINT) AS cent_cos_milli
+      FROM cells cl
+      JOIN cdot ON cdot.vec_id = cl.vec_id
+      JOIN norms ON norms.vec_id = cl.vec_id
+      JOIN cnorm ON cnorm.label = cl.label),
+    dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             CAST(sum(a.val*b.val) AS BIGINT) AS dot
+      FROM exl a JOIN exl b
+        ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY doc_a, doc_b),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM dots JOIN norms na ON na.vec_id = doc_a
+                JOIN norms nb ON nb.vec_id = doc_b
+      WHERE CAST(round(dot * 1000.0 / sqrt(CAST(na.nm AS DOUBLE)
+                                           * CAST(nb.nm AS DOUBLE)))
+                 AS BIGINT) >= 950),
+    edges AS (
+      SELECT doc_a AS a2, doc_b AS b2 FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+    gnodes AS (SELECT DISTINCT a2 AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM gnodes
+      UNION
+      SELECT r.n, e.b2 AS m FROM reach r JOIN edges e ON e.a2 = r.m),
+    comp AS (SELECT n AS vec_id, min(m) AS component
+             FROM reach GROUP BY n),
+    labeled AS (
+      SELECT s.vec_id, s.label,
+             coalesce(c.component, s.vec_id) AS component,
+             s.cent_cos_milli
+      FROM scored s LEFT JOIN comp c ON c.vec_id = s.vec_id),
+    win AS (
+      SELECT component, vec_id AS keeper,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY cent_cos_milli ASC, vec_id ASC)
+               AS rn
+      FROM labeled)
+    SELECT l.vec_id, l.label, l.component, l.cent_cos_milli,
+           l.vec_id = w.keeper AS keep
+    FROM labeled l JOIN win w ON w.component = l.component AND w.rn = 1
+    ORDER BY l.vec_id
+"""
+
 
 # dedup resolution twin: the components reachability body + winner
 # selection (max n_chars, ties → min doc_id) + keep flags for every
@@ -1147,8 +1271,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_lsh": dedup_embedding_lsh,
-    "dedup_components": dedup_components,
-    "dedup_components_star": dedup_components_star,
+    "dedup_components_ops": dedup_components_ops,
+    "dedup_semdedup": dedup_semdedup,
     "dedup_phash_hamming": dedup_phash_hamming,
     "dedup_resolve_canonical": dedup_resolve_canonical,
     "dedup_duplicate_spans": dedup_duplicate_spans,
@@ -1430,11 +1554,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "dedup_ngram_jaccard": _NGRAM_CORE_SQL + " ORDER BY doc_a, doc_b",
-        "dedup_components": _COMPONENTS_SQL,
-        # the star variant must produce the IDENTICAL component map, so
-        # it shares the twin verbatim — the driver gate then pins the
-        # large-star/small-star implementation independently of pytest
-        "dedup_components_star": _COMPONENTS_SQL,
+        # min-label and star must produce the IDENTICAL component map —
+        # the tagged union pins BOTH plans against one CTE in one row
+        "dedup_components_ops": _COMPONENTS_OPS_SQL,
+        "dedup_semdedup": _SEMDEDUP_SQL,
         "dedup_resolve_canonical": _RESOLVE_SQL,
         "dedup_phash_hamming": """
             WITH h0 AS (

@@ -547,6 +547,112 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
 
 
+def semdedup(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", cell_col: str = "label",
+             threshold_milli: int = 950,
+             broadcast_centroids: bool = True) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    scoped to pre-computed clusters. Pairwise cosine is evaluated ONLY
+    within a cluster (an IVF cell / k-means label — here ``cell_col``,
+    assigned at ingest), so the pair stage is O(Σ n_c²) instead of
+    O(n²); the paper's own scale knob is choosing k ∝ n so cells stay
+    bounded (50k clusters for LAION — a hot cell is a *clustering*
+    problem, fixed upstream by raising k, not a join-salting problem).
+    Keeper rule per duplicate group, exactly the paper's: keep the
+    member with the LOWEST cosine to its cluster centroid (the least
+    prototypical example, preserving diversity), ties → min id.
+
+    Output: one row per input vector
+    ``(id, cell, component, cent_cos_milli, keep)`` — singletons keep
+    themselves; ``component`` = min id of the within-cell dup group.
+
+    Exactness: vectors quantize to int milli (round HALF_UP); the
+    "centroid" is the UNNORMALIZED per-cell integer sum (same artifact
+    as ``similarity.build_ivf_index`` — cosine against the sum equals
+    cosine against the mean, scale-invariant), so every dot/norm is
+    exact integer arithmetic and the single sqrt/round is the same IEEE
+    op in any engine. Norm products cast to double BEFORE multiplying
+    (nm·nc overflows int64 past ~3k-member cells; double(nm)*double(nc)
+    is the form both the DuckDB twin and this plan use, keeping the two
+    bit-identical above 2^53 too).
+
+    Scale shape: one narrow explode+groupBy for the centroid sums
+    (map-side partial agg; output = n_cells × dim), centroid arrays
+    broadcast-joined back (``broadcast_centroids=False`` falls back to
+    a shuffle join when n_cells × dim is itself huge), one within-cell
+    self-join for pairs, min-label components over within-cell edges
+    (diameter ≤ cell size, converges in 2-3 rounds for dup clusters),
+    and a map-side ``min_by`` keeper agg — no window over the corpus,
+    no driver collect. The isNull flag leads the min_by struct (r4
+    review rule) so a NULL centroid-cosine (zero vector) can never win
+    keeper by NULL-ordering accident."""
+    q = emb.select(
+        F.col(id_col).alias("_vid"), F.col(cell_col).alias("_cell"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000)
+                    .cast("long")).alias("q"))
+
+    # per-cell unnormalized integer centroid (the IVF index artifact)
+    ex = q.select("_cell", F.posexplode("q").alias("i", "v"))
+    cent = (ex.groupBy("_cell", "i").agg(F.sum("v").alias("s"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("p"))
+            .select("_cell",
+                    F.transform("p", lambda x: x["s"]).alias("c")))
+    if broadcast_centroids:
+        cent = F.broadcast(cent)
+    cdot = F.aggregate(F.zip_with("q", "c", lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nm = F.aggregate(F.transform("q", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nc = F.aggregate(F.transform("c", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (q.join(cent, "_cell")
+              .withColumn(
+                  "cent_cos_milli",
+                  F.round(cdot * 1000.0
+                          / F.sqrt(nm.cast("double") * nc.cast("double")))
+                  .cast("long"))
+              .select("_vid", "_cell", "q", "cent_cos_milli"))
+
+    # within-cell near-dup edges: exact int-cosine, same form as
+    # embedding_cosine_pairs but the join key is the cell
+    a = q.select(F.col("_vid").alias("doc_a"), "_cell",
+                 F.col("q").alias("qa"))
+    b = q.select(F.col("_vid").alias("doc_b"), "_cell",
+                 F.col("q").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform("qa", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    edges = (a.join(b, "_cell").filter(F.col("doc_a") < F.col("doc_b"))
+             .withColumn("cos_milli",
+                         F.round(dot * 1000.0
+                                 / F.sqrt(na.cast("double")
+                                          * nb.cast("double")))
+                         .cast("long"))
+             .filter(F.col("cos_milli") >= threshold_milli)
+             .select("doc_a", "doc_b"))
+    comps = connected_components(edges).withColumnRenamed("doc_id", "_vid")
+
+    labeled = (scored.join(comps, "_vid", "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("_vid"))))
+    winners = labeled.groupBy("component").agg(
+        F.min_by(F.col("_vid"),
+                 F.struct(F.col("cent_cos_milli").isNull().alias("u"),
+                          F.col("cent_cos_milli").alias("cc"),
+                          F.col("_vid").alias("t"))).alias("_keeper"))
+    return (labeled.join(winners, "component")
+            .select(F.col("_vid").alias(id_col),
+                    F.col("_cell").alias(cell_col),
+                    "component", "cent_cos_milli",
+                    (F.col("_vid") == F.col("_keeper")).alias("keep"))
+            .orderBy(id_col))
+
+
 def _grams_arrow(docs: DataFrame, n: int, id_col: str,
                  text_col: str) -> DataFrame:
     """The gram table (id, pos, h) as ONE narrow mapInArrow pass —

@@ -225,3 +225,87 @@ def test_star_cc_converges_fast_on_chain(spark):
     pairs = _cc_pairs(spark, [(i, i + 1) for i in range(200)])
     got = _cc_dict(D.connected_components_star(pairs, max_iter=12))
     assert got == {i: 0 for i in range(201)}
+
+
+def _semdedup_reference(rows, threshold_milli=950):
+    """Sequential numpy reference for semdedup: same integer milli
+    quantization, unnormalized per-cell integer centroid, within-cell
+    pair graph, union-find components, keeper = (cent_cos_milli ASC,
+    id ASC). Independent implementation (union-find vs label
+    propagation; loops vs joins) for the differential pin."""
+    q = {vid: np.round(np.asarray(emb, dtype=np.float64) * 1000)
+         .astype(np.int64) for vid, emb, _ in rows}
+    cell = {vid: lab for vid, _, lab in rows}
+    cents = {}
+    for vid, v in q.items():
+        cents[cell[vid]] = cents.get(cell[vid], 0) + v
+    cent_cos = {}
+    for vid, v in q.items():
+        s = cents[cell[vid]]
+        num = float(int(v @ s)) * 1000.0
+        den = np.sqrt(float(int(v @ v)) * float(int(s @ s)))
+        x = num / den
+        # round-half-away-from-zero (F.round / DuckDB round on double)
+        cent_cos[vid] = int(np.floor(x + 0.5)) if x >= 0 \
+            else int(np.ceil(x - 0.5))
+    parent = {vid: vid for vid in q}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(q)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            num = float(int(q[a] @ q[b])) * 1000.0
+            den = np.sqrt(float(int(q[a] @ q[a]))
+                          * float(int(q[b] @ q[b])))
+            x = num / den
+            cm = int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+            if cm >= threshold_milli:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {vid: find(vid) for vid in q}
+    keeper = {}
+    for vid in ids:
+        c = comp[vid]
+        if c not in keeper or (cent_cos[vid], vid) < \
+                (cent_cos[keeper[c]], keeper[c]):
+            keeper[c] = vid
+    return {vid: (cell[vid], comp[vid], cent_cos[vid],
+                  vid == keeper[comp[vid]]) for vid in ids}
+
+
+def test_semdedup_equals_sequential_reference(planted_emb):
+    """SemDeDup differential pin: the DataFrame plan equals an
+    independent sequential union-find reference on the planted corpus
+    (same-cell near-dups exist by construction, so the keep=False
+    branch is non-vacuous)."""
+    rows = [(r["vec_id"], r["embedding"], r["label"])
+            for r in planted_emb.collect()]
+    want = _semdedup_reference(rows)
+    got = {r.vec_id: (r.label, r.component, r.cent_cos_milli, r.keep)
+           for r in D.semdedup(planted_emb).collect()}
+    assert sum(1 for *_, k in want.values() if not k) > 5  # non-vacuous
+    assert got == want
+
+
+def test_semdedup_structure(planted_emb):
+    """Structural invariants: exactly one keeper per component; a
+    component never spans cells (the pair stage is cluster-scoped);
+    broadcast and shuffle centroid plans agree."""
+    import collections
+    out = D.semdedup(planted_emb).collect()
+    keep_per_comp = collections.Counter(r.component for r in out if r.keep)
+    assert set(keep_per_comp.values()) == {1}
+    cells_per_comp = collections.defaultdict(set)
+    for r in out:
+        cells_per_comp[r.component].add(r.label)
+    assert all(len(s) == 1 for s in cells_per_comp.values())
+    no_bcast = D.semdedup(planted_emb, broadcast_centroids=False).collect()
+    assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
