@@ -594,6 +594,34 @@ def ann_ivf_label(spark, sf):
     return _sim.cosine_topk_ivf(_t(spark, sf, "embeddings"), 0, 5)
 
 
+def ann_topk_ops(spark, sf):
+    """Tagged union of the two top-k search plans (50-slot consolidation,
+    same policy as x14+o6): 'brute' = exact all-rows top-10, 'ivf' =
+    cell-restricted top-5. One dots CTE serves both in the twin."""
+    emb = _t(spark, sf, "embeddings")
+    brute = (_sim.cosine_topk_bruteforce(emb, 0, 10)
+             .join(emb.select("vec_id", "label"), "vec_id")
+             .withColumn("method", F.lit("brute")))
+    ivf = (_sim.cosine_topk_ivf(emb, 0, 5)
+           .withColumn("method", F.lit("ivf")))
+    cols = ["method", "vec_id", "label", "dot_milli2"]
+    return (brute.select(cols).unionByName(ivf.select(cols))
+            .orderBy("method", F.desc("dot_milli2"), "vec_id"))
+
+
+def ann_kmeans_cells(spark, sf):
+    """Deterministic spherical k-means (similarity.kmeans_cells): the
+    coarse quantizer that PRODUCES the cell ids the IVF index and
+    semdedup consume (every other ANN/semantic-dedup gate takes the
+    ingest label as given; this one fits it). k=4, n_iter=2; the twin
+    unrolls the identical two Lloyd's iterations + final assignment in
+    SQL — exact integer dots, the same sign(d)·f64(d)²/f64(‖c‖²)
+    ranking, ties → lowest cell."""
+    from delver_spark.operators.similarity import kmeans_cells
+    return (kmeans_cells(_t(spark, sf, "embeddings"), k=4, n_iter=2)
+            .orderBy("vec_id"))
+
+
 # ingest-time IVF index, built once per (sf_dir, table mtime) and reused
 # across gate/bench invocations so ann_ivf_nprobe measures the
 # steady-state probe cost, not a per-query index rebuild (VERDICT r3
@@ -1108,6 +1136,63 @@ _SEMDEDUP_SQL = """
 """
 
 
+def _kmeans_cells_sql(k: int, n_iter: int) -> str:
+    """Generated twin for similarity.kmeans_cells: the same Lloyd's
+    iterations UNROLLED (iteration count is a compile-time constant of
+    the gate query, so each assignment/update round is its own CTE
+    block — no recursion needed). Exactness matches the Spark plan
+    operation for operation: integer milli quantization, exact BIGINT
+    dots, ranking by ``sign(d)·f64(d)·f64(d)/f64(‖c‖²)`` with ties →
+    lowest cell (the plan's np.argmax-first-max), init = the k
+    lowest-id vectors as cells 0..k-1, empty cells keep their previous
+    centroid."""
+    score = ("CASE WHEN n.ns > 0 THEN "
+             "(CASE WHEN d.d < 0 THEN -1.0 ELSE 1.0 END)"
+             " * CAST(d.d AS DOUBLE) * CAST(d.d AS DOUBLE)"
+             " / CAST(n.ns AS DOUBLE) "
+             "ELSE CAST('-infinity' AS DOUBLE) END")
+    parts = [f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id, i, qv[i] AS val
+          FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+        c0 AS (
+          SELECT init.cell, ex.i, CAST(ex.val AS BIGINT) AS s
+          FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})) init
+          JOIN ex ON ex.vec_id = init.vec_id),
+        n0 AS (SELECT cell, CAST(sum(s*s) AS BIGINT) AS ns FROM c0 GROUP BY cell)"""]
+    for t in range(n_iter + 1):
+        parts.append(f""",
+        d{t} AS (
+          SELECT ex.vec_id, c.cell, CAST(sum(ex.val * c.s) AS BIGINT) AS d
+          FROM ex JOIN c{t} c ON c.i = ex.i GROUP BY ex.vec_id, c.cell),
+        a{t} AS (
+          SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {score} DESC, d.cell ASC) AS rn
+            FROM d{t} d JOIN n{t} n ON n.cell = d.cell) WHERE rn = 1)""")
+        if t < n_iter:
+            parts.append(f""",
+        u{t + 1} AS (
+          SELECT a.cell, ex.i, CAST(sum(ex.val) AS BIGINT) AS s
+          FROM a{t} a JOIN ex ON ex.vec_id = a.vec_id GROUP BY a.cell, ex.i),
+        c{t + 1} AS (
+          SELECT cell, i, s FROM u{t + 1}
+          UNION ALL
+          SELECT cell, i, s FROM c{t}
+          WHERE cell NOT IN (SELECT DISTINCT cell FROM u{t + 1})),
+        n{t + 1} AS (SELECT cell, CAST(sum(s*s) AS BIGINT) AS ns
+                     FROM c{t + 1} GROUP BY cell)""")
+    parts.append(f"""
+        SELECT vec_id, cell AS label FROM a{n_iter} ORDER BY vec_id""")
+    return "".join(parts)
+
+
 # dedup resolution twin: the components reachability body + winner
 # selection (max n_chars, ties → min doc_id) + keep flags for every
 # document (left join; singletons are their own component)
@@ -1276,8 +1361,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_phash_hamming": dedup_phash_hamming,
     "dedup_resolve_canonical": dedup_resolve_canonical,
     "dedup_duplicate_spans": dedup_duplicate_spans,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_label": ann_ivf_label,
+    "ann_topk_ops": ann_topk_ops,
+    "ann_kmeans_cells": ann_kmeans_cells,
     "ann_ivf_nprobe": ann_ivf_nprobe,
     "sample_deterministic": sample_deterministic,
     "sample_language_quota": sample_language_quota,
@@ -1664,21 +1749,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(round(dot*1000.0/sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) AS BIGINT) >= 950
             ORDER BY doc_a, doc_b
         """,
-        "ann_cosine_topk": """
-            WITH q AS (
-              SELECT vec_id, label,
-                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-              FROM embeddings),
-            query AS (SELECT qv AS qq FROM q WHERE vec_id = 0),
-            dots AS (
-              SELECT vec_id,
-                     (SELECT CAST(sum(q.qv[i] * query.qq[i]) AS BIGINT)
-                      FROM unnest(generate_series(1, len(q.qv))) AS g(i)) AS dot_milli2
-              FROM q, query WHERE vec_id <> 0)
-            SELECT vec_id, dot_milli2 FROM dots
-            ORDER BY dot_milli2 DESC, vec_id LIMIT 10
-        """,
-        "ann_ivf_label": """
+        "ann_topk_ops": """
             WITH q AS (
               SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
@@ -1688,10 +1759,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, q.label,
                      (SELECT CAST(sum(q.qv[i] * query.qq[i]) AS BIGINT)
                       FROM unnest(generate_series(1, len(q.qv))) AS g(i)) AS dot_milli2
-              FROM q, query WHERE q.label = query.qlabel AND vec_id <> 0)
-            SELECT vec_id, label, dot_milli2 FROM dots
-            ORDER BY dot_milli2 DESC, vec_id LIMIT 5
+              FROM q, query WHERE vec_id <> 0),
+            brute AS (
+              SELECT 'brute' AS method, vec_id, label, dot_milli2 FROM dots
+              ORDER BY dot_milli2 DESC, vec_id LIMIT 10),
+            ivf AS (
+              SELECT 'ivf' AS method, vec_id, label, dot_milli2 FROM dots
+              WHERE label = (SELECT qlabel FROM query)
+              ORDER BY dot_milli2 DESC, vec_id LIMIT 5)
+            SELECT * FROM brute UNION ALL SELECT * FROM ivf
+            ORDER BY method, dot_milli2 DESC, vec_id
         """,
+        "ann_kmeans_cells": _kmeans_cells_sql(k=4, n_iter=2),
         "ann_ivf_nprobe": """
             WITH q AS (
               SELECT vec_id, label,

@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force exact top-k is the baseline; the scale path restricts the
-scan to IVF cells (a coarse quantizer column — here the pre-assigned
-``label``; in production, k-means cell ids maintained the same way).
+scan to IVF cells (a coarse quantizer column — the pre-assigned
+``label`` from the ingest table, or cell ids fit here with
+:func:`kmeans_cells`).
 Quantization to int-milli makes scores exact integers → deterministic
 ranking and cross-engine hash equality.
 
@@ -168,3 +169,116 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
                                 F.lit(0).cast("long"),
                                 lambda acc, x: acc + x).alias("dot_milli2"))
             .orderBy(F.desc("dot_milli2"), id_col).limit(k))
+
+
+def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
+    """One spherical-k-means assignment pass: each vector goes to the
+    centroid with the highest cosine, ties → lowest cell id. Vectorized
+    mapInArrow (one narrow pass, numpy matmul per batch — the Catalyst
+    HOF explode×k alternative is the measured compute-bound shape, see
+    CLAUDE.md r5 gram-pass note).
+
+    Exactness contract (what makes the pass engine-portable): dots are
+    EXACT int64 (bound: max |q_i| × max |Σcell q_i| × dim < 2⁶³, and
+    < 2⁵³ for the exact float64 conversion — milli-quantized unit-norm
+    vectors give dot ≤ ~10⁶·√dim, oceans of headroom); ranking compares
+    ``sign(d)·f64(d)·f64(d) / f64(‖c‖²)`` — monotone with cosine for a
+    fixed vector, every operand an exactly-converted integer, so any
+    IEEE engine (numpy here, DuckDB in the gate twin) reproduces the
+    identical argmax. A zero centroid (‖c‖²=0) scores -inf; a zero
+    vector scores 0.0 everywhere and ties down to cell 0."""
+    import numpy as np
+
+    dim = len(cents[0])
+    C_T = np.array(cents, dtype=np.int64).T          # dim × k
+    ns_f = np.array([float(sum(v * v for v in c)) for c in cents])
+    ok = ns_f > 0.0
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in q.schema.fields)[id_col]
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            qs = rb.column(1)
+            if isinstance(qs, pa.ChunkedArray):
+                qs = qs.combine_chunks()
+            flat = qs.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(rb.num_rows, dim)
+            df = (X @ C_T).astype(np.float64)        # exact: |dot| < 2^53
+            # safe_ns only dodges the 0/0 RuntimeWarning — the masked
+            # lanes are overwritten with -inf either way
+            safe_ns = np.where(ok, ns_f, 1.0)
+            score = np.where(ok, np.sign(df) * df * df / safe_ns, -np.inf)
+            cell = np.argmax(score, axis=1)          # first max = min cell
+            yield pa.record_batch(
+                [rb.column(0), pa.array(cell.astype(np.int64))],
+                names=[id_col, "cell"])
+
+    return q.mapInArrow(run, schema=f"{id_col} {id_type}, cell long")
+
+
+def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 cell_col: str = "label",
+                 return_centroids: bool = False):
+    """Deterministic spherical k-means (Lloyd's) over an embedding
+    column — the coarse quantizer that produces the cell ids
+    :func:`build_ivf_index` and ``dedup.semdedup`` consume (both were
+    taking a pre-assigned label column; this closes the loop:
+    ``kmeans_cells → semdedup`` / ``kmeans_cells → build_ivf_index``).
+
+    Deterministic by construction, partitioning-invariant, and
+    engine-exact (differentially pinned vs a pure-python big-int
+    reference in tests/test_dedup_scale.py; the ``ann_kmeans_cells``
+    gate twin unrolls the same iterations in DuckDB SQL):
+
+    - init: the ``k`` vectors with the LOWEST ids are the seed
+      centroids, cells numbered 0..k-1 in that id order (k-means++
+      would trade determinism for quality; at corpus scale seed choice
+      washes out after a few Lloyd's rounds);
+    - assignment: max-cosine via exact integer dots — see
+      :func:`_assign_cells` for the exactness contract;
+    - update: per-cell UNNORMALIZED integer sums (cosine is
+      scale-invariant, so the sum IS the mean — the same artifact
+      build_ivf_index maintains incrementally); a cell that loses all
+      members keeps its previous centroid.
+
+    Scale shape per iteration: ONE narrow mapInArrow assignment pass +
+    one k×dim-output groupBy (map-side partial agg) collected to the
+    driver — the same k×dim-longs driver contract as build_ivf_index
+    (kilobytes for thousands of cells). ``n_iter`` full passes over a
+    cached quantized projection; no window, no self-join, no driver
+    pass over rows. At 100 TB: fit on a deterministic hash-sample
+    (``textstats.sample_deterministic``) and run the final assignment
+    pass over the full table — assignment is embarrassingly parallel.
+
+    Returns the assignment DataFrame ``(id_col, cell_col)``; with
+    ``return_centroids=True``, ``(df, centroid_sums)`` where the sums
+    are the k×dim integer lists used for the final assignment."""
+    q = (quantize(emb, id_col, vec_col, extra_cols=())
+         .persist())
+    try:
+        seed = q.orderBy(id_col).limit(k).collect()
+        if len(seed) < k:
+            raise ValueError(f"k={k} exceeds vector count {len(seed)}")
+        cents = [[int(v) for v in r["q"]] for r in seed]
+        dim = len(cents[0])
+        for _ in range(n_iter):
+            labels = _assign_cells(q, cents, id_col)
+            sums = (q.join(labels, id_col)
+                    .select("cell", F.posexplode("q").alias("i", "v"))
+                    .groupBy("cell", "i").agg(F.sum("v").alias("s"))
+                    .collect())
+            acc: dict = {}
+            for r in sums:
+                acc.setdefault(r["cell"], {})[r["i"]] = int(r["s"])
+            cents = [[acc[c][i] for i in range(dim)] if c in acc
+                     else cents[c] for c in range(k)]
+        out = (_assign_cells(q, cents, id_col)
+               .withColumnRenamed("cell", cell_col))
+        return (out, cents) if return_centroids else out
+    finally:
+        q.unpersist()

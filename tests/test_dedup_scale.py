@@ -309,3 +309,96 @@ def test_semdedup_structure(planted_emb):
     assert all(len(s) == 1 for s in cells_per_comp.values())
     no_bcast = D.semdedup(planted_emb, broadcast_centroids=False).collect()
     assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
+
+
+def _kmeans_reference(rows, k, n_iter):
+    """Sequential pure-python k-means reference: exact big-int dots
+    (no numpy matmul — an independent arithmetic path), the identical
+    float64 scoring formula, explicit loops instead of joins. Mirrors
+    the operator's contract: lowest-k-ids init, max-cosine assignment
+    with ties → lowest cell, unnormalized integer centroid sums,
+    empty cell keeps its previous centroid."""
+    def q_one(emb):
+        out = []
+        for x in emb:
+            v = float(x) * 1000.0
+            out.append(int(np.floor(v + 0.5)) if v >= 0
+                       else int(np.ceil(v - 0.5)))
+        return out
+
+    q = {vid: q_one(emb) for vid, emb, _ in rows}
+    ids = sorted(q)
+    cents = [list(q[vid]) for vid in ids[:k]]
+
+    def assign():
+        ns = [float(sum(v * v for v in c)) for c in cents]
+        lab = {}
+        for vid in ids:
+            best, bs = 0, None
+            for j, c in enumerate(cents):
+                if ns[j] > 0.0:
+                    d = sum(a * b for a, b in zip(q[vid], c))
+                    df = float(d)
+                    s = (1.0 if d >= 0 else -1.0) * df * df / ns[j]
+                else:
+                    s = float("-inf")
+                if bs is None or s > bs:
+                    bs, best = s, j
+            lab[vid] = best
+        return lab
+
+    for _ in range(n_iter):
+        lab = assign()
+        acc = {}
+        for vid in ids:
+            c = lab[vid]
+            if c not in acc:
+                acc[c] = [0] * len(q[vid])
+            acc[c] = [a + b for a, b in zip(acc[c], q[vid])]
+        cents[:] = [acc.get(j, cents[j]) for j in range(k)]
+    return assign()
+
+
+def test_kmeans_equals_sequential_reference(planted_emb):
+    """kmeans_cells differential pin: the distributed plan (mapInArrow
+    numpy assignment + groupBy integer update) equals the sequential
+    big-int reference exactly, per iteration count."""
+    from delver_spark.operators.similarity import kmeans_cells
+
+    rows = [(r["vec_id"], r["embedding"], r["label"])
+            for r in planted_emb.collect()]
+    for n_iter in (1, 3):
+        want = _kmeans_reference(rows, k=5, n_iter=n_iter)
+        got = {r["vec_id"]: r["label"]
+               for r in kmeans_cells(planted_emb, k=5,
+                                     n_iter=n_iter).collect()}
+        assert got == want
+    assert len(set(want.values())) > 1  # non-vacuous: several cells used
+
+
+def test_kmeans_structure(planted_emb):
+    """Structural pins: partitioning invariance; the returned centroids
+    reproduce the returned assignment (fixed point of the final pass);
+    kmeans labels feed semdedup end to end (the closed loop the two
+    operators exist for)."""
+    from delver_spark.operators.similarity import _assign_cells, kmeans_cells
+    from delver_spark.operators.similarity import quantize
+
+    out, cents = kmeans_cells(planted_emb, k=4, n_iter=2,
+                              return_centroids=True)
+    base = sorted((r["vec_id"], r["label"]) for r in out.collect())
+    repart = kmeans_cells(planted_emb.repartition(13), k=4, n_iter=2)
+    assert sorted(map(tuple, repart.collect())) == base
+
+    q = quantize(planted_emb, "vec_id", "embedding", extra_cols=())
+    again = _assign_cells(q, cents, "vec_id")
+    assert sorted(map(tuple, again.collect())) == base
+
+    relabeled = (planted_emb.drop("label")
+                 .join(kmeans_cells(planted_emb, k=4, n_iter=2), "vec_id"))
+    sd = D.semdedup(relabeled).collect()
+    comp_cells = {}
+    for r in sd:
+        comp_cells.setdefault(r.component, set()).add(r.label)
+    assert len(sd) == planted_emb.count()
+    assert all(len(s) == 1 for s in comp_cells.values())
