@@ -485,9 +485,13 @@ def dedup_components_ops(spark, sf):
     the identical component map, so the union pins both against one
     recursive-CTE twin in a single gate row."""
     d = _t(spark, sf, "documents")
-    minl = (_dedup.connected_components(_dedup.ngram_jaccard_pairs(d))
+    # materialize the pair set ONCE — both CC variants eagerly
+    # checkpoint their own edge frames, so a lazy shared frame would
+    # still compute the n-gram shuffle twice (r5 review finding)
+    pairs = _dedup.ngram_jaccard_pairs(d).localCheckpoint(eager=True)
+    minl = (_dedup.connected_components(pairs)
             .withColumn("method", F.lit("minlabel")))
-    star = (_dedup.connected_components_star(_dedup.ngram_jaccard_pairs(d))
+    star = (_dedup.connected_components_star(pairs)
             .withColumn("method", F.lit("star")))
     return minl.unionByName(star).orderBy("method", "doc_id")
 
@@ -734,7 +738,13 @@ def text_bpe_encode(spark, sf):
     from delver_spark.functions import bpe as _bpe
     from delver_spark.operators.assemble import pack_sequences
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # NULL-text docs are excluded in BOTH engines: token_counts emits
+    # NULL counts for them by contract, but the twin's aggregation
+    # would coalesce to 0 and the packing window would then diverge —
+    # the gate must be well-defined on any corpus, not just one with
+    # zero NULL texts (r5 review finding)
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .filter(F.col("text").isNotNull()))
     planted = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
     counts = _bpe.token_counts(d.unionByName(planted), _bpe.demo_merges())
     return pack_sequences(counts, "n_bpe_tokens", "doc_id", 256,
@@ -759,11 +769,11 @@ def _bpe_encode_sql() -> str:
         WITH RECURSIVE
         merges(l, r, rank) AS (SELECT * FROM (VALUES {merges}) m(l, r, rank)),
         docs AS (
-          SELECT doc_id, text FROM documents
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
           UNION ALL SELECT * FROM (VALUES {planted}) p(doc_id, text)),
         words AS (
           SELECT doc_id,
-                 unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS w
+                 unnest(regexp_extract_all(text, '{_bpe.WORD_PATTERN}')) AS w
           FROM docs),
         wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
         uniq AS (SELECT DISTINCT w FROM wc),
@@ -1081,7 +1091,7 @@ _SEMDEDUP_SQL = """
               FROM exl GROUP BY vec_id),
     cent AS (SELECT label, i, CAST(sum(val) AS BIGINT) AS s
              FROM exl GROUP BY label, i),
-    cnorm AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS nc
+    cnorm AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS nc
               FROM cent GROUP BY label),
     cdot AS (SELECT e.vec_id, CAST(sum(e.val * c.s) AS BIGINT) AS d
              FROM exl e JOIN cent c ON c.label = e.label AND c.i = e.i
@@ -1129,10 +1139,17 @@ _SEMDEDUP_SQL = """
                                 ORDER BY cent_cos_milli ASC, vec_id ASC)
                AS rn
       FROM labeled)
-    SELECT l.vec_id, l.label, l.component, l.cent_cos_milli,
-           l.vec_id = w.keeper AS keep
-    FROM labeled l JOIN win w ON w.component = l.component AND w.rn = 1
-    ORDER BY l.vec_id
+    SELECT * FROM (
+      SELECT l.vec_id, l.label, l.component, l.cent_cos_milli,
+             l.vec_id = w.keeper AS keep
+      FROM labeled l JOIN win w ON w.component = l.component AND w.rn = 1
+      UNION ALL
+      -- NULL-label (unclustered) vectors: explicit singletons, same
+      -- rule as the engine (dedup.py:semdedup r5 review fix)
+      SELECT vec_id, label, vec_id AS component,
+             CAST(NULL AS BIGINT) AS cent_cos_milli, TRUE AS keep
+      FROM cells WHERE label IS NULL)
+    ORDER BY vec_id
 """
 
 

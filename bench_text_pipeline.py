@@ -28,13 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-BOILER = ("this website uses cookies to improve your experience please "
-          "accept our terms and conditions before you continue reading")
-
-VOCAB = ("the quick brown fox jumps over lazy dog rain spain plain stays "
-         "mainly word salad corpus training data pipeline spark shuffle "
-         "partition filter sample window aggregate stream batch quality "
-         "signal noise model token sequence context budget shard").split()
+from delver_spark.fixtures.textgen import (DUP_STRIDE, VOCAB,
+                                            plant_hazards)
 
 
 def ensure_corpus(n: int) -> str:
@@ -58,15 +53,8 @@ def ensure_corpus(n: int) -> str:
         w = vocab[rng.integers(0, len(vocab), (m, 60))]
         texts = [" ".join(row) for row in w]
         for j in range(m):
-            i = idx + j
-            if i % 10 == 3:
-                texts[j] += " " + BOILER
-            if i % 25 == 7:
-                texts[j] += (" contact sales@example.test or "
-                             "555-123-4567 today")
-            if i % 40 == 11:
-                texts[j] = "buy now " * 40
-        for j in range(0, m - 1, 20):          # exact dups within shard
+            texts[j] = plant_hazards(idx + j, texts[j])
+        for j in range(0, m - 1, DUP_STRIDE):  # exact dups within shard
             texts[j + 1] = texts[j]
         pq.write_table(pa.table({
             "doc_id": pa.array(range(idx, idx + m), pa.int64()),
@@ -125,7 +113,8 @@ def run_level(corpus: str, cpus: int) -> dict:
     t0 = time.perf_counter()
     packed = pack_sequences(counts, "n_bpe_tokens", "doc_id", 2048,
                             scale_safe=True)
-    n_seq = int(packed.agg(F.max("seq_last")).collect()[0][0]) + 1
+    max_seq = packed.agg(F.max("seq_last")).collect()[0][0]
+    n_seq = int(max_seq) + 1 if max_seq is not None else 0  # empty kept set
     t_pack = time.perf_counter() - t0
 
     spark.stop()

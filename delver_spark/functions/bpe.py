@@ -41,8 +41,13 @@ from pyspark.sql import DataFrame
 # python re's \s and str.split() are unicode-aware while RE2 (DuckDB)
 # \S is ASCII-only — the explicit class is the intersection both
 # engines implement identically. U+00A0 etc. count as word chars in
-# BOTH engines, consistently.
-WORD_PATTERN = "[^ \\t\\n\\r\\f\\v]+"
+# BOTH engines, consistently. \x0B, NOT \v: Java regex (Spark's
+# regexp_extract_all) expands \v inside a class to the vertical-
+# whitespace CLASS [\n\x0B\f\r\x85  ] while Python/RE2 read
+# it as U+000B only — 'foo\x85bar' would tokenize differently per
+# engine (r5 review finding, empirically confirmed). \x0B is U+000B
+# in all three engines.
+WORD_PATTERN = "[^ \\t\\n\\r\\f\\x0B]+"
 _WORD_RE = re.compile(WORD_PATTERN)
 
 
@@ -161,9 +166,10 @@ def token_counts(df: DataFrame, merges: list[tuple[str, str]],
     NULL text yields NULL counts; wordless text yields zeros."""
     import pyarrow as pa
 
+    from delver_spark.operators.extract import col_simple_type
+
     ranks = ranks_of(merges)
-    id_type = dict(zip(df.schema.names,
-                       (f.dataType.simpleString() for f in df.schema)))[id_col]
+    id_type = col_simple_type(df, id_col)
     schema = f"{id_col} {id_type}, n_words long, n_bpe_tokens long"
 
     def run(batches):

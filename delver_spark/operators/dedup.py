@@ -565,6 +565,9 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
     Output: one row per input vector
     ``(id, cell, component, cent_cos_milli, keep)`` — singletons keep
     themselves; ``component`` = min id of the within-cell dup group.
+    NULL-cell (unclustered) vectors are explicit singletons
+    ``(id, NULL, id, NULL, true)`` — never silently dropped by the
+    cell equi-joins.
 
     Exactness: vectors quantize to int milli (round HALF_UP); the
     "centroid" is the UNNORMALIZED per-cell integer sum (same artifact
@@ -586,11 +589,21 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
     no driver collect. The isNull flag leads the min_by struct (r4
     review rule) so a NULL centroid-cosine (zero vector) can never win
     keeper by NULL-ordering accident."""
-    q = emb.select(
+    q0 = emb.select(
         F.col(id_col).alias("_vid"), F.col(cell_col).alias("_cell"),
         F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * 1000)
                     .cast("long")).alias("q"))
+    # NULL-cell (unclustered) vectors would silently vanish through the
+    # equi-joins below (r4 review rule) — route them around the
+    # pipeline as explicit singletons instead
+    nulls = (q0.filter(F.col("_cell").isNull())
+             .select(F.col("_vid").alias(id_col),
+                     F.col("_cell").alias(cell_col),
+                     F.col("_vid").alias("component"),
+                     F.lit(None).cast("long").alias("cent_cos_milli"),
+                     F.lit(True).alias("keep")))
+    q = q0.filter(F.col("_cell").isNotNull())
 
     # per-cell unnormalized integer centroid (the IVF index artifact)
     ex = q.select("_cell", F.posexplode("q").alias("i", "v"))
@@ -605,8 +618,14 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
     nm = F.aggregate(F.transform("q", lambda x: x * x),
                      F.lit(0).cast("long"), lambda acc, x: acc + x)
-    nc = F.aggregate(F.transform("c", lambda x: x * x),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # nc in DECIMAL(38,0): centroid components reach n_cell·10³, so
+    # their squares overflow int64 past ~3M-member cells — long
+    # arithmetic would WRAP silently in Spark while the HUGEINT twin
+    # errors (r5 review finding); decimal keeps it exact to ~10³⁸
+    nc = F.aggregate(
+        F.transform("c", lambda x: x.cast("decimal(19,0)")
+                    * x.cast("decimal(19,0)")),
+        F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
     scored = (q.join(cent, "_cell")
               .withColumn(
                   "cent_cos_milli",
@@ -650,7 +669,14 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
                     F.col("_cell").alias(cell_col),
                     "component", "cent_cos_milli",
                     (F.col("_vid") == F.col("_keeper")).alias("keep"))
+            .unionByName(nulls)
             .orderBy(id_col))
+
+
+# Spark simpleString -> pyarrow factory name for the gram-table id
+# column (pyarrow resolved lazily; the membership check runs
+# driver-side so unsupported types fail at plan time, not per-task)
+_GRAM_ID_TYPES = {"bigint": "int64", "int": "int32", "string": "string"}
 
 
 def _grams_arrow(docs: DataFrame, n: int, id_col: str,
@@ -667,9 +693,16 @@ def _grams_arrow(docs: DataFrame, n: int, id_col: str,
     in tests/test_quality_ops.py."""
     import pyarrow as pa
 
-    id_type = dict(zip(docs.schema.names,
-                       (f.dataType.simpleString()
-                        for f in docs.schema)))[id_col]
+    from delver_spark.operators.extract import col_simple_type
+
+    id_type = col_simple_type(docs, id_col)
+    if id_type not in _GRAM_ID_TYPES:
+        # driver-side, not a worker KeyError mid-task; callers
+        # (duplicate_spans / ngram_decontaminate) fall back to the
+        # equality-pinned declarative gram plan for exotic id types
+        raise TypeError(
+            f"_grams_arrow: unsupported id type {id_type!r} "
+            f"(supported: {sorted(_GRAM_ID_TYPES)})")
     schema = f"{id_col} {id_type}, pos int, h string"
 
     def run(batches):
@@ -690,8 +723,7 @@ def _grams_arrow(docs: DataFrame, n: int, id_col: str,
                     out_p.append(i + 1)
                     out_h.append(md5(join(ws[i:i + n])
                                      .encode("utf-8")).hexdigest())
-            pa_id = {"bigint": pa.int64(), "int": pa.int32(),
-                     "string": pa.string()}[id_type]
+            pa_id = getattr(pa, _GRAM_ID_TYPES[id_type])()
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_i, pa_id), pa.array(out_p, pa.int32()),
                  pa.array(out_h, pa.string())],
@@ -754,10 +786,15 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     tests/test_quality_ops.py."""
     from pyspark.sql import Window as W
 
-    if use_arrow:
+    from delver_spark.operators.extract import col_simple_type
+
+    id_type = col_simple_type(docs, id_col)
+    if use_arrow and id_type in _GRAM_ID_TYPES:
         # one narrow python pass generates the identical gram table —
         # the declarative HOF chain below is compute-bound on its
-        # per-position slice (see _grams_arrow; equality-pinned)
+        # per-position slice (see _grams_arrow; equality-pinned).
+        # Exotic id types fall through to the declarative plan, which
+        # handles any Catalyst type
         g = _grams_arrow(docs, window, id_col, text_col)
     else:
         words = F.filter(F.split(F.lower(F.col(text_col)), " "),

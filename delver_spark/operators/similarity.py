@@ -171,6 +171,86 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
             .orderBy(F.desc("dot_milli2"), id_col).limit(k))
 
 
+def _cents_arrays(cents: list):
+    import numpy as np
+
+    C_T = np.array(cents, dtype=np.int64).T          # dim × k
+    ns_f = np.array([float(sum(v * v for v in c)) for c in cents])
+    return C_T, ns_f, ns_f > 0.0
+
+
+def _batch_matrix(rb, dim: int):
+    """Validated (num_rows × dim) int64 matrix from an Arrow batch whose
+    column 1 is the quantized vector list — shared by the assignment
+    and partial-sum passes."""
+    import pyarrow as pa
+
+    qs = rb.column(1)
+    if isinstance(qs, pa.ChunkedArray):
+        qs = qs.combine_chunks()
+    # fail loudly, not with a reshape error / silent NaN drift: a NULL
+    # vector shortens the flat array, a NULL component would
+    # float64-ify the batch and give that row an arbitrary argmax
+    # (r5 review finding)
+    if qs.null_count or qs.values.null_count:
+        raise ValueError(
+            "kmeans_cells: NULL embedding or NULL vector component — "
+            f"embeddings must be non-null fixed-dim({dim}) float arrays")
+    flat = qs.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != rb.num_rows * dim:
+        raise ValueError(
+            f"kmeans_cells: ragged embedding lengths in batch "
+            f"(expected dim {dim})")
+    return flat.reshape(rb.num_rows, dim)
+
+
+def _argmax_cells(X, C_T, ns_f, ok):
+    import numpy as np
+
+    df = (X @ C_T).astype(np.float64)        # exact: |dot| < 2^53
+    # safe_ns only dodges the 0/0 RuntimeWarning — the masked lanes
+    # are overwritten with -inf either way
+    safe_ns = np.where(ok, ns_f, 1.0)
+    score = np.where(ok, np.sign(df) * df * df / safe_ns, -np.inf)
+    return np.argmax(score, axis=1)          # first max = min cell
+
+
+def _partial_cell_sums(q: DataFrame, cents: list) -> DataFrame:
+    """The Lloyd's UPDATE as one narrow pass: each task assigns its own
+    rows (same arithmetic as :func:`_assign_cells`) and scatter-adds
+    them into a local k×dim int64 accumulator, emitting at most k×dim
+    ``(cell, i, s)`` rows per batch — the full-table id-join +
+    n×dim posexplode this replaces shuffled every row twice per
+    iteration (r5 review finding). Integer addition is commutative, so
+    the grouped totals are bit-identical to the join plan's."""
+    import numpy as np
+
+    C_T, ns_f, ok = _cents_arrays(cents)
+    dim = C_T.shape[0]
+    k = C_T.shape[1]
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = _batch_matrix(rb, dim)
+            cell = _argmax_cells(X, C_T, ns_f, ok)
+            acc = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(acc, cell, X)
+            used = np.unique(cell)
+            yield pa.record_batch(
+                [pa.array(np.repeat(used, dim)),
+                 pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                  len(used))),
+                 pa.array(acc[used].reshape(-1))],
+                names=["cell", "i", "s"])
+
+    return (q.mapInArrow(run, schema="cell long, i long, s long")
+            .groupBy("cell", "i").agg(F.sum("s").alias("s")))
+
+
 def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
     """One spherical-k-means assignment pass: each vector goes to the
     centroid with the highest cosine, ties → lowest cell id. Vectorized
@@ -187,14 +267,11 @@ def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
     IEEE engine (numpy here, DuckDB in the gate twin) reproduces the
     identical argmax. A zero centroid (‖c‖²=0) scores -inf; a zero
     vector scores 0.0 everywhere and ties down to cell 0."""
-    import numpy as np
+    C_T, ns_f, ok = _cents_arrays(cents)
+    dim = C_T.shape[0]
+    from delver_spark.operators.extract import col_simple_type
 
-    dim = len(cents[0])
-    C_T = np.array(cents, dtype=np.int64).T          # dim × k
-    ns_f = np.array([float(sum(v * v for v in c)) for c in cents])
-    ok = ns_f > 0.0
-    id_type = dict((f.name, f.dataType.simpleString())
-                   for f in q.schema.fields)[id_col]
+    id_type = col_simple_type(q, id_col)
 
     def run(batches):
         import pyarrow as pa
@@ -202,19 +279,9 @@ def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            qs = rb.column(1)
-            if isinstance(qs, pa.ChunkedArray):
-                qs = qs.combine_chunks()
-            flat = qs.flatten().to_numpy(zero_copy_only=False)
-            X = flat.reshape(rb.num_rows, dim)
-            df = (X @ C_T).astype(np.float64)        # exact: |dot| < 2^53
-            # safe_ns only dodges the 0/0 RuntimeWarning — the masked
-            # lanes are overwritten with -inf either way
-            safe_ns = np.where(ok, ns_f, 1.0)
-            score = np.where(ok, np.sign(df) * df * df / safe_ns, -np.inf)
-            cell = np.argmax(score, axis=1)          # first max = min cell
+            cell = _argmax_cells(_batch_matrix(rb, dim), C_T, ns_f, ok)
             yield pa.record_batch(
-                [rb.column(0), pa.array(cell.astype(np.int64))],
+                [rb.column(0), pa.array(cell.astype("int64"))],
                 names=[id_col, "cell"])
 
     return q.mapInArrow(run, schema=f"{id_col} {id_type}, cell long")
@@ -246,12 +313,15 @@ def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 4,
       build_ivf_index maintains incrementally); a cell that loses all
       members keeps its previous centroid.
 
-    Scale shape per iteration: ONE narrow mapInArrow assignment pass +
-    one k×dim-output groupBy (map-side partial agg) collected to the
-    driver — the same k×dim-longs driver contract as build_ivf_index
-    (kilobytes for thousands of cells). ``n_iter`` full passes over a
-    cached quantized projection; no window, no self-join, no driver
-    pass over rows. At 100 TB: fit on a deterministic hash-sample
+    Scale shape per iteration: ONE fused mapInArrow pass that assigns
+    its own rows and scatter-adds them locally, emitting at most k×dim
+    ``(cell, i, s)`` partial-sum rows per batch, then a k×dim-output
+    groupBy collected to the driver — the same k×dim-longs driver
+    contract as build_ivf_index (kilobytes for thousands of cells).
+    NO per-row shuffle anywhere: rows never leave their input
+    partition; only the final assignment pass emits one row per
+    vector. ``n_iter`` full passes over a cached quantized projection;
+    no window, no self-join, no driver pass over rows. At 100 TB: fit on a deterministic hash-sample
     (``textstats.sample_deterministic``) and run the final assignment
     pass over the full table — assignment is embarrassingly parallel.
 
@@ -267,11 +337,7 @@ def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 4,
         cents = [[int(v) for v in r["q"]] for r in seed]
         dim = len(cents[0])
         for _ in range(n_iter):
-            labels = _assign_cells(q, cents, id_col)
-            sums = (q.join(labels, id_col)
-                    .select("cell", F.posexplode("q").alias("i", "v"))
-                    .groupBy("cell", "i").agg(F.sum("v").alias("s"))
-                    .collect())
+            sums = _partial_cell_sums(q, cents).collect()
             acc: dict = {}
             for r in sums:
                 acc.setdefault(r["cell"], {})[r["i"]] = int(r["s"])

@@ -239,9 +239,9 @@ def _decontaminate_arrow(docs: DataFrame, bench: DataFrame, n: int,
             bench_set.add(" ".join(ws[i:i + n]))
     bench_fz = frozenset(bench_set)
 
-    id_type = dict(zip(docs.schema.names,
-                       (f.dataType.simpleString()
-                        for f in docs.schema)))[id_col]
+    from delver_spark.operators.extract import col_simple_type
+
+    id_type = col_simple_type(docs, id_col)
     schema = f"{id_col} {id_type}, n_hits long, contaminated boolean"
 
     def run(batches):

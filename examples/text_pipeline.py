@@ -23,13 +23,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-BOILER = ("this website uses cookies to improve your experience please "
-          "accept our terms and conditions before you continue reading")
-
-VOCAB = ("the quick brown fox jumps over lazy dog rain spain plain stays "
-         "mainly word salad corpus training data pipeline spark shuffle "
-         "partition filter sample window aggregate stream batch quality "
-         "signal noise model token sequence context budget shard").split()
+from delver_spark.fixtures.textgen import (DUP_STRIDE, VOCAB,
+                                            plant_hazards)
 
 
 def synth_docs(n: int):
@@ -43,14 +38,8 @@ def synth_docs(n: int):
     for i in range(n):
         words = [VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), 60)]
         text = " ".join(words)
-        if i % 10 == 3:                       # boilerplate in 10%
-            text = text + " " + BOILER
-        if i % 25 == 7:                       # PII in 4%
-            text += " contact sales@example.test or 555-123-4567 today"
-        if i % 40 == 11:                      # degenerate repetition
-            text = "buy now " * 40
-        docs.append((i, text))
-    for i in range(0, n - 1, 20):             # 5% exact duplicates
+        docs.append((i, plant_hazards(i, text)))
+    for i in range(0, n - 1, DUP_STRIDE):     # 5% exact duplicates
         docs[i + 1] = (docs[i + 1][0], docs[i][1])
     return docs
 
@@ -123,7 +112,8 @@ def main(n: int = 3000) -> None:
         t0 = time.perf_counter()
         packed = pack_sequences(counts, "n_bpe_tokens", "doc_id", 512,
                                 scale_safe=True)
-        n_seq = packed.agg(F.max("seq_last")).collect()[0][0] + 1
+        max_seq = packed.agg(F.max("seq_last")).collect()[0][0]
+        n_seq = int(max_seq) + 1 if max_seq is not None else 0
         t5 = time.perf_counter() - t0
         print(f"5. pack sequences    {t5:6.2f}s  {n_seq} samples of 512 "
               f"tokens")

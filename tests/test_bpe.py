@@ -135,8 +135,12 @@ def test_token_counts_spark_equals_sequential(spark):
 
 
 def test_train_bpe_spark_equals_local(spark):
+    # \x85 (NEL) and   (LS) pin the Java-vs-Python tokenizer
+    # agreement: Java expands \v inside a class to the vertical-
+    # whitespace CLASS (would split these), Python/RE2 don't — the
+    # pattern must use \x0B so all engines keep them as word chars
     texts = ["the cat sat on the mat", "the bat and the cat",
-             "mat bat cat hat", ""]
+             "mat bat cat hat", "", "nel\x85stays one word"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     wc = {}
     for t in texts:

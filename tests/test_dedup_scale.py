@@ -311,6 +311,23 @@ def test_semdedup_structure(planted_emb):
     assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
 
 
+def test_semdedup_null_cell_singletons(spark):
+    """NULL-cell (unclustered) vectors must surface as explicit
+    singletons, not vanish through the cell equi-joins (r5 review
+    finding; r4 null-key rule)."""
+    rows = [(0, [1.0, 0.0], 7), (1, [1.0, 0.001], 7),
+            (2, [0.0, 1.0], None), (3, [0.5, 0.5], None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in D.semdedup(df).collect()}
+    assert set(out) == {0, 1, 2, 3}          # nothing dropped
+    for vid in (2, 3):
+        r = out[vid]
+        assert (r.label is None and r.component == vid
+                and r.cent_cos_milli is None and r.keep)
+    assert out[0].keep != out[1].keep        # the real pair still dedups
+
+
 def _kmeans_reference(rows, k, n_iter):
     """Sequential pure-python k-means reference: exact big-int dots
     (no numpy matmul — an independent arithmetic path), the identical
