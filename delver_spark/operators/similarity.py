@@ -287,6 +287,23 @@ def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
     return q.mapInArrow(run, schema=f"{id_col} {id_type}, cell long")
 
 
+def kmeans_assign(emb: DataFrame, centroid_sums: list,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  cell_col: str = "label") -> DataFrame:
+    """Label vectors with an EXISTING fit's centroids — the
+    incremental-ingest path: fit once (``kmeans_cells(...,
+    return_centroids=True)``), then each appended batch gets ONE
+    narrow assignment pass with the frozen centroids and its IVF cell
+    stats merge in via :func:`merge_ivf_index` — no refit, no shuffle.
+    Same exact arithmetic as the fit's own passes, so
+    ``kmeans_assign(emb, cents) == kmeans_cells(emb, ...)``'s final
+    assignment when ``cents`` are that fit's returned centroids
+    (pinned in tests/test_dedup_scale.py)."""
+    q = quantize(emb, id_col, vec_col, extra_cols=())
+    return (_assign_cells(q, centroid_sums, id_col)
+            .withColumnRenamed("cell", cell_col))
+
+
 def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  cell_col: str = "label",

@@ -398,8 +398,7 @@ def test_kmeans_structure(planted_emb):
     reproduce the returned assignment (fixed point of the final pass);
     kmeans labels feed semdedup end to end (the closed loop the two
     operators exist for)."""
-    from delver_spark.operators.similarity import _assign_cells, kmeans_cells
-    from delver_spark.operators.similarity import quantize
+    from delver_spark.operators.similarity import kmeans_assign, kmeans_cells
 
     out, cents = kmeans_cells(planted_emb, k=4, n_iter=2,
                               return_centroids=True)
@@ -407,8 +406,9 @@ def test_kmeans_structure(planted_emb):
     repart = kmeans_cells(planted_emb.repartition(13), k=4, n_iter=2)
     assert sorted(map(tuple, repart.collect())) == base
 
-    q = quantize(planted_emb, "vec_id", "embedding", extra_cols=())
-    again = _assign_cells(q, cents, "vec_id")
+    # kmeans_assign with the fit's centroids reproduces the fit's
+    # assignment (fixed point; the incremental-ingest contract)
+    again = kmeans_assign(planted_emb, cents)
     assert sorted(map(tuple, again.collect())) == base
 
     relabeled = (planted_emb.drop("label")
