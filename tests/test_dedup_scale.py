@@ -298,16 +298,20 @@ def test_semdedup_equals_sequential_reference(planted_emb):
 def test_semdedup_structure(planted_emb):
     """Structural invariants: exactly one keeper per component; a
     component never spans cells (the pair stage is cluster-scoped);
-    broadcast and shuffle centroid plans agree."""
+    the arrow per-cell kernel, the declarative plan, and its
+    shuffle-centroid variant all agree row for row."""
     import collections
-    out = D.semdedup(planted_emb).collect()
+    out = D.semdedup(planted_emb).collect()          # arrow (default)
     keep_per_comp = collections.Counter(r.component for r in out if r.keep)
     assert set(keep_per_comp.values()) == {1}
     cells_per_comp = collections.defaultdict(set)
     for r in out:
         cells_per_comp[r.component].add(r.label)
     assert all(len(s) == 1 for s in cells_per_comp.values())
-    no_bcast = D.semdedup(planted_emb, broadcast_centroids=False).collect()
+    decl = D.semdedup(planted_emb, use_arrow=False).collect()
+    assert sorted(map(tuple, decl)) == sorted(map(tuple, out))
+    no_bcast = D.semdedup(planted_emb, broadcast_centroids=False,
+                          use_arrow=False).collect()
     assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
 
 
