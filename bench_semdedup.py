@@ -41,6 +41,10 @@ def ensure_corpus(n: int) -> str:
     if os.path.exists(os.path.join(d, "_DONE")):
         return d
     base = base_corpus(n)
+    # restart-safe: a partial dir without _DONE must rebuild cleanly
+    # (symlinks would otherwise FileExistsError on the rerun)
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     import duckdb
     con = duckdb.connect()
@@ -85,13 +89,15 @@ def run(corpus: str, cpus: int, ks: list[int]) -> list[dict]:
         cells = labels.groupBy("label").count()
         pair_evals = int(cells.agg(F.sum(
             F.col("count") * (F.col("count") - 1) / 2)).collect()[0][0])
-        labeled = emb.join(labels, "vec_id")
-        t0 = time.perf_counter()
-        res = semdedup(labeled)
-        agg = res.agg(F.count("*").alias("n"),
-                      F.sum(F.col("keep").cast("long")).alias("kept")
-                      ).collect()[0]
-        t_sd = time.perf_counter() - t0
+        labeled = emb.join(labels, "vec_id").localCheckpoint(eager=True)
+        t_sd = float("inf")
+        for _ in range(2):            # best-of-2 (CLAUDE.md bench rule)
+            t0 = time.perf_counter()
+            res = semdedup(labeled)
+            agg = res.agg(F.count("*").alias("n"),
+                          F.sum(F.col("keep").cast("long")).alias("kept")
+                          ).collect()[0]
+            t_sd = min(t_sd, time.perf_counter() - t0)
         out.append({"cpus": cpus, "n": n, "k": k,
                     "pair_evals": pair_evals,
                     "pair_frac": round(pair_evals / (n * (n - 1) / 2), 6),

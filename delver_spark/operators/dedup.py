@@ -547,6 +547,31 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("doc_a", "doc_b", "cos_milli").orderBy("doc_a", "doc_b"))
 
 
+def _round_half_away(x):
+    """Vectorized float64 round-half-away-from-zero, bit-identical to
+    Spark ``F.round`` / DuckDB ``round`` on doubles. The naive
+    ``floor(x+0.5)`` trick diverges on NEAR-TIE doubles: for x just
+    below a half-integer (e.g. 0.49999999999999994, the largest double
+    < 0.5) the float add ``x+0.5`` rounds UP across the integer and
+    floor returns m where both engines return m-1 (r5 review finding,
+    verified). Those lanes are exactly the ones where ``x±0.5`` lands
+    on an integer the real sum never reached — detect and correct them
+    (f±0.5 is exact for |f| < 2^53, so the comparisons are exact)."""
+    import numpy as np
+
+    f = np.floor(x + 0.5)
+    over = (x + 0.5 == f) & (x < f - 0.5)
+    c = np.ceil(x - 0.5)
+    under = (x - 0.5 == c) & (x > c + 0.5)
+    return np.where(x >= 0, np.where(over, f - 1, f),
+                    np.where(under, c + 1, c))
+
+
+# id types the per-cell kernel can carry through its pandas output
+# (checked driver-side, same policy as _GRAM_ID_TYPES)
+_SEMDEDUP_ID_TYPES = {"bigint": "int64", "int": "int32"}
+
+
 def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
                           id_col: str, cell_col: str) -> DataFrame:
     """The entire per-cell SemDeDup kernel (centroid cosine, pair
@@ -559,9 +584,14 @@ def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
     plan operation for operation (exact int64 dots; float64 products
     of exactly-converted ints; round half-away-from-zero), so the two
     plans are bit-identical — pinned in tests/test_dedup_scale.py and
-    by the driver gate twin. Zero vectors (all-zero after milli
-    quantization) raise: their cosine is 0/0, a degenerate input the
-    declarative plan would also mangle (NaN); reject loudly.
+    by the driver gate twin; the round uses :func:`_round_half_away`
+    (near-tie-corrected), not the naive floor trick. Degenerate inputs
+    raise LOUDLY instead of silently diverging from the declarative
+    plan (which NaN-mangles them): zero vectors, zero CENTROID sums
+    (cells whose quantized vectors cancel — 0/0 cosine would cast NaN
+    to INT64_MIN here), and NULL/ragged embeddings (the declarative
+    plan null-propagates those; filter upstream or use
+    ``use_arrow=False`` if you need that behavior).
 
     Memory bound per task: one cell's n_c×dim int64 matrix + its
     n_c×n_c cosine block — the paper's k ∝ n rule (bounded cells) is
@@ -569,8 +599,15 @@ def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
     from delver_spark.operators.extract import col_simple_type
 
     cell_t = col_simple_type(q0, "_cell")
-    out_schema = (f"{id_col} long, {cell_col} {cell_t}, component long, "
-                  f"cent_cos_milli long, keep boolean")
+    id_t = col_simple_type(q0, "_vid")
+    if id_t not in _SEMDEDUP_ID_TYPES:
+        raise TypeError(f"semdedup(use_arrow=True): unsupported id type "
+                        f"{id_t!r} (supported: "
+                        f"{sorted(_SEMDEDUP_ID_TYPES)}); "
+                        f"use_arrow=False handles any type")
+    np_id = _SEMDEDUP_ID_TYPES[id_t]
+    out_schema = (f"{id_col} {id_t}, {cell_col} {cell_t}, "
+                  f"component {id_t}, cent_cos_milli long, keep boolean")
     thr = int(threshold_milli)
 
     def fn(pdf):
@@ -580,24 +617,34 @@ def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
         vids = pdf["_vid"].to_numpy()
         order = np.argsort(vids)
         vids = vids[order].astype(np.int64)
-        X = np.asarray([np.asarray(v, dtype=np.int64)
-                        for v in pdf["q"].iloc[order]], dtype=np.int64)
+        qcol = pdf["q"].iloc[order]
+        if qcol.isna().any():
+            raise ValueError("semdedup: NULL embedding (the arrow "
+                             "kernel rejects it; filter upstream or "
+                             "use_arrow=False to null-propagate)")
+        try:
+            X = np.asarray([np.asarray(v, dtype=np.int64)
+                            for v in qcol], dtype=np.int64)
+        except (TypeError, ValueError) as ex:
+            raise ValueError("semdedup: NULL vector component or "
+                             "ragged embedding lengths") from ex
         nm = (X * X).sum(axis=1)
         if (nm == 0).any():
             raise ValueError("semdedup: zero vector after milli "
                              "quantization (cosine undefined)")
         s = X.sum(axis=0)                       # int64 centroid sums
         nc = float(sum(int(v) * int(v) for v in s))  # exact-int → f64
+        if nc == 0.0:
+            raise ValueError("semdedup: cell centroid sum is zero "
+                             "(vectors cancel; cosine to centroid "
+                             "undefined)")
         num = (X @ s).astype(np.float64) * 1000.0
         den = np.sqrt(nm.astype(np.float64) * nc)
-        x = num / den
-        cc = np.where(x >= 0, np.floor(x + 0.5),
-                      np.ceil(x - 0.5)).astype(np.int64)
+        cc = _round_half_away(num / den).astype(np.int64)
 
         dots = (X @ X.T).astype(np.float64) * 1000.0
         nf = nm.astype(np.float64)
-        cos = dots / np.sqrt(nf[:, None] * nf[None, :])
-        cm = np.where(cos >= 0, np.floor(cos + 0.5), np.ceil(cos - 0.5))
+        cm = _round_half_away(dots / np.sqrt(nf[:, None] * nf[None, :]))
         n = len(vids)
         iu, ju = np.triu_indices(n, k=1)
         hit = cm[iu, ju] >= thr
@@ -631,8 +678,10 @@ def _semdedup_cells_arrow(q0: DataFrame, threshold_milli: int,
         for _, i in best.values():
             keep[i] = True
         return pd.DataFrame({
-            id_col: vids, cell_col: pdf["_cell"].iloc[order].to_numpy(),
-            "component": comp, "cent_cos_milli": cc, "keep": keep})
+            id_col: vids.astype(np_id),
+            cell_col: pdf["_cell"].iloc[order].to_numpy(),
+            "component": comp.astype(np_id),
+            "cent_cos_milli": cc, "keep": keep})
 
     return q0.groupBy("_cell").applyInPandas(fn, schema=out_schema)
 
@@ -673,7 +722,7 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id",
     Scale shape — ``use_arrow=True`` (default, r5-s3): ONE shuffle by
     cell id, then the entire per-cell kernel (centroid cosine, pair
     matmul, union-find, keeper) runs locally in numpy via
-    applyInPandas (``_semdedup_cells_arrow`` — ~40x on the pair
+    applyInPandas (``_semdedup_cells_arrow`` — ~80x on the pair
     stage vs the Catalyst zip_with-per-pair chain, bench_semdedup.py);
     per-task memory is one cell's matrix + cosine block, bounded by
     the k ∝ n rule. ``use_arrow=False`` keeps the declarative plan

@@ -95,13 +95,16 @@ def main(n: int = 20000) -> None:
               f"dropped of {n // 100} planted (cell-scoped recall; "
               f"cross-cell pairs are out of scope by design)")
 
-        # 4. kept set → IVF index → multi-probe search
+        # 4. kept set → IVF index → multi-probe search (query a
+        # known-kept id — vec 0 has a planted dup and may itself be
+        # the dropped member)
         kept = labeled.join(sd.filter("keep").select("vec_id"), "vec_id")
+        qid = kept.agg(F.min("vec_id")).collect()[0][0]
         index = build_ivf_index(kept)
-        hits = cosine_topk_ivf(kept, query_id=0, k=5, n_probe=3,
+        hits = cosine_topk_ivf(kept, query_id=qid, k=5, n_probe=3,
                                index=index).collect()
         t4 = time.time()
-        print(f"[4 search   {t4 - t3:6.2f}s] top-5 for vec 0 over "
+        print(f"[4 search   {t4 - t3:6.2f}s] top-5 for vec {qid} over "
               f"{kept.count()} kept: "
               f"{[(r['vec_id'], r['dot_milli2']) for r in hits]}")
         print(f"[total      {t4 - t0:6.2f}s] fit→assign→dedup→index→probe")

@@ -315,6 +315,61 @@ def test_semdedup_structure(planted_emb):
     assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
 
 
+def test_round_half_away_three_engines(spark):
+    """_round_half_away == Spark F.round == DuckDB round on doubles,
+    INCLUDING the near-tie lanes where the naive floor(x+0.5) trick
+    diverges (x just below a half-integer: the float add rounds up
+    across the integer — r5 review finding)."""
+    import duckdb
+
+    from delver_spark.operators.dedup import _round_half_away
+
+    vals = [0.49999999999999994, -0.49999999999999994, 0.5, -0.5,
+            2.5, -2.5, 0.0, 1.5, -1.5, 402.49999999999994,
+            -402.49999999999994, 999.5, -999.5, 0.4999999999999999]
+    rng = np.random.default_rng(5)
+    vals += [float(x) for x in rng.uniform(-1000, 1000, 200)]
+    # floats just below half-integers at varied magnitudes
+    vals += [float(np.nextafter(m + 0.5, -np.inf))
+             for m in (0.0, 1.0, 7.0, 63.0, 511.0)]
+
+    ours = [int(v) for v in _round_half_away(np.array(vals))]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+    got_spark = [r[0] for r in
+                 sdf.select(F.round("x").cast("long")).collect()]
+    got_duck = [int(r[0]) for r in duckdb.connect().execute(
+        "SELECT CAST(round(x) AS BIGINT) FROM (SELECT unnest(?) AS x)",
+        [vals]).fetchall()]
+    assert ours == got_spark == got_duck
+    # non-vacuity: the naive trick DOES diverge on this input set
+    naive = [int(v) for v in np.where(
+        np.array(vals) >= 0, np.floor(np.array(vals) + 0.5),
+        np.ceil(np.array(vals) - 0.5))]
+    assert naive != ours
+
+
+def test_semdedup_arrow_degenerate_inputs(spark):
+    """The arrow kernel rejects inputs the declarative plan would
+    NaN-mangle: zero centroid sums (canceling vectors) and NULL
+    embeddings — loud errors, not INT64_MIN or a worker crash."""
+    import pytest as _pt
+
+    cancel = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [-1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    with _pt.raises(Exception, match="centroid sum is zero"):
+        D.semdedup(cancel).collect()
+    nulls = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, None, 1)],
+        "vec_id long, embedding array<float>, label int")
+    with _pt.raises(Exception, match="NULL embedding"):
+        D.semdedup(nulls).collect()
+    with _pt.raises(TypeError, match="unsupported id type"):
+        D.semdedup(cancel.withColumn(
+            "vec_id", cancel.vec_id.cast("string")))
+
+
 def test_semdedup_null_cell_singletons(spark):
     """NULL-cell (unclustered) vectors must surface as explicit
     singletons, not vanish through the cell equi-joins (r5 review
