@@ -287,6 +287,160 @@ def _assign_cells(q: DataFrame, cents: list, id_col: str) -> DataFrame:
     return q.mapInArrow(run, schema=f"{id_col} {id_type}, cell long")
 
 
+def split_oversized_cells(emb: DataFrame, labels: DataFrame,
+                          max_cell: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          cell_col: str = "label",
+                          max_rounds: int = 16) -> DataFrame:
+    """Enforce the k ∝ n cell-size contract POST-fit: recursively
+    bisect every cell larger than ``max_cell`` until none remains —
+    the operator form of the "a hot cell is a clustering problem,
+    fixed upstream" rule that semdedup's O(Σ n_c²) pair stage and the
+    per-task memory bound both rely on.
+
+    Split rule per round, all deterministic:
+
+    - geometric bisection: a hot cell's two seed centroids are its two
+      LOWEST-id vectors; members go to the nearer seed by the same
+      exact-int cosine argmax as ``kmeans_cells`` (near-dup pairs
+      project alike, so they stay together — the property SemDeDup
+      recall depends on); child label = parent·2 + branch.
+    - identical-mass fallback: a cell whose members are all one vector
+      CANNOT split geometrically (any projection ties; ties go one
+      way). A hot cell that did not shrink after its bisection is
+      hash-split by id into ceil(size/max_cell) children and retired —
+      recall loss is nil in practice because identical vectors are
+      exact duplicates, caught upstream by ``dedup.exact_dedup``.
+
+    Labeling per round is globally injective: with ``F`` the round's
+    max fanout, every cell ``c`` maps to ``c·F + j`` (non-hot cells
+    take ``j = 0``) — labels are opaque int64 ids, drift is fine.
+
+    Scale shape per round: one size agg over the labels table, two
+    tiny per-hot-cell seed aggs (map-side partial; the driver holds
+    2·dim longs per hot cell — the build_ivf_index contract), one
+    narrow mapInArrow pass over ONLY the hot cells' rows, and a
+    no-shuffle relabel map. Partitioning-invariant and pinned in
+    tests/test_dedup_scale.py."""
+    import math
+
+    out = labels.select(F.col(id_col),
+                        F.col(cell_col).cast("long").alias(cell_col))
+    q_all = quantize(emb, id_col, vec_col, extra_cols=())
+    for _ in range(max_rounds):
+        sizes = {r[cell_col]: r["n"] for r in
+                 out.groupBy(cell_col).agg(F.count("*").alias("n"))
+                 .collect()}
+        hot = sorted(c for c, n in sizes.items() if n > max_cell)
+        if not hot:
+            return out
+        rows = (q_all.join(out, id_col)
+                .filter(F.col(cell_col).isin([int(c) for c in hot])))
+        # two lowest-id seed vectors per hot cell: min-of-struct aggs
+        # (id leads, so the array field never drives the ordering)
+        sv = F.struct(F.col(id_col).alias("i"), F.col("q").alias("v"))
+        s0 = (rows.groupBy(cell_col).agg(F.min(sv).alias("s")))
+        seeds0 = {r[cell_col]: (r["s"]["i"], [int(x) for x in r["s"]["v"]])
+                  for r in s0.collect()}
+        s1 = (rows.join(s0.select(cell_col, F.col("s.i").alias("_i0")),
+                        cell_col)
+              .filter(F.col(id_col) != F.col("_i0"))
+              .groupBy(cell_col).agg(F.min(sv).alias("s")))
+        seeds1 = {r[cell_col]: [int(x) for x in r["s"]["v"]]
+                  for r in s1.collect()}
+        branch = _bisect_cells(rows, {c: (seeds0[c][1], seeds1[c])
+                                      for c in hot}, id_col, cell_col)
+        child_sizes = {(r[cell_col], r["branch"]): r["n"] for r in
+                       branch.groupBy(cell_col, "branch")
+                       .agg(F.count("*").alias("n")).collect()}
+        stuck = {c: math.ceil(sizes[c] / max_cell) for c in hot
+                 if max(child_sizes.get((c, 0), 0),
+                        child_sizes.get((c, 1), 0)) == sizes[c]}
+        fanout = max([2] + list(stuck.values()))
+        new_max = (max(sizes) + 1) * fanout + fanout
+        if new_max >= (1 << 62):
+            raise RuntimeError("split_oversized_cells: label space "
+                               "exhausted (pathological fanout)")
+        geo = [c for c in hot if c not in stuck]
+        relabeled = (out.join(branch.select(id_col, "branch"), id_col,
+                              "left")
+                     .withColumn(
+                         cell_col,
+                         F.when(F.col(cell_col).isin(
+                             [int(c) for c in stuck]) if stuck
+                             else F.lit(False),
+                             F.col(cell_col) * fanout
+                             + F.pmod(F.xxhash64(id_col),
+                                      _stuck_fanout_col(stuck, cell_col)))
+                         .when(F.col(cell_col).isin(
+                             [int(c) for c in geo]) if geo
+                             else F.lit(False),
+                             F.col(cell_col) * fanout + F.col("branch"))
+                         .otherwise(F.col(cell_col) * fanout))
+                     .select(id_col, cell_col))
+        out = relabeled.localCheckpoint(eager=True)
+    sizes = {r[cell_col]: r["n"] for r in
+             out.groupBy(cell_col).agg(F.count("*").alias("n")).collect()}
+    if any(n > max_cell for n in sizes.values()):
+        raise RuntimeError(f"split_oversized_cells: cells above "
+                           f"max_cell after {max_rounds} rounds")
+    return out
+
+
+def _stuck_fanout_col(stuck: dict, cell_col: str):
+    """Per-cell hash fanout as a literal when-chain (the stuck set is
+    tiny — cells whose members are all one vector)."""
+    expr = F.lit(2)
+    for c, s in stuck.items():
+        expr = F.when(F.col(cell_col) == int(c), int(s)).otherwise(expr)
+    return expr
+
+
+def _bisect_cells(rows: DataFrame, seeds: dict, id_col: str,
+                  cell_col: str) -> DataFrame:
+    """One nearest-seed assignment pass over the hot cells' rows:
+    ``(id, cell, branch)`` with branch ∈ {0, 1} by the same
+    signed-square cosine argmax as :func:`_assign_cells` (exact int64
+    dots; ties → branch 0)."""
+    import numpy as np
+
+    from delver_spark.operators.extract import col_simple_type
+
+    packed = {int(c): _cents_arrays([a, b]) for c, (a, b) in seeds.items()}
+    dim = len(next(iter(seeds.values()))[0])
+    id_type = col_simple_type(rows, id_col)
+    cell_type = col_simple_type(rows, cell_col)
+    ipos = rows.columns.index(id_col)
+    qpos = rows.columns.index("q")
+    cpos = rows.columns.index(cell_col)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cells = rb.column(cpos).to_numpy(zero_copy_only=False)
+            qs = rb.column(qpos)
+            if isinstance(qs, pa.ChunkedArray):
+                qs = qs.combine_chunks()
+            flat = qs.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(rb.num_rows, dim)
+            branch = np.zeros(rb.num_rows, dtype=np.int64)
+            for c in np.unique(cells):
+                C_T, ns_f, ok = packed[int(c)]
+                m = cells == c
+                branch[m] = _argmax_cells(X[m], C_T, ns_f, ok)
+            yield pa.record_batch(
+                [rb.column(ipos), rb.column(cpos), pa.array(branch)],
+                names=[id_col, cell_col, "branch"])
+
+    return rows.mapInArrow(
+        run, schema=f"{id_col} {id_type}, {cell_col} {cell_type}, "
+                    f"branch long")
+
+
 def kmeans_assign(emb: DataFrame, centroid_sums: list,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   cell_col: str = "label") -> DataFrame:

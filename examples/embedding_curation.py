@@ -54,7 +54,8 @@ def main(n: int = 20000) -> None:
     from delver_spark.operators.similarity import (build_ivf_index,
                                                    cosine_topk_ivf,
                                                    kmeans_assign,
-                                                   kmeans_cells)
+                                                   kmeans_cells,
+                                                   split_oversized_cells)
     from delver_spark.session import get_spark
 
     spark = get_spark("embedding_curation_demo")
@@ -82,6 +83,17 @@ def main(n: int = 20000) -> None:
         print(f"[2 assign   {t2 - t1:6.2f}s] cell sizes "
               f"{stats[0]}..{stats[1]}")
 
+        # 2b. enforce the k ∝ n cell-size contract: semdedup's pair
+        # stage is O(sum n_c^2) — a hot cell from a skewed corpus
+        # would dominate; bisect any cell over the cap before dedup
+        max_cell = max(64, 4 * n // K)
+        labels = split_oversized_cells(emb, labels, max_cell=max_cell)
+        stats = (labels.groupBy("label").count()
+                 .agg(F.min("count"), F.max("count")).collect()[0])
+        t2b = time.time()
+        print(f"[2b split   {t2b - t2:6.2f}s] cell cap {max_cell}, "
+              f"sizes now {stats[0]}..{stats[1]}")
+
         # 3. semantic dedup within cells
         labeled = emb.join(labels, "vec_id")
         sd = semdedup(labeled).localCheckpoint(True)
@@ -91,7 +103,7 @@ def main(n: int = 20000) -> None:
         # a pair split across two cells is never compared (the paper
         # accepts this for the O(sum n_c^2) bound; raise k more slowly
         # or use dedup.embedding_lsh_pairs for cell-free recall)
-        print(f"[3 semdedup {t3 - t2:6.2f}s] {dropped} near-dups "
+        print(f"[3 semdedup {t3 - t2b:6.2f}s] {dropped} near-dups "
               f"dropped of {n // 100} planted (cell-scoped recall; "
               f"cross-cell pairs are out of scope by design)")
 

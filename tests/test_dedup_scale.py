@@ -315,6 +315,43 @@ def test_semdedup_structure(planted_emb):
     assert sorted(map(tuple, no_bcast)) == sorted(map(tuple, out))
 
 
+def test_split_oversized_cells(spark):
+    """The k ∝ n enforcement operator: hot cells bisect geometrically
+    (near-dup clouds stay together), identical-mass cells fall back to
+    the deterministic hash split, small cells are untouched, and the
+    result is partitioning-invariant."""
+    import collections
+
+    from delver_spark.operators.similarity import split_oversized_cells
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):                 # cell 0: identical (unsplittable)
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+    for i in range(150):                 # cell 1: two separable clouds
+        base = [0.0, 1.0, 0.0, 0.0] if i % 2 else [0.0, 0.0, 1.0, 0.0]
+        v = np.array(base) + rng.normal(scale=0.05, size=4)
+        rows.append((1000 + i, [float(x) for x in v], 1))
+    for i in range(10):                  # cell 2: small, untouched
+        rows.append((5000 + i, [0.0, 0.0, 0.0, 1.0], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    labels = emb.select("vec_id", "label")
+
+    out = split_oversized_cells(emb, labels, max_cell=100)
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert len(got) == len(rows)
+    assert max(collections.Counter(got.values()).values()) <= 100
+    assert len({got[5000 + i] for i in range(10)}) == 1
+    cloud_a = {got[1000 + i] for i in range(150) if i % 2}
+    cloud_b = {got[1000 + i] for i in range(150) if not i % 2}
+    assert cloud_a.isdisjoint(cloud_b)   # geometric split kept locality
+
+    out2 = split_oversized_cells(emb.repartition(7),
+                                 labels.repartition(5), max_cell=100)
+    assert {r["vec_id"]: r["label"] for r in out2.collect()} == got
+
+
 def test_round_half_away_three_engines(spark):
     """_round_half_away == Spark F.round == DuckDB round on doubles,
     INCLUDING the near-tie lanes where the naive floor(x+0.5) trick
