@@ -171,6 +171,250 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
             .orderBy(F.desc("dot_milli2"), id_col).limit(k))
 
 
+def _probe_cells_pass(qq_df: DataFrame, S, n_probe: int,
+                      dim: int) -> DataFrame:
+    """Distributed probe-cell ranking: one narrow mapInArrow pass over
+    the quantized queries emitting ``(qid, cell_index)`` — ``n_probe``
+    rows per query, cell_index into the SORTED cell-id list. Ranking
+    is the exact integer dot with each cell's summed vector, ties →
+    lower cell id (stable argsort over the sorted cell axis — the
+    identical rule :func:`rank_probe_cells` applies driver-side)."""
+    import numpy as np
+
+    from delver_spark.operators.extract import col_simple_type
+
+    qid_col = qq_df.columns[0]
+    id_type = col_simple_type(qq_df, qid_col)
+    S_T = np.ascontiguousarray(S.T)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            qs = rb.column(1)
+            if isinstance(qs, pa.ChunkedArray):
+                qs = qs.combine_chunks()
+            flat = qs.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(rb.num_rows, dim)
+            scores = _exact_matmul(X, S_T)
+            order = np.argsort(-scores, axis=1,
+                               kind="stable")[:, :n_probe]
+            qid = rb.column(0).to_numpy(zero_copy_only=False)
+            yield pa.record_batch(
+                [pa.array(np.repeat(qid, n_probe)),
+                 pa.array(order.ravel().astype(np.int64))],
+                names=[qid_col, "cell_ix"])
+
+    return qq_df.mapInArrow(
+        run, schema=f"{qid_col} {id_type}, cell_ix long")
+
+
+def _exact_matmul(A, B):
+    """Integer matrix product, exact, via float64 BLAS when provably
+    safe: if ``inner_dim × max|A| × max|B| < 2⁵³`` every partial sum
+    of the product is an exactly-representable float64 integer, so the
+    BLAS result (any summation order) equals the int64 product — at
+    ~100× the speed of numpy's non-BLAS int64 matmul. Otherwise falls
+    back to the exact int64 path. Bound computed in python bigints (an
+    int64 expression could itself wrap)."""
+    import numpy as np
+
+    bound = (int(A.shape[-1])
+             * int(max(1, np.abs(A).max(initial=0)))
+             * int(max(1, np.abs(B).max(initial=0))))
+    if bound < (1 << 53):
+        return (A.astype(np.float64) @ B.astype(np.float64)) \
+            .astype(np.int64)
+    return A @ B
+
+
+def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
+                          n_probe: int = 1, index: dict | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          cell_col: str = "label",
+                          qid_col: str = "query_id",
+                          qvec_col: str = "embedding",
+                          exclude_self: bool = True) -> DataFrame:
+    """Batch ANN: exact top-k within the ``n_probe`` nearest IVF cells
+    for EVERY query in a queries table, in ONE pass over the corpus —
+    the production shape of :func:`cosine_topk_ivf`, whose
+    query-at-a-time driver loop is a demo/debug surface (searching a
+    million queries one Spark job each would be a million job
+    launches).
+
+    Semantics per query: probe cells = top ``n_probe`` cells by exact
+    integer dot of the query with each cell's summed vector
+    (ties → lower cell id — the :func:`rank_probe_cells` ranking,
+    WITHOUT the own-cell prepend: queries here are external, so "the
+    query's own cell" is simply whichever ranks first); result = top
+    ``k`` corpus vectors in those cells by exact integer dot
+    (ties → lower ``id_col``), excluding rows whose id equals the
+    query id when ``exclude_self`` (corpus-as-queries self-join use).
+
+    Scale shape — the whole operator is three bounded pieces:
+
+    1. probe assignment: the quantized query matrix × the index matrix
+       (n_cells × dim longs — the build_ivf_index driver contract) as
+       one driver numpy matmul. CONTRACT: the query batch must fit in
+       a broadcast (n_q × dim longs), the same G-bounded contract as
+       the crawl fetch's key set; shard the query table and loop for
+       more.
+    2. ONE narrow mapInArrow pass over the corpus filtered to the
+       probed-cell union — a literal isin that prunes
+       partitions/row-groups when the table is bucketed by cell.
+       Each task matmuls its rows against only the queries probing
+       that row's cell and keeps a LOCAL top-k per (query, cell), so
+       the pass emits ≤ k rows per query per cell per PARTITION —
+       never the full candidate cross product.
+    3. one window shuffle merges the partials to the global exact
+       top-k per query. The partials volume is what a cell-bucketed
+       layout buys here: with each cell resident in one partition the
+       merge input is ~n_q × n_probe × k rows regardless of core
+       count, while a round-robin layout multiplies it by the number
+       of partitions holding each cell (measured 2×+ on the bench
+       corpus — bench_ivf.py writes the corpus repartitioned by cell,
+       the same ingest-time contract build_ivf_index documents).
+
+    Dots are exact int64 (same bound as :func:`_assign_cells`); local
+    and global ranking both use (dot desc, id asc), so the result is
+    deterministic and partitioning-invariant (pinned vs a pure-python
+    reference and vs brute force at n_probe = n_cells in
+    tests/test_dedup_scale.py)."""
+    import numpy as np
+
+    from delver_spark.operators.extract import col_simple_type
+
+    if index is None:
+        index = build_ivf_index(emb, id_col, vec_col, cell_col)
+    if not index:
+        raise ValueError("cosine_topk_ivf_batch: empty IVF index")
+    spark = emb.sparkSession
+    out_schema = (f"{qid_col} {col_simple_type(queries, qid_col)}, "
+                  f"{id_col} {col_simple_type(emb, id_col)}, "
+                  "dot_milli2 long")
+    dim = len(next(iter(index.values())))
+    # Arrow-native query load: a row collect + python int loops here
+    # is O(n_q × dim) interpreter work — measured dominating the whole
+    # operator at 10⁵ queries
+    qt = quantize(queries, qid_col, qvec_col, extra_cols=()).toArrow()
+    nq = qt.num_rows
+    if nq == 0:
+        return spark.createDataFrame([], out_schema)
+    qid_np = qt.column(0).to_numpy(zero_copy_only=False)
+    qflat = (qt.column(1).combine_chunks().flatten()
+             .to_numpy(zero_copy_only=False))
+    if qflat.size != nq * dim:
+        raise ValueError(
+            f"cosine_topk_ivf_batch: ragged/null query vectors "
+            f"(expected dim {dim})")
+    Q = np.ascontiguousarray(qflat.reshape(nq, dim))            # nq×dim
+
+    cell_ids = sorted(index)
+    S = np.array([index[c] for c in cell_ids], dtype=np.int64)  # nc×dim
+    int_cells = all(isinstance(c, (int, np.integer)) for c in cell_ids)
+    n_probe = min(n_probe, len(cell_ids))
+    # probe-cell ranking runs DISTRIBUTED over the queries (the index
+    # matrix is n_cells × dim longs — closure-sized); ranking 10⁵
+    # queries on the driver was the measured serial wall of the whole
+    # operator. Only the compact (query row, probed cell) pairs come
+    # back: n_q × n_probe ints.
+    qq_df = quantize(queries, qid_col, qvec_col, extra_cols=())
+    pc_tab = _probe_cells_pass(qq_df, S, n_probe, dim).toArrow()
+    qid_pc = pc_tab.column(0).to_numpy(zero_copy_only=False)
+    ci_pc = pc_tab.column(1).to_numpy(zero_copy_only=False)
+    # map probe-pair qids back to Q row indices (qids are unique)
+    sorter = np.argsort(qid_np, kind="stable")
+    rowix = sorter[np.searchsorted(qid_np, qid_pc, sorter=sorter)]
+    by_cell: dict = {}     # cell -> int32 row indices into Q
+    cord = np.argsort(ci_pc, kind="stable")
+    ci_sorted, rows_sorted = ci_pc[cord], rowix[cord].astype(np.int32)
+    uniq, starts = np.unique(ci_sorted, return_index=True)
+    bounds = list(starts) + [len(ci_sorted)]
+    for j, ci in enumerate(uniq):
+        by_cell[cell_ids[ci]] = rows_sorted[bounds[j]:bounds[j + 1]]
+    probed = sorted(by_cell)
+    # a real broadcast, not closure capture: the query matrix is
+    # n_q × dim longs (the operator's documented size contract) —
+    # inside the closure it would re-ship per task; as a broadcast
+    # each worker fetches it once
+    bc = spark.sparkContext.broadcast((qid_np, Q, by_cell))
+
+    q_corp = quantize(emb, id_col, extra_cols=(cell_col,))
+    rows = q_corp.filter(F.col(cell_col).isin(list(probed)))
+    ipos = rows.columns.index(id_col)
+    qpos = rows.columns.index("q")
+    cpos = rows.columns.index(cell_col)
+
+    def run(batches):
+        import pyarrow as pa
+
+        # ONE pass over the whole partition (concat its batches): the
+        # local top-k is per (query, cell, pass), so per-arrow-batch
+        # processing would multiply the partials — and the merge
+        # shuffle is this operator's only O(output) stage. Memory is
+        # the quantized partition (rows × dim longs), bounded by
+        # maxPartitionBytes.
+        rbs = [rb for rb in batches if rb.num_rows]
+        if not rbs:
+            return
+        bqid, bQ, bcells = bc.value
+        tab = pa.Table.from_batches(rbs)
+        cells = tab.column(cpos).to_numpy(zero_copy_only=False)
+        ids = tab.column(ipos).to_numpy(zero_copy_only=False)
+        qs = tab.column(qpos).combine_chunks()
+        flat = qs.flatten().to_numpy(zero_copy_only=False)
+        X = flat.reshape(tab.num_rows, dim)
+        out_q, out_i, out_d = [], [], []
+        for c in np.unique(cells):
+            qidx = bcells.get(int(c) if int_cells else c)
+            if qidx is None:
+                continue
+            Qc_T = np.ascontiguousarray(bQ[qidx].T)     # dim×m
+            m = cells == c
+            # pre-sort candidates by id so a STABLE argsort on -dot
+            # gives (dot desc, id asc) per query column — the whole
+            # cell×queries top-k is then one vectorized pass (a
+            # per-query python loop here is constant cost per
+            # partition and anti-scales with cores)
+            perm = np.argsort(ids[m], kind="stable")
+            Xc, idc = X[m][perm], ids[m][perm]
+            D = _exact_matmul(Xc, Qc_T)             # rows×m, exact
+            kk = min(k + 1 if exclude_self else k, len(idc))
+            ordk = np.argsort(-D, axis=0, kind="stable")[:kk]
+            ids_top = idc[ordk]                     # kk×m
+            dots_top = np.take_along_axis(D, ordk, 0)
+            qcol = bqid[qidx]                       # (m,)
+            if exclude_self:
+                keep = ids_top != qcol[None, :]
+            else:
+                keep = np.ones(ids_top.shape, dtype=bool)
+            rank = np.cumsum(keep, axis=0) - 1
+            take = keep & (rank < k)
+            colix = np.broadcast_to(
+                np.arange(D.shape[1]), ids_top.shape)[take]
+            out_q.append(qcol[colix])
+            out_i.append(ids_top[take])
+            out_d.append(dots_top[take])
+        if not out_q:
+            return
+        yield pa.record_batch(
+            [pa.array(np.concatenate(out_q)),
+             pa.array(np.concatenate(out_i)),
+             pa.array(np.concatenate(out_d))],
+            names=[qid_col, id_col, "dot_milli2"])
+
+    from pyspark.sql import Window
+    partials = rows.mapInArrow(run, schema=out_schema)
+    w = (Window.partitionBy(qid_col)
+         .orderBy(F.desc("dot_milli2"), F.col(id_col)))
+    return (partials.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(qid_col, id_col, "dot_milli2"))
+
+
 def _cents_arrays(cents: list):
     import numpy as np
 

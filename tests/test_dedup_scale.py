@@ -515,3 +515,72 @@ def test_kmeans_structure(planted_emb):
         comp_cells.setdefault(r.component, set()).add(r.label)
     assert len(sd) == planted_emb.count()
     assert all(len(s) == 1 for s in comp_cells.values())
+
+
+def test_cosine_topk_ivf_batch(planted_emb, spark):
+    """Batch ANN pins: (1) exact equality vs a pure-python reference
+    implementing the documented semantics (probe = top-n_probe cells by
+    raw dot with cell sums, ties low cell id; result = top-k by dot,
+    ties low vec_id, self excluded); (2) at n_probe = n_cells the batch
+    equals brute force per query; (3) partitioning invariance."""
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   cosine_topk_bruteforce,
+                                                   cosine_topk_ivf_batch,
+                                                   quantize)
+
+    index = build_ivf_index(planted_emb)
+    corpus = [(r["vec_id"], [int(v) for v in r["q"]], r["label"])
+              for r in quantize(planted_emb, "vec_id",
+                                extra_cols=("label",)).collect()]
+    rng = np.random.default_rng(7)
+    qrows = [(10000 + i,
+              [float(x) for x in (lambda v: v / np.linalg.norm(v))(
+                  rng.normal(size=64))])
+             for i in range(12)]
+    qrows.append((corpus[3][0],                       # corpus vec as query
+                  [float(x) for x in planted_emb.collect()[3]["embedding"]]))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>")
+    qq = {r["query_id"]: [int(v) for v in r["q"]]
+          for r in quantize(queries, "query_id", extra_cols=()).collect()}
+
+    def reference(n_probe, k):
+        out = []
+        for qid, qv in qq.items():
+            cs = sorted(((-sum(s * v for s, v in zip(sums, qv)), c)
+                         for c, sums in index.items()))
+            probe = {c for _, c in cs[:n_probe]}
+            cand = [(-sum(a * b for a, b in zip(cq, qv)), vid)
+                    for vid, cq, lab in corpus
+                    if lab in probe and vid != qid]
+            for nd, vid in sorted(cand)[:k]:
+                out.append((qid, vid, -nd))
+        return sorted(out)
+
+    for n_probe, k in ((1, 5), (3, 4)):
+        got = sorted((r["query_id"], r["vec_id"], r["dot_milli2"])
+                     for r in cosine_topk_ivf_batch(
+                         planted_emb, queries, k=k, n_probe=n_probe,
+                         index=index).collect())
+        assert got == reference(n_probe, k)
+        assert len(got) == len(qq) * k          # non-vacuous, all queries
+
+    # full probe == brute force for the corpus-member query
+    full = cosine_topk_ivf_batch(planted_emb, queries, k=5,
+                                 n_probe=len(index), index=index)
+    got3 = sorted((r["vec_id"], r["dot_milli2"]) for r in
+                  full.filter(F.col("query_id") == corpus[3][0]).collect())
+    bf = sorted((r["vec_id"], r["dot_milli2"]) for r in
+                cosine_topk_bruteforce(planted_emb,
+                                       corpus[3][0], k=5).collect())
+    assert got3 == bf
+
+    # partitioning invariance
+    got_rp = sorted((r["query_id"], r["vec_id"], r["dot_milli2"])
+                    for r in cosine_topk_ivf_batch(
+                        planted_emb.repartition(9),
+                        queries.repartition(4), k=4, n_probe=3,
+                        index=index).collect())
+    assert got_rp == reference(3, 4)
