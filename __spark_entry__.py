@@ -599,17 +599,32 @@ def ann_ivf_label(spark, sf):
 
 
 def ann_topk_ops(spark, sf):
-    """Tagged union of the two top-k search plans (50-slot consolidation,
+    """Tagged union of the top-k search plans (50-slot consolidation,
     same policy as x14+o6): 'brute' = exact all-rows top-10, 'ivf' =
-    cell-restricted top-5. One dots CTE serves both in the twin."""
+    cell-restricted top-5, 'batch<qid>' = the bulk one-corpus-pass
+    surface (cosine_topk_ivf_batch, r5-s4) for corpus vectors 1/2/3 as
+    queries — real corpus ids so the self-exclusion rule is exercised;
+    probe = top-2 cells by summed-centroid dot over ALL cells (no
+    own-cell prepend — batch queries are external by contract). One
+    dots CTE serves brute/ivf in the twin; the batch leg re-derives
+    the probe ranking per query in SQL."""
     emb = _t(spark, sf, "embeddings")
     brute = (_sim.cosine_topk_bruteforce(emb, 0, 10)
              .join(emb.select("vec_id", "label"), "vec_id")
              .withColumn("method", F.lit("brute")))
     ivf = (_sim.cosine_topk_ivf(emb, 0, 5)
            .withColumn("method", F.lit("ivf")))
+    queries = (emb.filter(F.col("vec_id").isin([1, 2, 3]))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    batch = (_sim.cosine_topk_ivf_batch(
+                 emb, queries, k=5, n_probe=2,
+                 index=_ivf_index_for(spark, sf))
+             .join(emb.select("vec_id", "label"), "vec_id")
+             .withColumn("method", F.concat(
+                 F.lit("batch"), F.col("query_id").cast("string"))))
     cols = ["method", "vec_id", "label", "dot_milli2"]
     return (brute.select(cols).unionByName(ivf.select(cols))
+            .unionByName(batch.select(cols))
             .orderBy("method", F.desc("dot_milli2"), "vec_id"))
 
 
@@ -1783,8 +1798,41 @@ def oracle_sql() -> dict[str, str]:
             ivf AS (
               SELECT 'ivf' AS method, vec_id, label, dot_milli2 FROM dots
               WHERE label = (SELECT qlabel FROM query)
-              ORDER BY dot_milli2 DESC, vec_id LIMIT 5)
+              ORDER BY dot_milli2 DESC, vec_id LIMIT 5),
+            bq AS (SELECT vec_id AS qid, qv AS qq FROM q
+                   WHERE vec_id IN (1, 2, 3)),
+            ex AS (SELECT label, i, qv[i] AS val
+                   FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+            cell_sums AS (
+              SELECT label, i, CAST(sum(val) AS BIGINT) AS s
+              FROM ex GROUP BY label, i),
+            bq_scores AS (
+              SELECT bq.qid, cs.label,
+                     CAST(sum(cs.s * bq.qq[cs.i]) AS BIGINT) AS score
+              FROM cell_sums cs, bq GROUP BY bq.qid, cs.label),
+            bq_probe AS (
+              SELECT qid, label FROM (
+                SELECT qid, label,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, label) AS rn
+                FROM bq_scores) WHERE rn <= 2),
+            bq_dots AS (
+              SELECT bq.qid, q.vec_id, q.label,
+                     (SELECT CAST(sum(q.qv[i] * bq.qq[i]) AS BIGINT)
+                      FROM unnest(generate_series(1, len(q.qv))) AS g(i))
+                       AS dot_milli2
+              FROM q
+              JOIN bq ON q.vec_id <> bq.qid
+              JOIN bq_probe p ON p.qid = bq.qid AND p.label = q.label),
+            batch AS (
+              SELECT 'batch' || CAST(qid AS VARCHAR) AS method,
+                     vec_id, label, dot_milli2
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY qid
+                        ORDER BY dot_milli2 DESC, vec_id) AS rn
+                    FROM bq_dots) WHERE rn <= 5)
             SELECT * FROM brute UNION ALL SELECT * FROM ivf
+            UNION ALL SELECT * FROM batch
             ORDER BY method, dot_milli2 DESC, vec_id
         """,
         "ann_kmeans_cells": _kmeans_cells_sql(k=4, n_iter=2),
