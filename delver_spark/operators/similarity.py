@@ -171,44 +171,27 @@ def cosine_topk_ivf(emb: DataFrame, query_id: int, k: int = 5,
             .orderBy(F.desc("dot_milli2"), id_col).limit(k))
 
 
-def _probe_cells_pass(qq_df: DataFrame, S, n_probe: int,
-                      dim: int) -> DataFrame:
-    """Distributed probe-cell ranking: one narrow mapInArrow pass over
-    the quantized queries emitting ``(qid, cell_index)`` — ``n_probe``
-    rows per query, cell_index into the SORTED cell-id list. Ranking
-    is the exact integer dot with each cell's summed vector, ties →
-    lower cell id (stable argsort over the sorted cell axis — the
-    identical rule :func:`rank_probe_cells` applies driver-side)."""
+def _rank_probe_cells_matrix(Q, S, n_probe: int):
+    """Probe-cell ranking for a query MATRIX, driver-side: chunked
+    ``Q @ S.T`` (exact via :func:`_exact_matmul`) + stable argsort, so
+    ties go to the lower index in the sorted cell-id axis — the
+    identical rule :func:`rank_probe_cells` applies per query. Returns
+    an (nq × n_probe) int64 array of cell INDICES. Chunked so the score
+    buffer stays ~128 MB regardless of nq × n_cells (an earlier
+    distributed variant re-evaluated the lazy queries plan a second
+    time — a silent mismap on non-deterministic plans like ``limit`` —
+    to compute a matmul whose operands already sat on the driver;
+    r5-s5 review finding)."""
     import numpy as np
 
-    from delver_spark.operators.extract import col_simple_type
-
-    qid_col = qq_df.columns[0]
-    id_type = col_simple_type(qq_df, qid_col)
     S_T = np.ascontiguousarray(S.T)
-
-    def run(batches):
-        import pyarrow as pa
-
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            qs = rb.column(1)
-            if isinstance(qs, pa.ChunkedArray):
-                qs = qs.combine_chunks()
-            flat = qs.flatten().to_numpy(zero_copy_only=False)
-            X = flat.reshape(rb.num_rows, dim)
-            scores = _exact_matmul(X, S_T)
-            order = np.argsort(-scores, axis=1,
-                               kind="stable")[:, :n_probe]
-            qid = rb.column(0).to_numpy(zero_copy_only=False)
-            yield pa.record_batch(
-                [pa.array(np.repeat(qid, n_probe)),
-                 pa.array(order.ravel().astype(np.int64))],
-                names=[qid_col, "cell_ix"])
-
-    return qq_df.mapInArrow(
-        run, schema=f"{qid_col} {id_type}, cell_ix long")
+    chunk = max(1024, (1 << 24) // max(1, S.shape[0]))
+    outs = []
+    for lo in range(0, Q.shape[0], chunk):
+        scores = _exact_matmul(Q[lo:lo + chunk], S_T)
+        outs.append(np.argsort(-scores, axis=1,
+                               kind="stable")[:, :n_probe])
+    return np.concatenate(outs, axis=0)
 
 
 def _exact_matmul(A, B):
@@ -227,6 +210,13 @@ def _exact_matmul(A, B):
     if bound < (1 << 53):
         return (A.astype(np.float64) @ B.astype(np.float64)) \
             .astype(np.int64)
+    if bound >= (1 << 63):
+        # numpy int64 matmul wraps silently past 2^63 — refuse rather
+        # than return wrong rankings (r5-s5 review finding; everywhere
+        # else the repo promotes such sums to DECIMAL(38,0)/bigints)
+        raise ValueError(
+            f"_exact_matmul: dot-product bound {bound} may overflow "
+            "int64 — reduce the quantization scale or vector magnitude")
     return A @ B
 
 
@@ -304,30 +294,21 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
     if nq == 0:
         return spark.createDataFrame([], out_schema)
     qid_np = qt.column(0).to_numpy(zero_copy_only=False)
-    qflat = (qt.column(1).combine_chunks().flatten()
-             .to_numpy(zero_copy_only=False))
-    if qflat.size != nq * dim:
-        raise ValueError(
-            f"cosine_topk_ivf_batch: ragged/null query vectors "
-            f"(expected dim {dim})")
-    Q = np.ascontiguousarray(qflat.reshape(nq, dim))            # nq×dim
+    Q = np.ascontiguousarray(_list_matrix(
+        qt.column(1), nq, dim, op="cosine_topk_ivf_batch"))     # nq×dim
 
     cell_ids = sorted(index)
     S = np.array([index[c] for c in cell_ids], dtype=np.int64)  # nc×dim
     int_cells = all(isinstance(c, (int, np.integer)) for c in cell_ids)
     n_probe = min(n_probe, len(cell_ids))
-    # probe-cell ranking runs DISTRIBUTED over the queries (the index
-    # matrix is n_cells × dim longs — closure-sized); ranking 10⁵
-    # queries on the driver was the measured serial wall of the whole
-    # operator. Only the compact (query row, probed cell) pairs come
-    # back: n_q × n_probe ints.
-    qq_df = quantize(queries, qid_col, qvec_col, extra_cols=())
-    pc_tab = _probe_cells_pass(qq_df, S, n_probe, dim).toArrow()
-    qid_pc = pc_tab.column(0).to_numpy(zero_copy_only=False)
-    ci_pc = pc_tab.column(1).to_numpy(zero_copy_only=False)
-    # map probe-pair qids back to Q row indices (qids are unique)
-    sorter = np.argsort(qid_np, kind="stable")
-    rowix = sorter[np.searchsorted(qid_np, qid_pc, sorter=sorter)]
+    # probe-cell ranking is driver-side vectorized: Q is already
+    # collected (the broadcast contract) and the index matrix is
+    # n_cells × dim longs, so the ranking is one chunked BLAS matmul —
+    # the earlier per-query python loop was the measured serial wall,
+    # not the matmul
+    ci_pc = _rank_probe_cells_matrix(Q, S, n_probe)   # nq × n_probe
+    rowix = np.repeat(np.arange(nq, dtype=np.int64), n_probe)
+    ci_pc = ci_pc.ravel()
     by_cell: dict = {}     # cell -> int32 row indices into Q
     cord = np.argsort(ci_pc, kind="stable")
     ci_sorted, rows_sorted = ci_pc[cord], rowix[cord].astype(np.int32)
@@ -342,7 +323,7 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
     # each worker fetches it once
     bc = spark.sparkContext.broadcast((qid_np, Q, by_cell))
 
-    q_corp = quantize(emb, id_col, extra_cols=(cell_col,))
+    q_corp = quantize(emb, id_col, vec_col, extra_cols=(cell_col,))
     rows = q_corp.filter(F.col(cell_col).isin(list(probed)))
     ipos = rows.columns.index(id_col)
     qpos = rows.columns.index("q")
@@ -364,9 +345,8 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
         tab = pa.Table.from_batches(rbs)
         cells = tab.column(cpos).to_numpy(zero_copy_only=False)
         ids = tab.column(ipos).to_numpy(zero_copy_only=False)
-        qs = tab.column(qpos).combine_chunks()
-        flat = qs.flatten().to_numpy(zero_copy_only=False)
-        X = flat.reshape(tab.num_rows, dim)
+        X = _list_matrix(tab.column(qpos), tab.num_rows, dim,
+                         op="cosine_topk_ivf_batch")
         out_q, out_i, out_d = [], [], []
         for c in np.unique(cells):
             qidx = bcells.get(int(c) if int_cells else c)
@@ -423,13 +403,11 @@ def _cents_arrays(cents: list):
     return C_T, ns_f, ns_f > 0.0
 
 
-def _batch_matrix(rb, dim: int):
-    """Validated (num_rows × dim) int64 matrix from an Arrow batch whose
-    column 1 is the quantized vector list — shared by the assignment
-    and partial-sum passes."""
+def _list_matrix(qs, n_rows: int, dim: int, op: str = "kmeans_cells"):
+    """Validated (n_rows × dim) int64 matrix from an Arrow list array of
+    quantized vectors — shared by every vectorized pass in this module."""
     import pyarrow as pa
 
-    qs = rb.column(1)
     if isinstance(qs, pa.ChunkedArray):
         qs = qs.combine_chunks()
     # fail loudly, not with a reshape error / silent NaN drift: a NULL
@@ -438,14 +416,21 @@ def _batch_matrix(rb, dim: int):
     # (r5 review finding)
     if qs.null_count or qs.values.null_count:
         raise ValueError(
-            "kmeans_cells: NULL embedding or NULL vector component — "
+            f"{op}: NULL embedding or NULL vector component — "
             f"embeddings must be non-null fixed-dim({dim}) float arrays")
     flat = qs.flatten().to_numpy(zero_copy_only=False)
-    if flat.size != rb.num_rows * dim:
+    if flat.size != n_rows * dim:
         raise ValueError(
-            f"kmeans_cells: ragged embedding lengths in batch "
+            f"{op}: ragged embedding lengths in batch "
             f"(expected dim {dim})")
-    return flat.reshape(rb.num_rows, dim)
+    return flat.reshape(n_rows, dim)
+
+
+def _batch_matrix(rb, dim: int, op: str = "kmeans_cells"):
+    """Validated (num_rows × dim) int64 matrix from an Arrow batch whose
+    column 1 is the quantized vector list — shared by the assignment
+    and partial-sum passes."""
+    return _list_matrix(rb.column(1), rb.num_rows, dim, op)
 
 
 def _argmax_cells(X, C_T, ns_f, ok):
@@ -572,15 +557,19 @@ def split_oversized_cells(emb: DataFrame, labels: DataFrame,
     out = labels.select(F.col(id_col),
                         F.col(cell_col).cast("long").alias(cell_col))
     q_all = quantize(emb, id_col, vec_col, extra_cols=())
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         sizes = {r[cell_col]: r["n"] for r in
                  out.groupBy(cell_col).agg(F.count("*").alias("n"))
                  .collect()}
         hot = sorted(c for c, n in sizes.items() if n > max_cell)
         if not hot:
             return out
+        # persisted: the join re-evaluates for each of the three aggs
+        # below otherwise (r5-s5 review finding — the repo's own
+        # shared-upstream-frame lesson)
         rows = (q_all.join(out, id_col)
-                .filter(F.col(cell_col).isin([int(c) for c in hot])))
+                .filter(F.col(cell_col).isin([int(c) for c in hot]))
+                .persist())
         # two lowest-id seed vectors per hot cell: min-of-struct aggs
         # (id leads, so the array field never drives the ordering)
         sv = F.struct(F.col(id_col).alias("i"), F.col("q").alias("v"))
@@ -594,10 +583,24 @@ def split_oversized_cells(emb: DataFrame, labels: DataFrame,
         seeds1 = {r[cell_col]: [int(x) for x in r["s"]["v"]]
                   for r in s1.collect()}
         branch = _bisect_cells(rows, {c: (seeds0[c][1], seeds1[c])
-                                      for c in hot}, id_col, cell_col)
+                                      for c in hot}, id_col,
+                               cell_col).persist()
         child_sizes = {(r[cell_col], r["branch"]): r["n"] for r in
                        branch.groupBy(cell_col, "branch")
                        .agg(F.count("*").alias("n")).collect()}
+        for c in hot:
+            joined = (child_sizes.get((c, 0), 0)
+                      + child_sizes.get((c, 1), 0))
+            if joined != sizes[c]:
+                # an inner-joined row set smaller than the labeled size
+                # means orphan label ids with no emb vector: the
+                # relabel below would send them to a NULL cell AND
+                # stuck-detection could never fire (r5-s5 review
+                # finding — the null-key equi-join rule)
+                raise ValueError(
+                    f"split_oversized_cells: cell {c} has {sizes[c]} "
+                    f"labeled rows but only {joined} with vectors — "
+                    f"labels contain ids absent from emb")
         stuck = {c: math.ceil(sizes[c] / max_cell) for c in hot
                  if max(child_sizes.get((c, 0), 0),
                         child_sizes.get((c, 1), 0)) == sizes[c]}
@@ -607,6 +610,11 @@ def split_oversized_cells(emb: DataFrame, labels: DataFrame,
             raise RuntimeError("split_oversized_cells: label space "
                                "exhausted (pathological fanout)")
         geo = [c for c in hot if c not in stuck]
+        # the stuck hash is salted with the round number: an over-cap
+        # child of a stuck cell re-splits next round, and an UNsalted
+        # pmod(hash(id), s') of ids already congruent mod s can be a
+        # constant (s' | s) — zero progress forever (r5-s5 review
+        # finding, livelock)
         relabeled = (out.join(branch.select(id_col, "branch"), id_col,
                               "left")
                      .withColumn(
@@ -615,7 +623,7 @@ def split_oversized_cells(emb: DataFrame, labels: DataFrame,
                              [int(c) for c in stuck]) if stuck
                              else F.lit(False),
                              F.col(cell_col) * fanout
-                             + F.pmod(F.xxhash64(id_col),
+                             + F.pmod(F.xxhash64(id_col, F.lit(rnd)),
                                       _stuck_fanout_col(stuck, cell_col)))
                          .when(F.col(cell_col).isin(
                              [int(c) for c in geo]) if geo
@@ -624,6 +632,8 @@ def split_oversized_cells(emb: DataFrame, labels: DataFrame,
                          .otherwise(F.col(cell_col) * fanout))
                      .select(id_col, cell_col))
         out = relabeled.localCheckpoint(eager=True)
+        branch.unpersist()
+        rows.unpersist()
     sizes = {r[cell_col]: r["n"] for r in
              out.groupBy(cell_col).agg(F.count("*").alias("n")).collect()}
     if any(n > max_cell for n in sizes.values()):
@@ -666,11 +676,8 @@ def _bisect_cells(rows: DataFrame, seeds: dict, id_col: str,
             if rb.num_rows == 0:
                 continue
             cells = rb.column(cpos).to_numpy(zero_copy_only=False)
-            qs = rb.column(qpos)
-            if isinstance(qs, pa.ChunkedArray):
-                qs = qs.combine_chunks()
-            flat = qs.flatten().to_numpy(zero_copy_only=False)
-            X = flat.reshape(rb.num_rows, dim)
+            X = _list_matrix(rb.column(qpos), rb.num_rows, dim,
+                             op="split_oversized_cells")
             branch = np.zeros(rb.num_rows, dtype=np.int64)
             for c in np.unique(cells):
                 C_T, ns_f, ok = packed[int(c)]

@@ -584,3 +584,99 @@ def test_cosine_topk_ivf_batch(planted_emb, spark):
                         queries.repartition(4), k=4, n_probe=3,
                         index=index).collect())
     assert got_rp == reference(3, 4)
+
+
+def test_split_oversized_cells_restuck_no_livelock(spark):
+    """r5-s5 review finding: an over-cap child of a STUCK (identical-
+    vector) cell re-splits next round, and an unsalted pmod(hash(id),
+    s') over ids already congruent mod s is a CONSTANT whenever
+    s' | s — zero progress every round, RuntimeError after max_rounds.
+    500 identical vectors at max_cell=50 hash-split into 10 children
+    whose multinomial fluctuation leaves some child over cap; the
+    round-salted hash must still converge."""
+    from delver_spark.operators.similarity import split_oversized_cells
+    import collections
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(500)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = split_oversized_cells(emb, emb.select("vec_id", "label"),
+                                max_cell=50)
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert len(got) == 500
+    assert max(collections.Counter(got.values()).values()) <= 50
+
+
+def test_split_oversized_cells_orphan_labels_raise(spark):
+    """r5-s5 review finding (the null-key equi-join rule): label ids
+    with no emb vector would silently relabel to a NULL cell and make
+    stuck-detection impossible — must raise instead."""
+    from delver_spark.operators.similarity import split_oversized_cells
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(25)], "vec_id long, label int")
+    with pytest.raises(ValueError, match="absent from emb"):
+        split_oversized_cells(emb, labels, max_cell=10)
+
+
+def test_cosine_topk_ivf_batch_vec_col(planted_emb, spark):
+    """r5-s5 review finding: the corpus quantize call dropped vec_col —
+    a decoy 'embedding' column of zeros must NOT drive the dots when
+    the real vectors live in a renamed column."""
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   cosine_topk_ivf_batch)
+
+    queries = planted_emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    want = sorted(map(tuple, cosine_topk_ivf_batch(
+        planted_emb, queries, k=4, n_probe=2).collect()))
+    decoy = (planted_emb.withColumnRenamed("embedding", "vec")
+             .withColumn("embedding",
+                         F.transform(F.col("vec"), lambda _: F.lit(0.0))))
+    idx = build_ivf_index(decoy, vec_col="vec")
+    got = sorted(map(tuple, cosine_topk_ivf_batch(
+        decoy, queries, k=4, n_probe=2, index=idx,
+        vec_col="vec").collect()))
+    assert got == want
+    assert any(d != 0 for *_, d in got)          # non-vacuous
+
+
+def test_cosine_topk_ivf_batch_null_component_raises(planted_emb, spark):
+    """r5-s5 review finding: a NULL vector component float64-ifies the
+    Arrow batch (NaN dots → arbitrary top-k, INT64_MIN casts) — the
+    corpus pass must fail loudly instead."""
+    from pyspark.sql import functions as F
+
+    from delver_spark.operators.similarity import (build_ivf_index,
+                                                   cosine_topk_ivf_batch)
+
+    index = build_ivf_index(planted_emb)
+    poisoned = planted_emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7,
+               F.array(*([F.lit(None).cast("float")] * 64)))
+        .otherwise(F.col("embedding")))
+    queries = planted_emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(Exception, match="NULL embedding"):
+        cosine_topk_ivf_batch(poisoned, queries, k=3,
+                              n_probe=len(index), index=index).collect()
+
+
+def test_exact_matmul_overflow_guard():
+    """r5-s5 review finding: past the 2^53 BLAS bound the int64 fallback
+    is exact, but past 2^63 numpy matmul WRAPS silently — refuse."""
+    from delver_spark.operators.similarity import _exact_matmul
+
+    a = np.array([[1 << 40, 1]], dtype=np.int64)
+    b = np.array([[1 << 12], [1]], dtype=np.int64)
+    assert _exact_matmul(a, b)[0, 0] == (1 << 52) + 1   # int64 fallback
+    big = np.array([[1 << 62]], dtype=np.int64)
+    two = np.array([[2]], dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        _exact_matmul(big, two)
