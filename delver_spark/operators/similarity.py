@@ -301,12 +301,30 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
     S = np.array([index[c] for c in cell_ids], dtype=np.int64)  # nc×dim
     int_cells = all(isinstance(c, (int, np.integer)) for c in cell_ids)
     n_probe = min(n_probe, len(cell_ids))
-    # probe-cell ranking is driver-side vectorized: Q is already
-    # collected (the broadcast contract) and the index matrix is
-    # n_cells × dim longs, so the ranking is one chunked BLAS matmul —
-    # the earlier per-query python loop was the measured serial wall,
-    # not the matmul
-    ci_pc = _rank_probe_cells_matrix(Q, S, n_probe)   # nq × n_probe
+    # probe-cell ranking: vectorized over the ALREADY-collected query
+    # matrix — never a second evaluation of the lazy queries plan (a
+    # silent per-query mismap on non-deterministic plans like `limit`;
+    # r5-s5 review finding). Small batches rank on the driver; big
+    # ones distribute chunk offsets over the Q broadcast (the matmul
+    # is real compute — ~6 s serial at 10⁵×256 on this box's
+    # single-threaded BLAS), with identical per-row arithmetic either
+    # way.
+    bcq = spark.sparkContext.broadcast((qid_np, Q))
+    if nq * len(cell_ids) <= (1 << 22):
+        ci_pc = _rank_probe_cells_matrix(Q, S, n_probe)   # nq × n_probe
+    else:
+        sc = spark.sparkContext
+        chunk = max(1024, -(-nq // max(1, sc.defaultParallelism * 2)))
+        chunk = min(chunk, max(1024, (1 << 24) // max(1, len(cell_ids))))
+        offsets = list(range(0, nq, chunk))
+
+        def rank_chunk(lo):
+            qm = bcq.value[1][lo:lo + chunk]
+            return lo, _rank_probe_cells_matrix(qm, S, n_probe)
+
+        parts = dict(sc.parallelize(offsets, len(offsets))
+                     .map(rank_chunk).collect())
+        ci_pc = np.concatenate([parts[lo] for lo in offsets], axis=0)
     rowix = np.repeat(np.arange(nq, dtype=np.int64), n_probe)
     ci_pc = ci_pc.ravel()
     by_cell: dict = {}     # cell -> int32 row indices into Q
@@ -317,11 +335,12 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
     for j, ci in enumerate(uniq):
         by_cell[cell_ids[ci]] = rows_sorted[bounds[j]:bounds[j + 1]]
     probed = sorted(by_cell)
-    # a real broadcast, not closure capture: the query matrix is
+    # real broadcasts, not closure capture: the query matrix is
     # n_q × dim longs (the operator's documented size contract) —
     # inside the closure it would re-ship per task; as a broadcast
-    # each worker fetches it once
-    bc = spark.sparkContext.broadcast((qid_np, Q, by_cell))
+    # each worker fetches it once. bcq is the same broadcast the
+    # ranking chunks read, so Q ships exactly once.
+    bcc = spark.sparkContext.broadcast(by_cell)
 
     q_corp = quantize(emb, id_col, vec_col, extra_cols=(cell_col,))
     rows = q_corp.filter(F.col(cell_col).isin(list(probed)))
@@ -341,7 +360,8 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
         rbs = [rb for rb in batches if rb.num_rows]
         if not rbs:
             return
-        bqid, bQ, bcells = bc.value
+        bqid, bQ = bcq.value
+        bcells = bcc.value
         tab = pa.Table.from_batches(rbs)
         cells = tab.column(cpos).to_numpy(zero_copy_only=False)
         ids = tab.column(ipos).to_numpy(zero_copy_only=False)
