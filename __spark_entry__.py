@@ -878,11 +878,21 @@ def decontaminate_ngram(spark, sf):
     """Benchmark decontamination: flag documents sharing any word 5-gram
     with a benchmark set (docs with doc_id % 37 == 0 stand in for the
     eval suite, so self-matches guarantee a non-vacuous gate and shared
-    word-salad 5-grams exercise cross-document hits). The benchmark gram
-    set is broadcast — the corpus side is never shuffled."""
+    word-salad 5-grams exercise cross-document hits). Tagged union of
+    the two exact plans (r5-s5, same 50-slot policy as x14+o6):
+    'bcast' = the gram set rides the UDF closure (eval-suite-sized
+    benches); 'bloom' = treeAggregate-built Bloom screen + exact verify
+    join (benches past the broadcast bound) — identical output by
+    contract, so ONE hits CTE serves both tags in the twin."""
     d = _t(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 37 == 0)
-    return _txt.ngram_decontaminate(d, bench, n=5)
+    bcast = (_txt.ngram_decontaminate(d, bench, n=5)
+             .withColumn("method", F.lit("bcast")))
+    bloom = (_txt.ngram_decontaminate_bloom(d, bench, n=5)
+             .withColumn("method", F.lit("bloom")))
+    cols = ["method", "doc_id", "n_hits", "contaminated"]
+    return (bcast.select(cols).unionByName(bloom.select(cols))
+            .orderBy("method", "doc_id"))
 
 
 def set_ops_union_except(spark, sf):
@@ -2032,10 +2042,13 @@ def oracle_sql() -> dict[str, str]:
             bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
             hits AS (
               SELECT g.doc_id, count(*) AS n_hits
-              FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
-            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-                   coalesce(h.n_hits, 0) > 0 AS contaminated
-            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-            ORDER BY d.doc_id
+              FROM g JOIN bg USING (gram) GROUP BY g.doc_id),
+            one AS (
+              SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                     coalesce(h.n_hits, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id)
+            SELECT m.method, o.doc_id, o.n_hits, o.contaminated
+            FROM one o, (VALUES ('bcast'), ('bloom')) AS m(method)
+            ORDER BY m.method, o.doc_id
         """,
     }

@@ -72,10 +72,24 @@ def main():
     extras["span_rows"] = duplicate_spans(docs, window=8).count()
     timings["spans_sec"] = round(time.perf_counter() - t0, 2)
 
+    # the bloom decontamination paths, timed OUTSIDE the headline
+    # aggregate so the r4/r5 docs_per_sec series stays comparable
+    bloom = {}
+    t0 = time.perf_counter()
+    extras["contaminated_bloom"] = (
+        T.ngram_decontaminate_bloom(docs, bench, n=5)
+        .filter("contaminated").count())
+    bloom["decontaminate_bloom_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    extras["screened_bloom"] = (
+        T.ngram_decontaminate_bloom(docs, bench, n=5, verify=False)
+        .filter("contaminated").count())
+    bloom["bloom_screen_sec"] = round(time.perf_counter() - t0, 2)
+
     total = sum(timings.values())
     n_ops = len(timings)
     out = {"metric": "hygiene_ops", "n_docs": n_docs, "cpus": cpus,
-           **timings, "total_sec": round(total, 2),
+           **timings, **bloom, "total_sec": round(total, 2),
            "docs_per_sec": int(n_ops * n_docs / total), **extras}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -85,7 +99,9 @@ def main():
             f"{timings['repetition_sec']}s, pii {timings['pii_sec']}s, "
             f"decontaminate {timings['decontaminate_sec']}s, spans "
             f"{timings['spans_sec']}s | "
-            f"{out['docs_per_sec']} doc-passes/s |\n")
+            f"{out['docs_per_sec']} doc-passes/s | bloom decontaminate "
+            f"{bloom['decontaminate_bloom_sec']}s exact-verified / "
+            f"{bloom['bloom_screen_sec']}s screen-only |\n")
 
 
 if __name__ == "__main__":

@@ -325,6 +325,154 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
             .orderBy(id_col))
 
 
+def _gram_pass(frame: DataFrame, n: int, id_col: str, text_col: str,
+               with_id: bool) -> DataFrame:
+    """Word n-grams via the SAME python tokenizer as :func:`_gram_hits`
+    (lower → split on single space → drop empties → space-join each
+    window) as one narrow mapInArrow pass — one tokenizer across the
+    build, probe, and verify stages, zero drift."""
+    import pyarrow as pa
+
+    from delver_spark.operators.extract import col_simple_type
+
+    if with_id:
+        id_type = col_simple_type(frame, id_col)
+        sel, schema = [id_col, text_col], f"{id_col} {id_type}, gram string"
+    else:
+        sel, schema = [text_col], "gram string"
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0).to_pylist() if with_id else None
+            texts = rb.column(1 if with_id else 0).to_pylist()
+            out_i, out_g = [], []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                ws = [w for w in t.lower().split(" ") if w]
+                for i in range(len(ws) - n + 1):
+                    out_g.append(" ".join(ws[i:i + n]))
+                    if with_id:
+                        out_i.append(ids[j])
+            # explicit types: an empty python list infers pa.null()
+            cols = ([pa.array(out_i, type=rb.column(0).type)]
+                    if with_id else []) \
+                + [pa.array(out_g, pa.string())]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[id_col, "gram"] if with_id else ["gram"])
+
+    return frame.select(*sel).mapInArrow(run, schema)
+
+
+def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
+                              n: int = 5, id_col: str = "doc_id",
+                              text_col: str = "text", p: float = 1e-6,
+                              verify: bool = True) -> DataFrame:
+    """Benchmark decontamination for bench sets too big to broadcast or
+    hold per worker — the bound both existing plans share
+    (:func:`ngram_decontaminate`'s arrow path ships the gram SET in the
+    closure; its declarative path broadcast-hash-joins it). Here the
+    bench grams compress to a Bloom bitmap (~``-ln p / ln²2`` ≈ 28.8
+    bits/gram at p=1e-6 — two orders of magnitude under the string set)
+    built distributedly and OR-merged via treeAggregate, the exact
+    machinery the crawl seen-set uses (frontier.bloom_bits_for_urls).
+
+    Stages — the corpus is scanned ONCE and never shuffled:
+
+    1. size: one bench agg counts gram occurrences (upper bound on
+       distinct grams — only oversizes the bitmap, never corrupts it);
+    2. build: one bench gram pass → per-partition bitsets →
+       treeAggregate OR (bitmap crosses the driver once);
+    3. probe: one corpus mapInArrow pass with the bitmap as a real
+       broadcast — per doc, gram + vectorized ``contains_batch``.
+       With ``verify=False`` this is the whole plan: returns
+       ``n_hits_bloom``, an occurrence-count UPPER bound
+       (``contaminated`` may include false positives at rate ≤ p per
+       distinct gram — the one-pass, zero-shuffle screen);
+    4. verify (default): the probe instead emits only the
+       bloom-POSITIVE (id, gram) occurrences — bounded by true
+       contamination + p·corpus grams, tiny by presumption — which
+       shuffle-join against the distinct bench grams for EXACT counts
+       (false positives drop out; output == ngram_decontaminate,
+       pinned in tests/test_quality_ops.py). The bench side shuffles
+       (it is the small side); the corpus side still never does.
+
+    Same output schema/ordering as :func:`ngram_decontaminate` (with
+    ``n_hits_bloom`` instead of ``n_hits`` when ``verify=False``)."""
+    import numpy as np
+
+    from delver_spark.engine.bloom import BloomFilter
+    from delver_spark.operators.extract import col_simple_type
+    from delver_spark.operators.frontier import bloom_bits_for_urls
+
+    words_col = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                         lambda x: x != "")
+    occ = (bench.select(
+        F.greatest(F.size(words_col) - (n - 1), F.lit(0)).alias("k"))
+        .agg(F.sum("k").alias("total")).collect()[0]["total"]) or 0
+    max_n = max(int(occ), 1)
+    bench_grams = _gram_pass(bench, n, id_col, text_col, with_id=False)
+    words = bloom_bits_for_urls(bench_grams, max_n, p)
+    bc = docs.sparkSession.sparkContext.broadcast(words.tobytes())
+
+    id_type = col_simple_type(docs, id_col)
+
+    def probe(batches):
+        import pyarrow as pa
+
+        bloom = BloomFilter(max_n, p,
+                            words=np.frombuffer(bc.value, dtype=np.uint64))
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            grams, gids, counts = [], [], []
+            for j, t in enumerate(texts):
+                c0 = len(grams)
+                if t is not None:
+                    ws = [w for w in t.lower().split(" ") if w]
+                    for i in range(len(ws) - n + 1):
+                        grams.append(" ".join(ws[i:i + n]))
+                        gids.append(ids[j])
+                counts.append((c0, len(grams)))
+            if grams:
+                hit = bloom.contains_batch(grams)
+            else:
+                hit = np.zeros(0, dtype=bool)
+            if verify:
+                keep = np.nonzero(hit)[0]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([gids[i] for i in keep],
+                              type=rb.column(0).type),
+                     pa.array([grams[i] for i in keep], pa.string())],
+                    names=[id_col, "gram"])
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0),
+                     pa.array([int(hit[a:b].sum()) for a, b in counts],
+                              pa.int64())],
+                    names=[id_col, "n_hits_bloom"])
+
+    scanned = docs.select(id_col, text_col)
+    if not verify:
+        return (scanned.mapInArrow(
+            probe, f"{id_col} {id_type}, n_hits_bloom long")
+            .withColumn("contaminated", F.col("n_hits_bloom") > 0)
+            .orderBy(id_col))
+    positives = scanned.mapInArrow(
+        probe, f"{id_col} {id_type}, gram string")
+    bench_distinct = _gram_pass(bench, n, id_col, text_col,
+                                with_id=False).distinct()
+    hits = (positives.join(bench_distinct, "gram")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    return (docs.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                    .alias("contaminated"))
+            .orderBy(id_col))
+
+
 def deterministic_sample(df: DataFrame, rate_milli: int,
                          id_col: str = "doc_id") -> DataFrame:
     """Reproducible corpus down-sampling: keep a row iff the first 8 hex

@@ -442,3 +442,55 @@ def test_duplicate_spans_arrow_equals_sql_gram_plan(spark):
     b = sorted(tuple(r) for r in cut_spans(
         docs, duplicate_spans(docs, window=8, use_arrow=False)).collect())
     assert a == b
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom-screen + exact-verify plan (for bench sets past the
+    broadcast bound) equals ngram_decontaminate row for row: false
+    positives drop out in the verify join, occurrence counts and bench
+    dedup included. verify=False is the documented one-pass UPPER
+    bound."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"),
+         (2, "ONE Two THREE four FIVE"),
+         (3, "totally different words here now"),
+         (4, "one two three four"),               # < n words: no grams
+         (5, "one two three four five one two three four five"),
+         (6, None)],                              # NULL text: clean
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(98, "one two three four five"),
+         (99, "one two three four five")],        # dup bench doc
+        "doc_id long, text string")
+    want = sorted(map(tuple, T.ngram_decontaminate(docs, bench,
+                                                   n=5).collect()))
+    got = sorted(map(tuple, T.ngram_decontaminate_bloom(
+        docs, bench, n=5).collect()))
+    assert got == want
+    assert sum(1 for _, h, _c in want if h > 0) >= 3   # non-vacuous
+
+    screen = {r["doc_id"]: r for r in T.ngram_decontaminate_bloom(
+        docs, bench, n=5, verify=False).collect()}
+    exact = {d: h for d, h, _ in want}
+    assert all(screen[d]["n_hits_bloom"] >= exact[d] for d in exact)
+    assert all(screen[d]["contaminated"] or exact[d] == 0 for d in exact)
+
+
+def test_decontaminate_bloom_empty_bench(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    rows = T.ngram_decontaminate_bloom(docs, bench, n=5).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in rows] == [(0, False)]
+
+
+def test_decontaminate_bloom_corpus_not_shuffled(spark, docs):
+    """Scale pin: the corpus side crosses ONE mapInArrow pass and is
+    never hash-shuffled — the only shuffles in the verify plan touch
+    the bloom-positive pairs and the bench grams."""
+    bench = docs.limit(1)
+    plan = T.ngram_decontaminate_bloom(docs, bench)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    assert "SortMergeJoin" not in plan or \
+        plan.index("SortMergeJoin") > plan.index("MapInArrow"), plan
