@@ -317,14 +317,20 @@ def cosine_topk_ivf_batch(emb: DataFrame, queries: DataFrame, k: int = 5,
         chunk = max(1024, -(-nq // max(1, sc.defaultParallelism * 2)))
         chunk = min(chunk, max(1024, (1 << 24) // max(1, len(cell_ids))))
         offsets = list(range(0, nq, chunk))
+        # S (n_cells × dim longs) rides a broadcast, not the task
+        # closure — closure capture would re-ship it once PER chunk
+        # task (~2× parallelism tasks; at 4096 cells × 1024 dims that
+        # is 33 MB a task)
+        bcs = sc.broadcast(S)
 
         def rank_chunk(lo):
             qm = bcq.value[1][lo:lo + chunk]
-            return lo, _rank_probe_cells_matrix(qm, S, n_probe)
+            return lo, _rank_probe_cells_matrix(qm, bcs.value, n_probe)
 
         parts = dict(sc.parallelize(offsets, len(offsets))
                      .map(rank_chunk).collect())
         ci_pc = np.concatenate([parts[lo] for lo in offsets], axis=0)
+        bcs.unpersist()
     rowix = np.repeat(np.arange(nq, dtype=np.int64), n_probe)
     ci_pc = ci_pc.ravel()
     by_cell: dict = {}     # cell -> int32 row indices into Q

@@ -377,25 +377,31 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
     built distributedly and OR-merged via treeAggregate, the exact
     machinery the crawl seen-set uses (frontier.bloom_bits_for_urls).
 
-    Stages — the corpus is scanned ONCE and never shuffled:
+    Stages — the corpus is scanned ONCE and never shuffled, and the
+    BENCH plan is evaluated exactly ONCE (gram → distinct →
+    localCheckpoint; sizing, bloom build and the verify join all read
+    the materialized gram set — lazily re-evaluating ``bench`` per
+    stage would let a non-deterministic bench plan, e.g. ``limit`` or
+    ``sample``, put a gram in the verify set that the bloom never saw
+    and silently undercount; same hazard class as the r5-s5 batch-ANN
+    finding):
 
-    1. size: one bench agg counts gram occurrences (upper bound on
-       distinct grams — only oversizes the bitmap, never corrupts it);
-    2. build: one bench gram pass → per-partition bitsets →
+    1. gram: one bench gram pass → distinct (the one bench-side
+       shuffle) → localCheckpoint; its exact count sizes the bitmap;
+    2. build: checkpointed grams → per-partition bitsets →
        treeAggregate OR (bitmap crosses the driver once);
     3. probe: one corpus mapInArrow pass with the bitmap as a real
        broadcast — per doc, gram + vectorized ``contains_batch``.
        With ``verify=False`` this is the whole plan: returns
        ``n_hits_bloom``, an occurrence-count UPPER bound
        (``contaminated`` may include false positives at rate ≤ p per
-       distinct gram — the one-pass, zero-shuffle screen);
+       distinct gram — the corpus-side zero-shuffle screen);
     4. verify (default): the probe instead emits only the
        bloom-POSITIVE (id, gram) occurrences — bounded by true
        contamination + p·corpus grams, tiny by presumption — which
-       shuffle-join against the distinct bench grams for EXACT counts
+       join against the SAME checkpointed gram set for EXACT counts
        (false positives drop out; output == ngram_decontaminate,
-       pinned in tests/test_quality_ops.py). The bench side shuffles
-       (it is the small side); the corpus side still never does.
+       pinned in tests/test_quality_ops.py).
 
     Same output schema/ordering as :func:`ngram_decontaminate` (with
     ``n_hits_bloom`` instead of ``n_hits`` when ``verify=False``)."""
@@ -405,13 +411,9 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
     from delver_spark.operators.extract import col_simple_type
     from delver_spark.operators.frontier import bloom_bits_for_urls
 
-    words_col = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                         lambda x: x != "")
-    occ = (bench.select(
-        F.greatest(F.size(words_col) - (n - 1), F.lit(0)).alias("k"))
-        .agg(F.sum("k").alias("total")).collect()[0]["total"]) or 0
-    max_n = max(int(occ), 1)
-    bench_grams = _gram_pass(bench, n, id_col, text_col, with_id=False)
+    bench_grams = (_gram_pass(bench, n, id_col, text_col, with_id=False)
+                   .distinct().localCheckpoint(eager=True))
+    max_n = max(int(bench_grams.count()), 1)
     words = bloom_bits_for_urls(bench_grams, max_n, p)
     bc = docs.sparkSession.sparkContext.broadcast(words.tobytes())
 
@@ -460,9 +462,7 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
             .orderBy(id_col))
     positives = scanned.mapInArrow(
         probe, f"{id_col} {id_type}, gram string")
-    bench_distinct = _gram_pass(bench, n, id_col, text_col,
-                                with_id=False).distinct()
-    hits = (positives.join(bench_distinct, "gram")
+    hits = (positives.join(bench_grams, "gram")
             .groupBy(id_col).agg(F.count("*").alias("n_hits")))
     return (docs.select(id_col)
             .join(F.broadcast(hits), id_col, "left")
