@@ -377,25 +377,27 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
     built distributedly and OR-merged via treeAggregate, the exact
     machinery the crawl seen-set uses (frontier.bloom_bits_for_urls).
 
-    Stages — the corpus is scanned ONCE and never shuffled, and the
-    BENCH plan is evaluated exactly ONCE (gram → distinct →
-    localCheckpoint; sizing, bloom build and the verify join all read
-    the materialized gram set — lazily re-evaluating ``bench`` per
-    stage would let a non-deterministic bench plan, e.g. ``limit`` or
-    ``sample``, put a gram in the verify set that the bloom never saw
-    and silently undercount; same hazard class as the r5-s5 batch-ANN
-    finding):
+    Stages — the corpus is scanned ONCE and never shuffled:
 
-    1. gram: one bench gram pass → distinct (the one bench-side
-       shuffle) → localCheckpoint; its exact count sizes the bitmap;
-    2. build: checkpointed grams → per-partition bitsets →
-       treeAggregate OR (bitmap crosses the driver once);
+    1. gram/size: with ``verify=True`` the bench gram pass runs
+       exactly ONCE (gram → distinct → localCheckpoint; its exact
+       count sizes the bitmap) so the verify join and the bloom build
+       read the SAME materialized set — lazily re-evaluating ``bench``
+       per stage would let a non-deterministic bench plan (``limit``,
+       ``sample``) put a gram in the verify set that the bloom never
+       saw and silently undercount (same hazard class as the r5-s5
+       batch-ANN finding). With ``verify=False`` the bench side stays
+       shuffle-free: a cheap occurrence-count agg sizes the bitmap (a
+       divergent second evaluation can only mis-size it — the screen
+       is an upper bound either way);
+    2. build: bench grams → per-partition bitsets → treeAggregate OR
+       (bitmap crosses the driver once);
     3. probe: one corpus mapInArrow pass with the bitmap as a real
        broadcast — per doc, gram + vectorized ``contains_batch``.
        With ``verify=False`` this is the whole plan: returns
        ``n_hits_bloom``, an occurrence-count UPPER bound
        (``contaminated`` may include false positives at rate ≤ p per
-       distinct gram — the corpus-side zero-shuffle screen);
+       distinct gram — the zero-shuffle screen);
     4. verify (default): the probe instead emits only the
        bloom-POSITIVE (id, gram) occurrences — bounded by true
        contamination + p·corpus grams, tiny by presumption — which
@@ -411,10 +413,28 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
     from delver_spark.operators.extract import col_simple_type
     from delver_spark.operators.frontier import bloom_bits_for_urls
 
-    bench_grams = (_gram_pass(bench, n, id_col, text_col, with_id=False)
-                   .distinct().localCheckpoint(eager=True))
-    max_n = max(int(bench_grams.count()), 1)
-    words = bloom_bits_for_urls(bench_grams, max_n, p)
+    if verify:
+        # the hazard lives here: the verify join's gram set and the
+        # bloom's build set must come from ONE evaluation
+        bench_grams = (_gram_pass(bench, n, id_col, text_col,
+                                  with_id=False)
+                       .distinct().localCheckpoint(eager=True))
+        max_n = max(int(bench_grams.count()), 1)
+        words = bloom_bits_for_urls(bench_grams, max_n, p)
+    else:
+        # screen mode: two lazy bench evaluations are harmless — the
+        # sizing agg can only over/under-size the bitmap (the screen is
+        # an upper bound either way), so keep the bench side
+        # shuffle-free
+        words_col = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                             lambda x: x != "")
+        occ = (bench.select(
+            F.greatest(F.size(words_col) - (n - 1), F.lit(0)).alias("k"))
+            .agg(F.sum("k").alias("total")).collect()[0]["total"]) or 0
+        max_n = max(int(occ), 1)
+        words = bloom_bits_for_urls(
+            _gram_pass(bench, n, id_col, text_col, with_id=False),
+            max_n, p)
     bc = docs.sparkSession.sparkContext.broadcast(words.tobytes())
 
     id_type = col_simple_type(docs, id_col)
