@@ -1,0 +1,335 @@
+"""Partial-key cuckoo filter — the deletion-capable URL-seen structure
+named alongside the bloom in the north star ("sharded Bloom/cuckoo
+URL-seen filter"). Public algorithm: Fan, Andersen, Kaminsky,
+Mitzenmacher, "Cuckoo Filter: Practically Better Than Bloom"
+(CoNEXT 2014). The reference engine itself only ships blooms
+(/root/reference/resource/bloom/*.go), so unlike ``bloom.py`` /
+``rolling_bloom.py`` this is NOT a quirk-parity port — it is the
+engine's own recrawl/expiry story: the generation-rotating bloom can
+only forget URLs a whole generation at a time, while a cuckoo filter
+deletes individual keys, so "re-admit this URL for recrawl" becomes a
+single ``delete`` instead of a rotation.
+
+Layout: ``m`` buckets (power of two) × 4 slots of 16-bit fingerprints.
+Slot value 0 means empty; real fingerprints are forced into
+[1, 0xFFFF]. Keys hash with the SAME murmur3-128 the blooms use
+(engine/murmur.py): ``i1 = h1 & (m-1)``, ``fp = (h2 >> 16) & 0xFFFF``,
+and the partner bucket is ``i2 = i1 ^ scramble(fp)`` — recoverable
+from EITHER bucket without the key, which is what makes delete and
+filter-merge possible. Expected false-positive rate ≈ 2·4/2¹⁶ ≈ 1.2e-4
+per probe at full load; no false negatives for inserted keys.
+
+Deletion contract (standard cuckoo caveat, Fan §3.3): only delete keys
+that were actually inserted — deleting a never-inserted key that
+fingerprint-collides with a present one would strip the present key's
+slot and create a false negative.
+
+Determinism: inserts are order-dependent (eviction paths), so the
+distributed builder (:meth:`ShardedCuckoo.from_urls_df`) canonicalizes
+per-shard insert order by sorting the (i1, fp) pairs — the same shard
+contents produce bit-identical bytes regardless of partitioning.
+
+Scale shape (the 10^10-frontier story): one hash pass over the URL
+column (zero-copy Arrow buffers, no per-row Python), one hash shuffle
+on the shard key, each shard filter built where its keys land; only
+the per-shard byte blobs (m·8 bytes each) cross the driver, exactly
+the G-bounded contract the bloom bitmap broadcast uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .murmur import hash128, hash128_batch
+
+_U64 = np.uint64
+_FP_MASK = _U64(0xFFFF)
+# odd 64-bit multiplier (murmur2 constant) scrambles the fingerprint
+# into the partner-bucket offset; any fixed odd constant works, it only
+# has to be identical across build/probe/merge
+_SCRAMBLE = _U64(0xC6A4A7935BD1E995)
+
+SLOTS = 4
+MAX_KICKS = 500
+
+
+class CuckooFull(Exception):
+    """Insert failed after MAX_KICKS evictions — the filter is at its
+    practical load limit (≈0.95 for 4-slot buckets)."""
+
+
+def _derive(h1, h2, m: int):
+    """(i1, fp) from murmur3-128 halves; works on uint64 scalars or
+    ndarrays. fp==0 is remapped to 1 so 0 stays the empty marker."""
+    i1 = h1 & _U64(m - 1)
+    fp = (h2 >> _U64(16)) & _FP_MASK
+    fp = np.where(fp == 0, _U64(1), fp) if isinstance(fp, np.ndarray) \
+        else (fp if fp != 0 else _U64(1))
+    return i1, fp
+
+
+def _alt(i, fp, m: int):
+    """Partner bucket — xor with the scrambled fingerprint, involutive:
+    _alt(_alt(i, fp), fp) == i. uint64 wraparound is the point; numpy
+    warns on scalar (not array) overflow, so silence it."""
+    with np.errstate(over="ignore"):
+        return (i ^ (fp * _SCRAMBLE)) & _U64(m - 1)
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int, buckets: np.ndarray | None = None,
+                 n: int = 0):
+        m = 1
+        while m * SLOTS * 0.95 < capacity:
+            m <<= 1
+        self.capacity = int(capacity)
+        self.m = m
+        self.n = int(n)
+        self.buckets = buckets if buckets is not None \
+            else np.zeros((m, SLOTS), dtype=np.uint16)
+        assert self.buckets.shape == (m, SLOTS)
+
+    # -- membership -----------------------------------------------------
+    def _pair_present(self, i1: int, fp: int) -> bool:
+        i2 = int(_alt(_U64(i1), _U64(fp), self.m))
+        return bool((self.buckets[i1] == fp).any()
+                    or (self.buckets[i2] == fp).any())
+
+    def contains(self, data) -> bool:
+        h1, h2 = hash128(data)
+        i1, fp = _derive(_U64(h1), _U64(h2), self.m)
+        return self._pair_present(int(i1), int(fp))
+
+    def contains_batch(self, items) -> np.ndarray:
+        """Vectorized membership for a batch of str/bytes — one hash
+        pass, two bucket gathers, no per-item Python."""
+        h1, h2 = hash128_batch(items)
+        return self.contains_batch_hashed(h1, h2)
+
+    def contains_batch_hashed(self, h1: np.ndarray,
+                              h2: np.ndarray) -> np.ndarray:
+        i1, fp = _derive(h1, h2, self.m)
+        i2 = _alt(i1, fp, self.m)
+        fpc = fp[:, None].astype(np.uint16)
+        return ((self.buckets[i1.astype(np.int64)] == fpc).any(axis=1)
+                | (self.buckets[i2.astype(np.int64)] == fpc).any(axis=1))
+
+    # -- insert -----------------------------------------------------------
+    def _insert_pair(self, i1: int, fp: int) -> bool:
+        """Seen-set add of a derived (bucket, fingerprint) pair —
+        idempotent (present pair is not inserted twice). ``i1`` may be
+        EITHER candidate bucket (the pair is unordered), which is what
+        lets :meth:`merge` reinsert from stored slots. Returns True if
+        the pair was newly added."""
+        if self._pair_present(i1, fp):
+            return False
+        i2 = int(_alt(_U64(i1), _U64(fp), self.m))
+        for i in (i1, i2):
+            row = self.buckets[i]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                self.n += 1
+                return True
+        # evict: deterministic slot choice so identical insert order
+        # gives identical bytes
+        i, cur = i1, fp
+        for kick in range(MAX_KICKS):
+            slot = (cur + kick) % SLOTS
+            cur, self.buckets[i, slot] = int(self.buckets[i, slot]), cur
+            i = int(_alt(_U64(i), _U64(cur), self.m))
+            row = self.buckets[i]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = cur
+                self.n += 1
+                return True
+        raise CuckooFull(
+            f"insert failed after {MAX_KICKS} kicks at n={self.n} "
+            f"(m={self.m}, load={self.n / (self.m * SLOTS):.3f})")
+
+    def add(self, data) -> bool:
+        h1, h2 = hash128(data)
+        i1, fp = _derive(_U64(h1), _U64(h2), self.m)
+        return self._insert_pair(int(i1), int(fp))
+
+    def add_many(self, items) -> int:
+        """Batch add: one vectorized hash pass, sequential placement
+        (evictions are inherently order-dependent). Returns the number
+        of newly-added distinct pairs."""
+        h1, h2 = hash128_batch(items)
+        return self.add_many_hashed(h1, h2)
+
+    def add_many_hashed(self, h1: np.ndarray, h2: np.ndarray,
+                        canonical: bool = False) -> int:
+        i1, fp = _derive(h1, h2, self.m)
+        pairs = np.stack([i1, fp], axis=1)
+        if canonical:
+            # canonical insert order: unique rows, sorted — the
+            # distributed builder's determinism contract
+            pairs = np.unique(pairs, axis=0)
+        added = 0
+        for a, b in pairs:
+            added += self._insert_pair(int(a), int(b))
+        return added
+
+    # -- delete -----------------------------------------------------------
+    def delete(self, data) -> bool:
+        """Remove ONE stored occurrence of the key's fingerprint.
+        Returns False (filter unchanged) if the pair is absent. Only
+        call for keys that were inserted — see the module docstring."""
+        h1, h2 = hash128(data)
+        i1, fp = _derive(_U64(h1), _U64(h2), self.m)
+        i1, fp = int(i1), int(fp)
+        i2 = int(_alt(_U64(i1), _U64(fp), self.m))
+        for i in (i1, i2):
+            hit = np.nonzero(self.buckets[i] == fp)[0]
+            if hit.size:
+                self.buckets[i, hit[0]] = 0
+                self.n -= 1
+                return True
+        return False
+
+    # -- merge / io ---------------------------------------------------------
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Idempotent union with a filter of the SAME geometry: every
+        occupied slot of ``other`` reinserts via its stored bucket (a
+        valid candidate — the pair is unordered). Raises CuckooFull if
+        the union exceeds the load limit."""
+        assert self.m == other.m, "cuckoo merge requires equal m"
+        occ_i, occ_s = np.nonzero(other.buckets)
+        for i, s in zip(occ_i.tolist(), occ_s.tolist()):
+            self._insert_pair(int(i), int(other.buckets[i, s]))
+        return self
+
+    def to_bytes(self) -> bytes:
+        head = (b"CKF1\n"
+                + self.capacity.to_bytes(8, "little")
+                + self.m.to_bytes(8, "little")
+                + self.n.to_bytes(8, "little"))
+        return head + self.buckets.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        assert blob[:5] == b"CKF1\n"
+        capacity = int.from_bytes(blob[5:13], "little")
+        m = int.from_bytes(blob[13:21], "little")
+        n = int.from_bytes(blob[21:29], "little")
+        buckets = np.frombuffer(blob[29:], dtype=np.uint16) \
+            .reshape(m, SLOTS).copy()
+        f = cls.__new__(cls)
+        f.capacity, f.m, f.n, f.buckets = capacity, m, n, buckets
+        return f
+
+
+def shard_of(h2: np.ndarray | int, shards: int):
+    """Shard routing from the murmur h2 half. Uses the LOW 16 bits
+    (the fingerprint reads bits 16-31, i1 reads h1), so routing and
+    in-shard placement stay decorrelated."""
+    return (h2 & _FP_MASK) % (_U64(shards) if isinstance(h2, np.ndarray)
+                              else shards)
+
+
+class ShardedCuckoo:
+    """A list of cuckoo shards routed on ``shard_of(h2)`` — the
+    sharded URL-seen form from the north star. Build distributedly
+    with :meth:`from_urls_df`; probe/delete/add driver-side (the shard
+    blobs together are the same size class as the bloom bitmap and
+    ship to workers as one broadcast when probed inside a plan)."""
+
+    def __init__(self, filters: list[CuckooFilter]):
+        self.filters = filters
+        self.shards = len(filters)
+
+    # -- distributed build ---------------------------------------------------
+    @classmethod
+    def from_urls_df(cls, urls_df, shards: int,
+                     capacity: int | None = None) -> "ShardedCuckoo":
+        """Build from a single-string-column DataFrame in one hash pass
+        + one shard shuffle. Each shard filter is built where its keys
+        land (applyInPandas over the shard key); insert order is
+        canonicalized (sorted unique (i1, fp)) so the result is
+        bit-identical regardless of partitioning. ``capacity`` is the
+        TOTAL expected key count (default: one exact count job); each
+        shard gets 1.25× its expected share of headroom."""
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from .murmur import hash128_batch_buf
+
+        if capacity is None:
+            capacity = urls_df.count()
+        cap_shard = max(1024, int(np.ceil(capacity / shards * 1.25)))
+
+        def hash_pass(batches):
+            for rb in batches:
+                arr = rb.column(0)
+                if len(arr) == 0:
+                    continue
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                bufs = arr.buffers()
+                offsets = np.frombuffer(
+                    bufs[1], dtype=np.int32,
+                    count=len(arr) + 1 + arr.offset)[arr.offset:]
+                data = np.frombuffer(
+                    bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+                lens = np.diff(offsets).astype(np.int64)
+                h1, h2 = hash128_batch_buf(data, lens)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(shard_of(h2, shards).astype(np.int32)),
+                     pa.array(h1.view(np.int64)),
+                     pa.array(h2.view(np.int64))],
+                    names=["shard", "h1", "h2"])
+
+        hashed = urls_df.mapInArrow(hash_pass,
+                                    "shard int, h1 long, h2 long")
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            f = CuckooFilter(cap_shard)
+            f.add_many_hashed(pdf["h1"].to_numpy().view(np.uint64),
+                              pdf["h2"].to_numpy().view(np.uint64),
+                              canonical=True)
+            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                                 "blob": [f.to_bytes()]})
+
+        rows = (hashed.groupBy("shard")
+                .applyInPandas(build, "shard int, blob binary")
+                .collect())
+        blobs = {r["shard"]: r["blob"] for r in rows}
+        empty = CuckooFilter(cap_shard).to_bytes()
+        return cls([CuckooFilter.from_bytes(blobs.get(s, empty))
+                    for s in range(shards)])
+
+    # -- driver-side ops -------------------------------------------------
+    def contains_batch(self, items) -> np.ndarray:
+        h1, h2 = hash128_batch(items)
+        sh = shard_of(h2, self.shards).astype(np.int64)
+        out = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(sh):
+            ix = np.nonzero(sh == s)[0]
+            out[ix] = self.filters[int(s)].contains_batch_hashed(
+                h1[ix], h2[ix])
+        return out
+
+    def contains(self, data) -> bool:
+        return bool(self.contains_batch([data])[0])
+
+    def add(self, data) -> bool:
+        h1, h2 = hash128(data)
+        s = int(shard_of(_U64(h2), self.shards))
+        i1, fp = _derive(_U64(h1), _U64(h2), self.filters[s].m)
+        return self.filters[s]._insert_pair(int(i1), int(fp))
+
+    def delete(self, data) -> bool:
+        h1, h2 = hash128(data)
+        s = int(shard_of(_U64(h2), self.shards))
+        return self.filters[s].delete(data)
+
+    def to_bytes_list(self) -> list[bytes]:
+        return [f.to_bytes() for f in self.filters]
+
+    @classmethod
+    def from_bytes_list(cls, blobs: list[bytes]) -> "ShardedCuckoo":
+        return cls([CuckooFilter.from_bytes(b) for b in blobs])

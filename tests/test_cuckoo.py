@@ -1,0 +1,136 @@
+"""Cuckoo URL-seen filter pins (engine/cuckoo.py): membership,
+deletion, determinism, merge, load limit, and the sharded distributed
+build's bit-equality vs a local canonical build."""
+
+import numpy as np
+import pytest
+
+from delver_spark.engine.cuckoo import (
+    SLOTS, CuckooFilter, CuckooFull, ShardedCuckoo, _derive, shard_of,
+)
+from delver_spark.engine.murmur import hash128_batch
+
+
+def _urls(lo, hi, tag="a"):
+    return [f"http://host{i % 97}.test/{tag}/p{i}" for i in range(lo, hi)]
+
+
+def test_no_false_negatives_and_fp_bound():
+    keys = _urls(0, 20000)
+    f = CuckooFilter(20000)
+    f.add_many(keys)
+    assert f.contains_batch(keys).all()
+    # disjoint probe set: expected fp rate 2*SLOTS/2^16 ~ 1.2e-4
+    probes = _urls(0, 20000, tag="b")
+    fp_rate = f.contains_batch(probes).mean()
+    assert fp_rate < 2e-3, fp_rate
+
+
+def test_delete_readmits():
+    keys = _urls(0, 1000)
+    f = CuckooFilter(1000)
+    f.add_many(keys)
+    n0 = f.n
+    for k in keys[:200]:
+        assert f.delete(k)
+    assert f.n == n0 - 200
+    # deterministic data: at this density no surviving key shares a
+    # (bucket, fp) pair with a deleted one
+    assert not f.contains_batch(keys[:200]).any()
+    assert f.contains_batch(keys[200:]).all()
+    # deleting an absent key is a no-op, not corruption
+    assert not f.delete("http://never.test/x")
+    assert f.contains_batch(keys[200:]).all()
+
+
+def test_add_idempotent_and_counts():
+    f = CuckooFilter(100)
+    assert f.add("http://a.test/1")
+    assert not f.add("http://a.test/1")
+    assert f.n == 1
+
+
+def test_determinism_and_serialization():
+    keys = _urls(0, 5000)
+    a = CuckooFilter(5000)
+    a.add_many(keys)
+    b = CuckooFilter(5000)
+    b.add_many(keys)
+    assert a.to_bytes() == b.to_bytes()
+    c = CuckooFilter.from_bytes(a.to_bytes())
+    assert c.m == a.m and c.n == a.n
+    assert c.contains_batch(keys).all()
+
+
+def test_merge_is_union():
+    ka, kb = _urls(0, 3000), _urls(2000, 6000)
+    fa = CuckooFilter(8000)
+    fa.add_many(ka)
+    fb = CuckooFilter(8000)
+    fb.add_many(kb)
+    fa.merge(fb)
+    assert fa.contains_batch(ka + kb).all()
+    # idempotent on the 1000-key overlap: n equals distinct pairs of
+    # the plain union build
+    ref = CuckooFilter(8000)
+    ref.add_many(ka + kb)
+    assert fa.n == ref.n
+
+
+def test_full_raises():
+    f = CuckooFilter(100)
+    with pytest.raises(CuckooFull):
+        f.add_many(_urls(0, f.m * SLOTS + 1))
+
+
+def test_canonical_order_is_partition_invariant():
+    keys = _urls(0, 4000)
+    h1, h2 = hash128_batch(keys)
+    a = CuckooFilter(4000)
+    a.add_many_hashed(h1, h2, canonical=True)
+    rng = np.random.RandomState(7)
+    perm = rng.permutation(len(keys))
+    b = CuckooFilter(4000)
+    b.add_many_hashed(h1[perm], h2[perm], canonical=True)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_sharded_build_bit_equal_and_probes(spark):
+    keys = _urls(0, 30000)
+    df = spark.createDataFrame([(k,) for k in keys], "url string")
+    shards = 4
+    sc = ShardedCuckoo.from_urls_df(df.repartition(8), shards)
+
+    # local canonical reference build per shard
+    h1, h2 = hash128_batch(keys)
+    sh = shard_of(h2, shards).astype(np.int64)
+    cap_shard = max(1024, int(np.ceil(len(keys) / shards * 1.25)))
+    for s in range(shards):
+        ref = CuckooFilter(cap_shard)
+        ix = np.nonzero(sh == s)[0]
+        ref.add_many_hashed(h1[ix], h2[ix], canonical=True)
+        assert sc.filters[s].to_bytes() == ref.to_bytes(), s
+
+    assert sc.contains_batch(keys).all()
+    probes = _urls(0, 30000, tag="b")
+    assert sc.contains_batch(probes).mean() < 2e-3
+
+    # the recrawl story: delete re-admits exactly the deleted URL
+    assert sc.delete(keys[7])
+    got = sc.contains_batch(keys[:10])
+    assert not got[7] and got[[i for i in range(10) if i != 7]].all()
+    assert sc.add(keys[7])
+    assert sc.contains(keys[7])
+
+    # shard blobs round-trip (the broadcast/probe wire format)
+    rt = ShardedCuckoo.from_bytes_list(sc.to_bytes_list())
+    assert rt.contains_batch(keys).all()
+
+
+def test_derive_fp_never_zero():
+    # fp==0 must remap to 1 (0 is the empty-slot marker)
+    i1, fp = _derive(np.uint64(123), np.uint64(0), 1 << 10)
+    assert int(fp) == 1
+    h2 = np.zeros(4, dtype=np.uint64)
+    _, fpv = _derive(np.arange(4, dtype=np.uint64), h2, 1 << 10)
+    assert (fpv == 1).all()
