@@ -166,11 +166,64 @@ class CuckooFilter:
         pairs = np.stack([i1, fp], axis=1)
         if canonical:
             # canonical insert order: unique rows, sorted — the
-            # distributed builder's determinism contract
-            pairs = np.unique(pairs, axis=0)
+            # distributed builder's determinism contract — through the
+            # fast bulk loop (same placement rules, pinned byte-equal
+            # to the _insert_pair loop in t:test_cuckoo)
+            return self._bulk_insert(np.unique(pairs, axis=0))
         added = 0
         for a, b in pairs:
             added += self._insert_pair(int(a), int(b))
+        return added
+
+    def _bulk_insert(self, pairs: np.ndarray) -> int:
+        """Sequential-semantics bulk insert over python ints and a flat
+        list — placement rules IDENTICAL to :meth:`_insert_pair`
+        (present-check, first-empty i1 then i2, (cur+kick)%SLOTS
+        eviction), but ~10× faster: the per-insert cost of the numpy
+        path is tiny-array call overhead, not arithmetic. Byte-equality
+        of the two paths is pinned in t:test_cuckoo."""
+        m, mask64 = self.m, (1 << 64) - 1
+        mm = m - 1
+        scr = int(_SCRAMBLE)
+        flat = self.buckets.ravel().tolist()
+        added = 0
+        for a, b in pairs.tolist():
+            i1, fp = int(a), int(b)
+            i2 = (i1 ^ ((fp * scr) & mask64)) & mm
+            r1, r2 = i1 * SLOTS, i2 * SLOTS
+            row1 = flat[r1:r1 + SLOTS]
+            row2 = flat[r2:r2 + SLOTS]
+            if fp in row1 or fp in row2:
+                continue
+            if 0 in row1:
+                flat[r1 + row1.index(0)] = fp
+                added += 1
+                continue
+            if 0 in row2:
+                flat[r2 + row2.index(0)] = fp
+                added += 1
+                continue
+            i, cur = i1, fp
+            for kick in range(MAX_KICKS):
+                slot = i * SLOTS + (cur + kick) % SLOTS
+                cur, flat[slot] = flat[slot], cur
+                i = (i ^ ((cur * scr) & mask64)) & mm
+                r = i * SLOTS
+                row = flat[r:r + SLOTS]
+                if 0 in row:
+                    flat[r + row.index(0)] = cur
+                    added += 1
+                    break
+            else:
+                self.buckets = np.asarray(
+                    flat, dtype=np.uint16).reshape(m, SLOTS)
+                self.n += added
+                raise CuckooFull(
+                    f"insert failed after {MAX_KICKS} kicks at "
+                    f"n={self.n} (m={m}, "
+                    f"load={self.n / (m * SLOTS):.3f})")
+        self.buckets = np.asarray(flat, dtype=np.uint16).reshape(m, SLOTS)
+        self.n += added
         return added
 
     # -- delete -----------------------------------------------------------

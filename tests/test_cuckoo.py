@@ -77,10 +77,33 @@ def test_merge_is_union():
     assert fa.n == ref.n
 
 
-def test_full_raises():
+@pytest.mark.parametrize("canonical", [False, True])
+def test_full_raises(canonical):
     f = CuckooFilter(100)
+    h1, h2 = hash128_batch(_urls(0, f.m * SLOTS + 1))
     with pytest.raises(CuckooFull):
-        f.add_many(_urls(0, f.m * SLOTS + 1))
+        f.add_many_hashed(h1, h2, canonical=canonical)
+
+
+def test_bulk_insert_byte_equal_to_insert_pair_loop():
+    """The fast python-int bulk loop must mirror _insert_pair's
+    placement rules exactly — same present-check, slot choice and
+    eviction sequence — so both produce identical bytes on the same
+    canonical pair order, including at high load where evictions are
+    common."""
+    keys = _urls(0, 7000)
+    h1, h2 = hash128_batch(keys)
+    fast = CuckooFilter(7000)
+    fast.add_many_hashed(h1, h2, canonical=True)
+    slow = CuckooFilter(7000)
+    from delver_spark.engine.cuckoo import _derive
+    i1, fp = _derive(h1, h2, slow.m)
+    pairs = np.unique(np.stack([i1, fp], axis=1), axis=0)
+    n_slow = 0
+    for a, b in pairs:
+        n_slow += slow._insert_pair(int(a), int(b))
+    assert fast.to_bytes() == slow.to_bytes()
+    assert fast.n == n_slow
 
 
 def test_canonical_order_is_partition_invariant():
