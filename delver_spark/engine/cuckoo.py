@@ -243,6 +243,10 @@ class CuckooFilter:
                 return True
         return False
 
+    def copy(self) -> "CuckooFilter":
+        return CuckooFilter(self.capacity, buckets=self.buckets.copy(),
+                            n=self.n)
+
     # -- merge / io ---------------------------------------------------------
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
         """Idempotent union with a filter of the SAME geometry: every
@@ -294,6 +298,26 @@ class ShardedCuckoo:
         self.filters = filters
         self.shards = len(filters)
 
+    @staticmethod
+    def _cap_shard(capacity: int, shards: int) -> int:
+        """Per-shard capacity: the expected uniform share + 25% headroom
+        (routing is hash-uniform; the slack absorbs binomial skew)."""
+        return max(1024, int(np.ceil(capacity / shards * 1.25)))
+
+    @classmethod
+    def empty(cls, shards: int, capacity: int) -> "ShardedCuckoo":
+        """Fresh filter sized for ``capacity`` TOTAL keys across
+        ``shards`` shards — the crawl engine's seen-set constructor."""
+        return cls([CuckooFilter(cls._cap_shard(capacity, shards))
+                    for _ in range(shards)])
+
+    @property
+    def n(self) -> int:
+        return sum(f.n for f in self.filters)
+
+    def copy(self) -> "ShardedCuckoo":
+        return ShardedCuckoo([f.copy() for f in self.filters])
+
     # -- distributed build ---------------------------------------------------
     @classmethod
     def from_urls_df(cls, urls_df, shards: int,
@@ -313,7 +337,7 @@ class ShardedCuckoo:
 
         if capacity is None:
             capacity = urls_df.count()
-        cap_shard = max(1024, int(np.ceil(capacity / shards * 1.25)))
+        cap_shard = cls._cap_shard(capacity, shards)
 
         def hash_pass(batches):
             for rb in batches:
@@ -356,8 +380,11 @@ class ShardedCuckoo:
                     for s in range(shards)])
 
     # -- driver-side ops -------------------------------------------------
-    def contains_batch(self, items) -> np.ndarray:
-        h1, h2 = hash128_batch(items)
+    def contains_batch_hashed(self, h1: np.ndarray,
+                              h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership from murmur halves, shard-routed — the
+        probe shape the crawl admission mask uses (same signature as
+        :meth:`CuckooFilter.contains_batch_hashed`)."""
         sh = shard_of(h2, self.shards).astype(np.int64)
         out = np.zeros(len(h1), dtype=bool)
         for s in np.unique(sh):
@@ -365,6 +392,49 @@ class ShardedCuckoo:
             out[ix] = self.filters[int(s)].contains_batch_hashed(
                 h1[ix], h2[ix])
         return out
+
+    def contains_batch(self, items) -> np.ndarray:
+        h1, h2 = hash128_batch(items)
+        return self.contains_batch_hashed(h1, h2)
+
+    def add_many_canonical(self, items) -> int:
+        """Round-commit add: hash the batch, route to shards, and insert
+        each shard's pairs in CANONICAL (sorted-unique (i1, fp)) order —
+        the crawl engine's cuckoo seen-set update contract. Canonical
+        order makes the result partition-invariant AND independent of
+        the caller's item order, so the sequential oracle and the
+        distributed engine produce bit-identical filters from the same
+        per-round insert SET."""
+        if len(items) == 0:
+            return 0
+        h1, h2 = hash128_batch(items)
+        sh = shard_of(h2, self.shards).astype(np.int64)
+        added = 0
+        for s in np.unique(sh):
+            ix = np.nonzero(sh == s)[0]
+            added += self.filters[int(s)].add_many_hashed(
+                h1[ix], h2[ix], canonical=True)
+        return added
+
+    def add_pairs_canonical(self, shard: np.ndarray, i1: np.ndarray,
+                            fp: np.ndarray) -> int:
+        """Round-commit add from PRE-DERIVED (shard, i1, fp) rows — the
+        engine's distributed form (frontier.cuckoo_pairs_for_urls hashes
+        and derives on the executors; only the 24-byte rows reach the
+        driver). Bit-identical to :meth:`add_many_canonical` on the same
+        url set: _derive is deterministic and both insert each shard's
+        sorted-unique pairs."""
+        if len(shard) == 0:
+            return 0
+        i1 = np.asarray(i1, dtype=np.uint64)
+        fp = np.asarray(fp, dtype=np.uint64)
+        shard = np.asarray(shard, dtype=np.int64)
+        added = 0
+        for s in np.unique(shard):
+            ix = np.nonzero(shard == s)[0]
+            pairs = np.unique(np.stack([i1[ix], fp[ix]], axis=1), axis=0)
+            added += self.filters[int(s)]._bulk_insert(pairs)
+        return added
 
     def contains(self, data) -> bool:
         return bool(self.contains_batch([data])[0])
@@ -386,3 +456,25 @@ class ShardedCuckoo:
     @classmethod
     def from_bytes_list(cls, blobs: list[bytes]) -> "ShardedCuckoo":
         return cls([CuckooFilter.from_bytes(b) for b in blobs])
+
+    def to_bytes(self) -> bytes:
+        """Single-blob form for broadcast/snapshot (magic-prefixed so the
+        snapshot store can tell it from a bloom bitmap)."""
+        parts = [b"SCK1\n", len(self.filters).to_bytes(4, "little")]
+        for f in self.filters:
+            b = f.to_bytes()
+            parts.append(len(b).to_bytes(8, "little"))
+            parts.append(b)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "ShardedCuckoo":
+        assert blob[:5] == b"SCK1\n"
+        count = int.from_bytes(blob[5:9], "little")
+        off, filters = 9, []
+        for _ in range(count):
+            ln = int.from_bytes(blob[off:off + 8], "little")
+            off += 8
+            filters.append(CuckooFilter.from_bytes(blob[off:off + ln]))
+            off += ln
+        return cls(filters)

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..engine.bloom import BloomFilter
+from ..engine.cuckoo import ShardedCuckoo
 from ..engine.robots import RobotsCache
 from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.urlnorm import canonicalize, host_of
@@ -59,6 +60,7 @@ from .frontier import (
     FRONTIER_SCHEMA,
     STORE_SCHEMA,
     bloom_bits_for_urls,
+    cuckoo_pairs_for_urls,
     dequeue,
     make_robots_udf,
 )
@@ -104,7 +106,8 @@ class CrawlEngine:
                  collect_order: bool | None = None,
                  hot_host_threshold: int | None = None,
                  mode: str = "dfs",
-                 param_overrides: dict | None = None):
+                 param_overrides: dict | None = None,
+                 seen_filter: str = "bloom"):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
@@ -172,6 +175,20 @@ class CrawlEngine:
         # engine/rolling_bloom.py and _finish_round's replay path)
         self.bloom = RollingBloomFilter(p.get("bloom_count", 1),
                                         p["bloom_max_n"], p["bloom_p"])
+        # seen_filter="cuckoo" swaps in the deletion-capable sharded
+        # cuckoo (engine/cuckoo.py — the north star's named alternative).
+        # Semantics are DEFINED in oracle/crawler.py (the spec): same
+        # round-snapshot probe contract; the round's insert set commits
+        # at round END in canonical per-shard order, which is
+        # partition-invariant, so the distributed engine's filter is
+        # bit-identical to the oracle's without any per-op replay. The
+        # payoff is readmit(): per-URL recrawl the bloom cannot express.
+        assert seen_filter in ("bloom", "cuckoo")
+        self.seen_filter = seen_filter
+        self.cuckoo = ShardedCuckoo.empty(
+            p.get("cuckoo_shards", 4),
+            p.get("cuckoo_capacity") or p["bloom_max_n"]) \
+            if seen_filter == "cuckoo" else None
         self.extractor = make_extractor_arrow(n_partitions,
                                               emit_text=collect_documents)
 
@@ -629,12 +646,15 @@ class CrawlEngine:
                 .select("url_canon"), self.bloom.max_n,
                 self.bloom.p, partitions=min(par, batch_count // 20000 + 1))
 
+        cuckoo_mode = self.seen_filter == "cuckoo"
         pool = ThreadPoolExecutor(max_workers=4)
         probe_bc = None
         try:
             fut_order = pool.submit(job_order)
             fut_cand = pool.submit(job_cand_counts)
-            fut_bits_f = pool.submit(job_bits_fetched)
+            # cuckoo mode has no bitset jobs: the round's inserts flow as
+            # derived (shard, i1, fp) rows in ONE job after admission
+            fut_bits_f = None if cuckoo_mode else pool.submit(job_bits_fetched)
 
             # ---- critical path: fused Arrow admission (F6/F7) --------------
             # ONE shuffle by url colocates all proposals of a url TOGETHER
@@ -648,7 +668,8 @@ class CrawlEngine:
             # partitions into batches, and a per-batch min-page would admit
             # the same url from two pages (tests pin this with a tiny
             # Arrow batch size).
-            probe_bc = sc.broadcast(self.bloom.to_bytes())
+            probe_bc = sc.broadcast(self.cuckoo.to_bytes() if cuckoo_mode
+                                    else self.bloom.to_bytes())
             same_schema = same.schema
             cands_tagged = same.withColumn("f_pos", F.lit(None).cast("long"))
             markers = extracted.filter(F.col("quarantined").isNull()).select(
@@ -669,7 +690,12 @@ class CrawlEngine:
                 from ..engine.murmur import hash128_batch_buf
                 from ..engine.rolling_bloom import blooms_from_bytes
                 from .frontier import admission_keep_mask
-                bf = blooms_from_bytes(probe_bc.value)
+                raw = probe_bc.value
+                if raw[:5] == b"SCK1\n":  # cuckoo seen-set (magic-tagged)
+                    from ..engine.cuckoo import ShardedCuckoo
+                    bf = ShardedCuckoo.from_bytes(raw)
+                else:
+                    bf = blooms_from_bytes(raw)
                 tbls = [pa.Table.from_batches([rb]) for rb in it]
                 if not tbls:
                     return
@@ -757,10 +783,24 @@ class CrawlEngine:
             _t = _mark('admission', _t)
             self.seq += admitted_count
 
-            fut_bits_a = pool.submit(
-                bloom_bits_for_urls, admitted.select("url"),
-                self.bloom.max_n, self.bloom.p,
-                min(par, admitted_count // 20000 + 1))
+            if cuckoo_mode:
+                # the round's insert set: markVisited'd pages ∪ admitted
+                # urls (admitted only in news mode — news.go never marks
+                # the fetched page); quarantined rows never markVisited
+                ins = admitted.select("url")
+                if not news:
+                    ins = (extracted.filter(F.col("quarantined").isNull())
+                           .select(F.col("url_canon").alias("url"))
+                           .unionByName(ins))
+                fut_seen = pool.submit(
+                    cuckoo_pairs_for_urls, ins, self.cuckoo.shards,
+                    self.cuckoo.filters[0].m,
+                    min(par, (batch_count + admitted_count) // 20000 + 1))
+            else:
+                fut_bits_a = pool.submit(
+                    bloom_bits_for_urls, admitted.select("url"),
+                    self.bloom.max_n, self.bloom.p,
+                    min(par, admitted_count // 20000 + 1))
             fut_adm_counts = pool.submit(
                 lambda: admitted.groupBy("partition_id").count().collect())
 
@@ -810,6 +850,16 @@ class CrawlEngine:
                 self.lineage.append(
                     {"round": rnd, "partition": int(part), **agg[part]})
 
+            if cuckoo_mode:
+                # round-END canonical commit (the defined cuckoo-mode
+                # semantics — oracle/crawler.py __init__): per-shard
+                # sorted-unique insert of the derived rows, bit-identical
+                # to the oracle's add_many_canonical on the same url set
+                pr = fut_seen.result()
+                self.cuckoo.add_pairs_canonical(pr[:, 0], pr[:, 1],
+                                                pr[:, 2])
+                _t = _mark('bloom_merge', _t)
+                return
             bits = fut_bits_f.result() | fut_bits_a.result()
             # quarantined rows never markVisited → not counted as inserts;
             # news mode marks ONLY admitted outlinks (no page inserts)
@@ -855,8 +905,37 @@ class CrawlEngine:
             if checkpoint_every and self.round % checkpoint_every == 0:
                 self.checkpoint()
         self.checkpoint()
-        return {"rounds": self.round, "fetched": self.fetch_seq,
-                "frontier_ops": self.seq, "bloom_bits": int(np.count_nonzero(self.bloom.words))}
+        out = {"rounds": self.round, "fetched": self.fetch_seq,
+               "frontier_ops": self.seq,
+               "bloom_bits": int(np.count_nonzero(self.bloom.words))}
+        if self.seen_filter == "cuckoo":
+            out["cuckoo_n"] = self.cuckoo.n
+        return out
+
+    def readmit(self, urls) -> int:
+        """Recrawl API (cuckoo mode only — the per-URL forget the rolling
+        bloom cannot express; with the bloom the engine's only lever is
+        rotating out a whole generation): delete each url from the
+        seen-set and re-enqueue it at depth 0 with origin 'readmit', so
+        subsequent :meth:`run` rounds refetch it. Mirrors
+        ``OracleCrawler.readmit`` exactly (priority-0 rows keep the
+        big-path order invariant). Returns the number re-enqueued."""
+        assert self.seen_filter == "cuckoo", \
+            "readmit requires the cuckoo seen-set"
+        rows = []
+        for u in urls:
+            c = canonicalize(u)
+            if c is None:
+                continue
+            self.cuckoo.delete(c)
+            rows.append((0, self.round, self.seq, c, host_of(c), 0,
+                         "readmit"))
+            self.seq += 1
+        if rows:
+            df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
+                .localCheckpoint(eager=True)
+            self._append_delta(df, len(rows))
+        return len(rows)
 
     # ------------------------------------------------------------- checkpoint
     def checkpoint(self):
@@ -865,7 +944,9 @@ class CrawlEngine:
         sdir = self.store.state_dir("url_store", rnd)
         self._frontier_view().write.mode("overwrite").parquet(fdir)
         self.url_store.write.mode("overwrite").parquet(sdir)
-        self.store.save_bloom(rnd, self.bloom.to_bytes())
+        self.store.save_bloom(rnd, self.cuckoo.to_bytes()
+                              if self.seen_filter == "cuckoo"
+                              else self.bloom.to_bytes())
         if self.crawl_order:
             d = self.store.state_dir("crawl_order", rnd)
             os.makedirs(d, exist_ok=True)
@@ -895,8 +976,11 @@ class CrawlEngine:
             self.documents = []
         self.store.commit({
             "round": rnd, "seq": self.seq, "fetch_seq": self.fetch_seq,
-            "frontier_count": self.frontier_count, "bloom_n": self.bloom.n,
+            "frontier_count": self.frontier_count,
+            "bloom_n": self.cuckoo.n if self.seen_filter == "cuckoo"
+            else self.bloom.n,
             "frontier_dir": fdir, "url_store_dir": sdir, "mode": self.mode,
+            "seen_filter": self.seen_filter,
         })
 
     # ----------------------------------------------------------------- resume
@@ -913,7 +997,11 @@ class CrawlEngine:
         eng.fetch_seq = m["fetch_seq"]
         eng.frontier_count = m["frontier_count"]
         blob = eng.store.load_bloom(m["round"])
-        if blob.startswith(b"RBF1\n"):
+        if blob.startswith(b"SCK1\n"):
+            # cuckoo seen-set snapshot (magic-tagged single blob)
+            eng.seen_filter = "cuckoo"
+            eng.cuckoo = ShardedCuckoo.from_bytes(blob)
+        elif blob.startswith(b"RBF1\n"):
             # full-generation snapshot (NOT the reference's save-gen0-only
             # Save quirk — resume == uninterrupted requires all generations)
             eng.bloom = RollingBloomFilter.from_bytes(blob)

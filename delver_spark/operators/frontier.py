@@ -200,7 +200,72 @@ def bloom_bits_for_urls(urls_df: DataFrame, max_n: int, p: float,
     return rdd.treeAggregate(zero, lambda a, b: a | b, lambda a, b: a | b, depth=2)
 
 
+def cuckoo_pairs_for_urls(urls_df: DataFrame, shards: int, m: int,
+                          partitions: int | None = None) -> np.ndarray:
+    """Cuckoo-mode twin of :func:`bloom_bits_for_urls`: hash the single
+    string column zero-copy on the executors and derive the seen-set's
+    (shard, i1, fp) rows there — only the 24-byte numeric rows reach the
+    driver (no python strings ever materialize), where
+    ``ShardedCuckoo.add_pairs_canonical`` applies them. Unlike bloom
+    bitsets, cuckoo inserts can't OR-merge, so the rows themselves are
+    the minimal transferable round state. Returns an (n, 3) int64 array;
+    i1 < m and fp <= 0xFFFF make the int64 view lossless."""
+    import pyarrow as pa
+
+    from ..engine.cuckoo import _derive, shard_of
+    from ..engine.murmur import hash128_batch_buf
+
+    if partitions is not None:
+        urls_df = urls_df.coalesce(max(1, partitions))
+
+    def derive_pass(it):
+        for rb in it:
+            arr = rb.column(0)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if len(arr) == 0:
+                continue
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                                    count=len(arr) + 1 + arr.offset)[arr.offset:]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+            lens = np.diff(offsets).astype(np.int64)
+            h1, h2 = hash128_batch_buf(data, lens)
+            i1, fp = _derive(h1, h2, m)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(shard_of(h2, shards).view(np.int64)),
+                 pa.array(i1.view(np.int64)),
+                 pa.array(fp.view(np.int64))],
+                names=["shard", "i1", "fp"])
+
+    tbl = (urls_df.mapInArrow(derive_pass, "shard long, i1 long, fp long")
+           .toArrow())
+    return np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                     for c in ("shard", "i1", "fp")], axis=1)
+
+
 _SENTINEL = np.int64(1 << 62)
+
+
+def _seen_mask(seen, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Seen-set membership from murmur halves — a single BloomFilter, a
+    generation LIST (rolling bloom, any-match read per
+    rolling_bloom.go:203-213: all generations share (max_n, p) hence m
+    and the probe positions, so membership is an OR of the per-generation
+    bit tests over one shared position array), or any filter exposing
+    ``contains_batch_hashed`` (the cuckoo seen-set,
+    engine/cuckoo.py)."""
+    if hasattr(seen, "contains_batch_hashed"):
+        return seen.contains_batch_hashed(h1, h2)
+    blooms = seen if isinstance(seen, list) else [seen]
+    pos = blooms[0]._probes_from_hash(h1, h2)
+    widx = (pos >> np.uint64(6)).astype(np.int64)
+    shift = pos & np.uint64(63)
+    out = np.zeros(len(h1), dtype=bool)
+    for bf in blooms:
+        bits = (bf.words[widx] >> shift) & np.uint64(1)
+        out |= bits.all(axis=1)
+    return out
 
 
 def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
@@ -226,10 +291,9 @@ def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
     (P ~ n^2 / 2^129) and lets the whole pass run without materializing
     a single python string.
 
-    ``bloom`` may be a single BloomFilter or a GENERATION LIST (rolling
-    bloom, any-match read per rolling_bloom.go:203-213): all generations
-    share (max_n, p) hence m and the probe positions, so membership is an
-    OR of the per-generation bit tests over one shared position array."""
+    ``bloom`` may be anything :func:`_seen_mask` accepts — a single
+    BloomFilter, a rolling-bloom generation list, or the cuckoo
+    seen-set; the gate semantics are filter-agnostic."""
     n = len(h1)
     idx = np.lexsort((h2, h1))
     h1s, h2s = h1[idx], h2[idx]
@@ -243,15 +307,8 @@ def admission_keep_mask(h1: np.ndarray, h2: np.ndarray,
     fm = np.where(is_marker, f_pos, _SENTINEL)
     run_fp_min = np.minimum.reduceat(fm[idx], run_starts)
 
-    # gate (a): bloom membership straight from the hashes
-    blooms = bloom if isinstance(bloom, list) else [bloom]
-    pos = blooms[0]._probes_from_hash(h1, h2)
-    widx = (pos >> np.uint64(6)).astype(np.int64)
-    shift = pos & np.uint64(63)
-    in_bloom = np.zeros(n, dtype=bool)
-    for bf in blooms:
-        bits = (bf.words[widx] >> shift) & np.uint64(1)
-        in_bloom |= bits.all(axis=1)
+    # gate (a): seen-set membership straight from the hashes
+    in_bloom = _seen_mask(bloom, h1, h2)
 
     elig = (~is_marker) & (~in_bloom) & (run_fp_min[run_id] > page_pos)
 
@@ -282,14 +339,7 @@ def admission_keep_mask_news(h1: np.ndarray, h2: np.ndarray,
     run_id = np.empty(n, dtype=np.int64)
     run_id[idx] = run_id_sorted
 
-    blooms = bloom if isinstance(bloom, list) else [bloom]
-    pos = blooms[0]._probes_from_hash(h1, h2)
-    widx = (pos >> np.uint64(6)).astype(np.int64)
-    shift = pos & np.uint64(63)
-    in_bloom = np.zeros(n, dtype=bool)
-    for bf in blooms:
-        bits = (bf.words[widx] >> shift) & np.uint64(1)
-        in_bloom |= bits.all(axis=1)
+    in_bloom = _seen_mask(bloom, h1, h2)
 
     # (page_pos, link_pos) packed into one sortable key; link_pos is the
     # within-caption index, far below 2^21

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..engine.cuckoo import ShardedCuckoo
 from ..engine.extract_ref import extract_outlinks
 from ..engine.rolling_bloom import RollingBloomFilter
 from ..engine.murmur import hash128
@@ -61,6 +62,7 @@ class CrawlResult:
     documents: list[dict] = field(default_factory=list)
     quarantine: list[dict] = field(default_factory=list)
     bloom: RollingBloomFilter | None = None
+    cuckoo: ShardedCuckoo | None = None
     rounds: int = 0
 
 
@@ -79,7 +81,10 @@ class OracleCrawler:
                  bloom_count: int = 1,
                  robots_ttl_rounds: int | None = None,
                  poison_urls: set[str] | None = None,
-                 mode: str = "dfs"):
+                 mode: str = "dfs",
+                 seen_filter: str = "bloom",
+                 cuckoo_shards: int = 4,
+                 cuckoo_capacity: int | None = None):
         self.pages = pages
         # robots_bodies: {host: body} (static) or [(host, body, from_round)]
         # versioned rows; TTL measured in round age (robotstxt.go mapping)
@@ -94,8 +99,26 @@ class OracleCrawler:
         self.n_partitions = n_partitions
         # the seen-set resource is the reference's ROLLING bloom
         # (rolling_bloom.go): writes return errors that dfs_basic logs and
-        # ignores; rotation + the lost-insert quirk live inside the filter
+        # ignores; rotation + the lost-insert quirk live inside the filter.
+        # seen_filter="cuckoo" swaps in the deletion-capable sharded cuckoo
+        # (engine/cuckoo.py — the north star's named alternative, NOT a
+        # reference structure). Its semantics are defined HERE as the spec
+        # the engine must match: the round-snapshot probe contract is
+        # unchanged, and the round's insert SET {markVisited'd pages ∪
+        # admitted urls} (admitted only in news mode) commits at round END
+        # in canonical per-shard sorted-unique (i1, fp) order — order-free
+        # by construction, so the distributed engine's filter is
+        # bit-identical without replaying the reference's per-op sequence.
+        # (Equivalent for probes: no probe reads the live filter mid-round
+        # in either seen mode.)
+        assert seen_filter in ("bloom", "cuckoo")
+        self.seen_filter = seen_filter
         self.bloom = RollingBloomFilter(bloom_count, bloom_max_n, bloom_p)
+        self.cuckoo = ShardedCuckoo.empty(
+            cuckoo_shards, cuckoo_capacity or bloom_max_n) \
+            if seen_filter == "cuckoo" else None
+        self._res: CrawlResult | None = None
+        self._rnd = 0
         self.frontier: list[FrontierEntry] = []
         self.url_store: dict[str, dict[str, str]] = {}
         self.seq = 0
@@ -154,8 +177,8 @@ class OracleCrawler:
         return taken
 
     # -- news accumulator page handler (news.go OnMessage) --------------------
-    def _news_page(self, e, success, rnd, snap, admitted_this_round,
-                   rules_by_host, c, res):
+    def _news_page(self, e, success, rnd, snap_probe, admitted_this_round,
+                   rules_by_host, c, res, round_inserts):
         """processUrls + processArticle (news.go:100-130,152-290): gates
         applied in urlAllowed's order — exact host, extension blacklist,
         robots (checked PER OUTLINK at admission, unlike dfs's
@@ -194,28 +217,36 @@ class OracleCrawler:
                 continue
             if ":" in path and "=" in path:
                 continue
-            if (lc in admitted_this_round
-                    or any(b.contains(lc) for b in snap)):
+            if lc in admitted_this_round or snap_probe(lc):
                 c["deduped"] += 1
                 continue
             self._enqueue(lc, e.depth + 1, e.url, rnd)
-            self.bloom.add(lc)
+            if self.seen_filter == "bloom":
+                self.bloom.add(lc)
+            else:
+                round_inserts.append(lc)
             admitted_this_round.add(lc)
             c["enqueued"] += 1
 
     # -- main loop --------------------------------------------------------------
     def run(self) -> CrawlResult:
-        res = CrawlResult()
-        rnd = 0
-        for s in self.seeds:
-            # (url, priority[, depth[, origin]]) — depth/origin let RSS
-            # FetcherRequests (depth 1, origin=feed) seed a news crawl
-            url, priority = s[0], s[1]
-            depth = int(s[2]) if len(s) > 2 else 0
-            origin = s[3] if len(s) > 3 else ""
-            c = canonicalize(url)
-            if c is not None:
-                self._enqueue(c, depth, origin, 0, priority)
+        """Run rounds until exhaustion or max_rounds. Re-callable: a
+        second call CONTINUES the same crawl (state lives on self; the
+        accumulated CrawlResult is returned again) — the recrawl story:
+        run() → :meth:`readmit` → run()."""
+        if self._res is None:
+            self._res = CrawlResult()
+            for s in self.seeds:
+                # (url, priority[, depth[, origin]]) — depth/origin let RSS
+                # FetcherRequests (depth 1, origin=feed) seed a news crawl
+                url, priority = s[0], s[1]
+                depth = int(s[2]) if len(s) > 2 else 0
+                origin = s[3] if len(s) > 3 else ""
+                c = canonicalize(url)
+                if c is not None:
+                    self._enqueue(c, depth, origin, 0, priority)
+        res = self._res
+        rnd = self._rnd
 
         while rnd < self.max_rounds:
             if not self.frontier:
@@ -239,7 +270,14 @@ class OracleCrawler:
             # its seen-set once; inserts still apply per-op to the live
             # rolling filter, so rotation and the lost-insert quirk land
             # on the same op as the reference's.
-            snap = [b.copy() for b in self.bloom.blooms]
+            if self.seen_filter == "cuckoo":
+                snapc = self.cuckoo.copy()
+                snap_probe = snapc.contains
+            else:
+                snap = [b.copy() for b in self.bloom.blooms]
+                snap_probe = \
+                    lambda lc: any(b.contains(lc) for b in snap)  # noqa: E731
+            round_inserts: list[str] = []
             fetched_this_round: set[str] = set()
             admitted_this_round: set[str] = set()
             news_rules = self.robots.rules_for_round(rnd) \
@@ -264,15 +302,19 @@ class OracleCrawler:
                     res.quarantine.append({"url_canon": e.url, "round": rnd})
                     continue
                 if self.mode == "news":
-                    self._news_page(e, success, rnd, snap,
-                                    admitted_this_round, news_rules, c, res)
+                    self._news_page(e, success, rnd, snap_probe,
+                                    admitted_this_round, news_rules, c, res,
+                                    round_inserts)
                     continue
                 # markVisited happens before link handling (dfs_basic.go:48);
                 # bloom errors are logged-and-ignored in the reference
                 # (dfs_basic.go:61-65); rotation/lost-insert semantics are
                 # inside the rolling filter itself
                 fetched_this_round.add(e.url)
-                self.bloom.add(e.url)
+                if self.seen_filter == "bloom":
+                    self.bloom.add(e.url)
+                else:
+                    round_inserts.append(e.url)
                 if not success:
                     continue
                 res.documents.append({"url_canon": e.url, "depth": e.depth,
@@ -291,7 +333,7 @@ class OracleCrawler:
                         # resolve to the same URL are BOTH enqueued — quirk kept
                         seen = (lc in fetched_this_round
                                 or lc in admitted_this_round
-                                or any(b.contains(lc) for b in snap))
+                                or snap_probe(lc))
                         if not seen:
                             self._enqueue(lc, e.depth + 1, e.url, rnd)
                             to_visit.append(lc)
@@ -303,16 +345,42 @@ class OracleCrawler:
                         c["stashed"] += 1
                 if to_visit:
                     # reference logs and continues (dfs_basic.go:121-123)
-                    self.bloom.add_many(to_visit)
+                    if self.seen_filter == "bloom":
+                        self.bloom.add_many(to_visit)
+                    else:
+                        round_inserts.extend(to_visit)
                     admitted_this_round.update(to_visit)
 
             for part, c in sorted(counters.items()):
                 res.lineage.append({"round": rnd, "partition": part, **c})
+            if self.seen_filter == "cuckoo":
+                # round-END commit in canonical per-shard order — the
+                # defined cuckoo-mode semantics (see __init__)
+                self.cuckoo.add_many_canonical(round_inserts)
             rnd += 1
 
+        self._rnd = rnd
         res.bloom = self.bloom
+        res.cuckoo = self.cuckoo
         res.rounds = rnd
         return res
+
+    def readmit(self, urls) -> int:
+        """Recrawl API (cuckoo mode only — the per-URL forget the rolling
+        bloom cannot express): delete each url from the seen-set and
+        re-enqueue it at depth 0 with origin 'readmit', so the next
+        :meth:`run` call refetches it. Returns the number re-enqueued."""
+        assert self.seen_filter == "cuckoo", \
+            "readmit requires the cuckoo seen-set"
+        n = 0
+        for u in urls:
+            c = canonicalize(u)
+            if c is None:
+                continue
+            self.cuckoo.delete(c)
+            self._enqueue(c, 0, "readmit", self._rnd)
+            n += 1
+        return n
 
 
 def load_corpus(corpus_dir: str):
@@ -340,7 +408,7 @@ def load_corpus(corpus_dir: str):
 
 def run_oracle(corpus_dir: str, n_partitions: int = 8,
                poison_urls: set[str] | None = None,
-               mode: str = "dfs") -> CrawlResult:
+               mode: str = "dfs", seen_filter: str = "bloom") -> CrawlResult:
     pages, robots, seeds, params = load_corpus(corpus_dir)
     oc = OracleCrawler(
         pages, robots, seeds,
@@ -355,5 +423,8 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8,
         robots_ttl_rounds=params.get("robots_ttl_rounds"),
         poison_urls=poison_urls,
         mode=mode,
+        seen_filter=seen_filter,
+        cuckoo_shards=params.get("cuckoo_shards", 4),
+        cuckoo_capacity=params.get("cuckoo_capacity"),
     )
     return oc.run()

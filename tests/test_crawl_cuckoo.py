@@ -1,0 +1,191 @@
+"""Cuckoo seen-set crawl mode ≡ oracle: crawl order, filter bytes,
+lineage — plus the recrawl story (readmit → refetch) the rolling bloom
+cannot express, and checkpoint/resume of the cuckoo snapshot.
+
+The cuckoo-mode semantics are DEFINED in oracle/crawler.py (round-
+snapshot probe, round-END canonical commit); these tests pin the
+distributed engine to that spec the same way test_crawl_spark.py pins
+the bloom mode. Equality here is bit-for-bit BY CONSTRUCTION (canonical
+per-shard insert order), not fp-luck."""
+
+import numpy as np
+import pytest
+
+from delver_spark.oracle.crawler import run_oracle
+
+
+@pytest.fixture(scope="module")
+def cuckoo_oracle(unit_corpus):
+    return run_oracle(unit_corpus, seen_filter="cuckoo")
+
+
+@pytest.fixture(scope="module")
+def cuckoo_engine(spark, unit_corpus, tmp_path_factory):
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_ckw"))
+    eng = CrawlEngine(spark, unit_corpus, wd, seen_filter="cuckoo")
+    eng.run()
+    return eng
+
+
+def _order_tuples_oracle(res):
+    return [(r["seq"], r["url_canon"], r["depth"], r["round"], r["host"],
+             r["success"]) for r in res.crawl_order]
+
+
+def _order_tuples_engine(eng):
+    df = eng.crawl_order_df()
+    return list(df[["seq", "url_canon", "depth", "round", "host", "success"]]
+                .itertuples(index=False, name=None))
+
+
+def test_crawl_order_exact_match(cuckoo_oracle, cuckoo_engine):
+    assert _order_tuples_engine(cuckoo_engine) == \
+        _order_tuples_oracle(cuckoo_oracle)
+
+
+def test_cuckoo_filter_bit_for_bit(cuckoo_oracle, cuckoo_engine):
+    assert cuckoo_engine.cuckoo.to_bytes() == cuckoo_oracle.cuckoo.to_bytes()
+    assert cuckoo_engine.cuckoo.n == cuckoo_oracle.cuckoo.n > 0
+
+
+def test_lineage_counters_match(cuckoo_oracle, cuckoo_engine):
+    ol = [(r["round"], r["partition"], r["fetched"], r["deduped"],
+           r["enqueued"], r["stashed"]) for r in cuckoo_oracle.lineage]
+    df = cuckoo_engine.lineage_df()
+    sl = list(df[["round", "partition", "fetched", "deduped", "enqueued",
+                  "stashed"]].itertuples(index=False, name=None))
+    assert ol == sl
+
+
+def test_cuckoo_mode_matches_bloom_mode_order(unit_corpus, cuckoo_oracle):
+    """On this fixture neither filter fires a false positive, so the two
+    seen-set modes must produce the SAME crawl order (both are exact
+    sets plus fp noise; deterministic fixture ⇒ deterministic check)."""
+    bloom_res = run_oracle(unit_corpus)
+    assert _order_tuples_oracle(cuckoo_oracle) == \
+        _order_tuples_oracle(bloom_res)
+
+
+def test_readmit_recrawl_matches_oracle(spark, tmp_path_factory):
+    """The deletion story end to end: crawl to exhaustion, readmit a few
+    fetched urls, run again — both sides refetch exactly those urls (the
+    snapshot probe now misses them) and the filters stay bit-equal."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.oracle.crawler import OracleCrawler, load_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    # a SMALL SINGLE-HOST corpus with a high round cap ⇒ the first run
+    # ends on true frontier EXHAUSTION (multi-host corpora ping-pong
+    # forever: refill republishes stashed cross-domain urls with no
+    # seen-check — faithful dfs_basic quirk — and the refetched pages
+    # re-stash each other), so the readmitted rows are the whole queue
+    # of the second run (with a leftover backlog they'd merely be
+    # fetched behind it — readmit rows carry the current enqueue_round,
+    # they don't jump the FIFO)
+    corp = str(tmp_path_factory.mktemp("corpus_ck_readmit"))
+    generate_corpus(corp, n_pages=60, n_hosts=1, seed=23, max_rounds=40)
+    pages, robots, seeds, params = load_corpus(corp)
+    oc = OracleCrawler(
+        pages, robots, seeds, max_depth=params["max_depth"],
+        per_host_budget=params["per_host_budget"],
+        global_budget=params["global_budget"],
+        max_rounds=40, bloom_max_n=params["bloom_max_n"],
+        bloom_p=params["bloom_p"], seen_filter="cuckoo")
+    first = oc.run()
+    n_first = len(first.crawl_order)
+    assert n_first > 6
+    assert first.rounds < 40, "fixture must end on exhaustion"
+
+    wd = str(tmp_path_factory.mktemp("crawl_ck_readmit"))
+    eng = CrawlEngine(spark, corp, wd, seen_filter="cuckoo")
+    eng.run()
+
+    # readmit 3 fetched urls (same order on both sides)
+    victims = [r["url_canon"] for r in first.crawl_order[:6:2]]
+    assert oc.readmit(victims) == 3
+    assert eng.readmit(victims) == 3
+    for v in victims:
+        assert not oc.cuckoo.contains(v)
+        assert not eng.cuckoo.contains(v)
+
+    res2 = oc.run()
+    eng.run()
+
+    new_oracle = _order_tuples_oracle(res2)[n_first:]
+    new_engine = _order_tuples_engine(eng)[n_first:]
+    assert new_oracle == new_engine
+    refetched = {t[1] for t in new_oracle}
+    assert set(victims) <= refetched
+    assert eng.cuckoo.to_bytes() == oc.cuckoo.to_bytes()
+
+
+def test_checkpoint_resume_restores_cuckoo(spark, unit_corpus,
+                                           tmp_path_factory):
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_ck_resume"))
+    eng = CrawlEngine(spark, unit_corpus, wd, seen_filter="cuckoo")
+    eng.run()
+    blob = eng.cuckoo.to_bytes()
+
+    eng2 = CrawlEngine.resume(spark, unit_corpus, wd)
+    assert eng2.seen_filter == "cuckoo"
+    assert eng2.cuckoo.to_bytes() == blob
+
+
+def test_news_mode_cuckoo_matches_oracle(spark, tmp_path_factory):
+    """News admission marks ONLY admitted urls — the cuckoo insert set
+    must honor that too."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_news_ck"))
+    generate_corpus(d, n_pages=200, n_hosts=10, seed=13, max_rounds=8,
+                    path_style="news")
+    oracle = run_oracle(d, mode="news", seen_filter="cuckoo")
+    wd = str(tmp_path_factory.mktemp("crawl_news_ck"))
+    eng = CrawlEngine(spark, d, wd, mode="news", seen_filter="cuckoo")
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert eng.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
+    assert eng.cuckoo.n == oracle.cuckoo.n > 0
+
+
+def test_big_g_path_cuckoo_matches_oracle(spark, tmp_path_factory):
+    """G > 10000 selects the big-batch plan — the cuckoo pairs job and
+    canonical commit must stay bit-exact there too."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_bigg_ck"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=11, max_rounds=5,
+                    global_budget=20000, per_host_budget=50)
+    oracle = run_oracle(d, seen_filter="cuckoo")
+    wd = str(tmp_path_factory.mktemp("crawl_bigg_ck"))
+    eng = CrawlEngine(spark, d, wd, seen_filter="cuckoo")
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert eng.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
+
+
+def test_canonical_commit_equals_pairs_commit():
+    """ShardedCuckoo.add_many_canonical (oracle, strings) and
+    add_pairs_canonical (engine, derived rows) must be bit-identical on
+    the same url set — the cross-form determinism the crawl equality
+    rides on."""
+    from delver_spark.engine.cuckoo import ShardedCuckoo, _derive, shard_of
+    from delver_spark.engine.murmur import hash128_batch
+
+    urls = np.array([f"http://h{i % 7}.test/p/{i}" for i in range(5000)],
+                    dtype=object)
+    a = ShardedCuckoo.empty(4, 6000)
+    a.add_many_canonical(urls)
+    b = ShardedCuckoo.empty(4, 6000)
+    h1, h2 = hash128_batch(urls)
+    i1, fp = _derive(h1, h2, b.filters[0].m)
+    # int64 round-trip like the spark job's long columns
+    b.add_pairs_canonical(shard_of(h2, 4).view(np.int64),
+                          i1.view(np.int64), fp.view(np.int64))
+    assert a.to_bytes() == b.to_bytes()
