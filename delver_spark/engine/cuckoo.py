@@ -233,7 +233,12 @@ class CuckooFilter:
         call for keys that were inserted — see the module docstring."""
         h1, h2 = hash128(data)
         i1, fp = _derive(_U64(h1), _U64(h2), self.m)
-        i1, fp = int(i1), int(fp)
+        return self.delete_pair(int(i1), int(fp))
+
+    def delete_pair(self, i1: int, fp: int) -> bool:
+        """:meth:`delete` from a pre-derived (bucket, fingerprint) pair —
+        the distributed-readmit form (executors derive, only 24-byte
+        rows reach the driver). Same one-occurrence semantics."""
         i2 = int(_alt(_U64(i1), _U64(fp), self.m))
         for i in (i1, i2):
             hit = np.nonzero(self.buckets[i] == fp)[0]
@@ -449,6 +454,21 @@ class ShardedCuckoo:
         h1, h2 = hash128(data)
         s = int(shard_of(_U64(h2), self.shards))
         return self.filters[s].delete(data)
+
+    def delete_pairs(self, shard: np.ndarray, i1: np.ndarray,
+                     fp: np.ndarray) -> int:
+        """Batch delete from pre-derived (shard, i1, fp) rows — the
+        distributed-readmit twin of :meth:`add_pairs_canonical`.
+        Driver-side O(k) bucket edits (the filter is driver-resident by
+        contract, like the bloom bitmap); order-free because deletes
+        of distinct pairs commute and duplicate rows just no-op after
+        the first. Returns the number of stored pairs removed."""
+        deleted = 0
+        for s, a, b in zip(np.asarray(shard, dtype=np.int64),
+                           np.asarray(i1, dtype=np.uint64),
+                           np.asarray(fp, dtype=np.uint64)):
+            deleted += self.filters[int(s)].delete_pair(int(a), int(b))
+        return deleted
 
     def to_bytes_list(self) -> list[bytes]:
         return [f.to_bytes() for f in self.filters]

@@ -937,6 +937,82 @@ class CrawlEngine:
             self._append_delta(df, len(rows))
         return len(rows)
 
+    def readmit_df(self, urls_df: DataFrame) -> int:
+        """Distributed :meth:`readmit` — the 10^10-frontier form, for
+        recrawl sets that don't fit a driver list. ``urls_df`` is one
+        string column of raw urls. One Arrow pass canonicalizes, hashes
+        (murmur3-128) and derives the cuckoo (shard, i1, fp) rows on the
+        executors; enqueue order is defined as ascending UNSIGNED
+        (h1, h2) — deterministic and partition-invariant — with seqs
+        assigned by the sharded global rank (no single-partition
+        window). URL strings never reach the driver: the frontier rows
+        stay a checkpointed DataFrame delta, and only the 24-byte
+        derived rows are collected for the driver-resident filter's
+        bucket edits (same G-bounded contract as the round commit).
+        Equivalent to ``readmit(victims sorted by unsigned (h1, h2))``
+        — pinned in t:test_crawl_cuckoo. Returns the number re-enqueued
+        (invalid/uncanonicalizable urls are dropped)."""
+        assert self.seen_filter == "cuckoo", \
+            "readmit requires the cuckoo seen-set"
+        from ..engine.cuckoo import _derive, shard_of
+        from ..engine.murmur import hash128_batch
+        from .frontier import assign_global_rank
+
+        m, shards = self.cuckoo.filters[0].m, self.cuckoo.shards
+        flip = np.uint64(1 << 63)
+
+        def derive_pass(it):
+            for rb in it:
+                keep = [c for c in (canonicalize(u) for u in
+                                    rb.column(0).to_pylist())
+                        if c is not None]
+                if not keep:
+                    continue
+                h1, h2 = hash128_batch(np.array(keep, dtype=object))
+                i1, fp = _derive(h1, h2, m)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(keep, pa.string()),
+                     pa.array([host_of(c) for c in keep], pa.string()),
+                     pa.array(shard_of(h2, shards).astype(np.int64)),
+                     pa.array(i1.view(np.int64)),
+                     pa.array(fp.view(np.int64)),
+                     # sign-flip so int64 ORDER == uint64 order
+                     pa.array((h1 ^ flip).view(np.int64)),
+                     pa.array((h2 ^ flip).view(np.int64))],
+                    names=["url", "host", "shard", "i1", "fp",
+                           "h1s", "h2s"])
+
+        derived = urls_df.mapInArrow(
+            derive_pass,
+            "url string, host string, shard long, i1 long, fp long, "
+            "h1s long, h2s long")
+        st: dict = {}
+        # pid = top 16 bits of h1s: monotone in the (h1s, h2s) order,
+        # uniform under murmur — the assign_global_rank contract
+        ranked = assign_global_rank(
+            derived, ["h1s", "h2s"], F.shiftright(F.col("h1s"), 48),
+            out_col="rn", out_stats=st)
+        rows = ranked.select(
+            F.lit(0).cast("int").alias("priority"),
+            F.lit(self.round).cast("int").alias("enqueue_round"),
+            (F.lit(self.seq) + F.col("rn")).cast("long")
+            .alias("enqueue_seq"),
+            "url", "host",
+            F.lit(0).cast("int").alias("depth"),
+            F.lit("readmit").alias("origin"),
+            "shard", "i1", "fp").localCheckpoint(eager=True)
+        n = st.get("total", 0)
+        if n == 0:
+            return 0
+        pr = rows.select("shard", "i1", "fp").toArrow()
+        self.cuckoo.delete_pairs(
+            pr.column("shard").to_numpy(zero_copy_only=False),
+            pr.column("i1").to_numpy(zero_copy_only=False).view(np.uint64),
+            pr.column("fp").to_numpy(zero_copy_only=False).view(np.uint64))
+        self._append_delta(rows.drop("shard", "i1", "fp"), n)
+        self.seq += n
+        return n
+
     # ------------------------------------------------------------- checkpoint
     def checkpoint(self):
         rnd = self.round

@@ -189,3 +189,46 @@ def test_canonical_commit_equals_pairs_commit():
     b.add_pairs_canonical(shard_of(h2, 4).view(np.int64),
                           i1.view(np.int64), fp.view(np.int64))
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_readmit_df_equals_list(spark, tmp_path_factory):
+    """Distributed readmit_df (urls as a DataFrame; strings never
+    collected) ≡ list readmit in its defined order (ascending unsigned
+    (h1, h2)): filter bytes, frontier delta, and the subsequent run's
+    crawl order all match. Garbage urls drop; duplicate urls enqueue
+    twice but delete once (idempotent-insert filter)."""
+    from delver_spark.engine.murmur import hash128_batch
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    corp = str(tmp_path_factory.mktemp("corpus_ck_rdf"))
+    generate_corpus(corp, n_pages=60, n_hosts=1, seed=23, max_rounds=40)
+    engines = []
+    for tag in ("a", "b"):
+        wd = str(tmp_path_factory.mktemp(f"crawl_ck_rdf_{tag}"))
+        e = CrawlEngine(spark, corp, wd, seen_filter="cuckoo")
+        e.run()
+        engines.append(e)
+    e1, e2 = engines
+    assert e1.cuckoo.to_bytes() == e2.cuckoo.to_bytes()
+
+    victims = [t[1] for t in _order_tuples_engine(e1)[:8:2]]
+    victims.append(victims[0])  # duplicate: enqueues twice, deletes once
+
+    h1, h2 = hash128_batch(np.array(victims, dtype=object))
+    order = np.lexsort((h2, h1))  # unsigned (h1, h2) — the defined order
+    assert e1.readmit([victims[i] for i in order]) == len(victims)
+
+    df = spark.createDataFrame(
+        [(u,) for u in reversed(victims)] + [("not a url",), ("",)],
+        "url string").repartition(5)
+    assert e2.readmit_df(df) == len(victims)
+
+    assert e1.cuckoo.to_bytes() == e2.cuckoo.to_bytes()
+    assert e1.cuckoo.n == e2.cuckoo.n
+
+    e1.run()
+    e2.run()
+    o1, o2 = _order_tuples_engine(e1), _order_tuples_engine(e2)
+    assert o1 == o2
+    assert {t[1] for t in o1} >= set(victims)
