@@ -91,7 +91,9 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
         eng = CrawlEngine(spark, corpus, wd,
                           collect_documents=False, collect_order=False,
                           mode=os.environ.get("SPARK_GRAFT_SCALE_MODE",
-                                              "dfs"))
+                                              "dfs"),
+                          seen_filter=os.environ.get(
+                              "SPARK_GRAFT_SCALE_SEEN", "bloom"))
         # pre-fill the frontier with every page URL (depth 0): the round
         # then exercises every stage at full width
         pages = spark.read.parquet(os.path.join(corpus, "pages.parquet")) \
