@@ -25,6 +25,10 @@ json tags):
     the corpus defaults (engine/rolling_bloom.py).
   - ``bloom_filter`` (bloom/bloom.go:104-107, ``max_n``/``p``): fixed
     single-generation seen-set (bloom_count=1).
+  - ``cuckoo_filter`` (NOT a reference type — the engine's own
+    deletion-capable seen-set, engine/cuckoo.py; ``shards``/
+    ``capacity``): selects ``CrawlEngine(seen_filter="cuckoo")``.
+    Mutually exclusive with the bloom resources.
   - ``channel_queue``/``timer``/``persistent_map``/``multi_host_map``:
     accepted for config parity; Spark absorbs them (in-JVM exchanges,
     the round loop, broadcast maps), so they carry no parameters here.
@@ -52,8 +56,8 @@ from typing import Any
 
 RESOURCE_TYPES = {
     "file_queue", "channel_queue", "timer", "bloom_filter",
-    "rolling_bloom_filter", "persistent_map", "multi_host_map",
-    "filesystem_object_store",
+    "rolling_bloom_filter", "cuckoo_filter", "persistent_map",
+    "multi_host_map", "filesystem_object_store",
 }
 
 WORKER_TYPES = {
@@ -203,11 +207,20 @@ def build_engine(spark, app: Application | str | dict, *,
 
     blooms = (by_type.get("rolling_bloom_filter", [])
               + by_type.get("bloom_filter", []))
-    if len(blooms) > 1:
+    cuckoos = by_type.get("cuckoo_filter", [])
+    if len(blooms) + len(cuckoos) > 1:
         raise ConfigError(
-            f"multiple bloom resources ({', '.join(r.name for r in blooms)}):"
-            " the engine wires exactly one seen-set")
+            "multiple seen-set resources ("
+            + ", ".join(r.name for r in blooms + cuckoos)
+            + "): the engine wires exactly one seen-set")
     overrides: dict[str, Any] = {}
+    if cuckoos:
+        p = cuckoos[0].parameters
+        engine_kwargs.setdefault("seen_filter", "cuckoo")
+        if "shards" in p:
+            overrides["cuckoo_shards"] = int(p["shards"])
+        if "capacity" in p:
+            overrides["cuckoo_capacity"] = int(p["capacity"])
     if blooms:
         p = blooms[0].parameters
         if blooms[0].type == "bloom_filter":

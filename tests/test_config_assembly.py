@@ -232,3 +232,42 @@ def test_job_manager_needs_no_inbox(unit_corpus, tmp_path):
     app = load_application(doc)
     seeder = [w for w in app.workers if w.name == "seeder"][0]
     assert seeder.manager == "job" and seeder.inbox == ""
+
+
+def test_cuckoo_resource_builds_cuckoo_engine(spark, unit_corpus,
+                                              tmp_path):
+    """A cuckoo_filter resource (the engine's own seen-set type, not a
+    reference one) selects seen_filter="cuckoo" with its shards/capacity
+    as param overrides, and the config-built engine reproduces the
+    cuckoo-mode oracle exactly."""
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["resources"] = [r for r in doc["resources"]
+                        if r["type"] != "rolling_bloom_filter"]
+    with open(f"{unit_corpus}/params.json") as f:
+        p = json.load(f)
+    doc["resources"].append(
+        {"name": "seen_urls", "type": "cuckoo_filter",
+         "parameters": {"shards": 4, "capacity": p["bloom_max_n"]}})
+    eng = build_engine(spark, doc)
+    assert eng.seen_filter == "cuckoo"
+    assert eng.cuckoo.shards == 4
+    eng.run()
+    oracle = run_oracle(unit_corpus, seen_filter="cuckoo")
+    df = eng.crawl_order_df()
+    got = list(df[["seq", "url_canon", "depth", "round", "success"]]
+               .itertuples(index=False, name=None))
+    want = [(r["seq"], r["url_canon"], r["depth"], r["round"],
+             r["success"]) for r in oracle.crawl_order]
+    assert got == want
+    assert eng.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
+
+
+def test_cuckoo_plus_bloom_resources_rejected(tmp_path, unit_corpus):
+    doc = _app_json(unit_corpus, str(tmp_path / "wd"),
+                    "dfs_basic_accumulator")
+    doc["resources"].append(
+        {"name": "seen_urls_ck", "type": "cuckoo_filter",
+         "parameters": {"shards": 4}})
+    with pytest.raises(ConfigError, match="seen-set"):
+        build_engine(None, doc)
