@@ -50,6 +50,41 @@ def parse_robots(body: str | None) -> list[tuple[bool, str]]:
     return rules
 
 
+def crawl_delay(body: str | None) -> float | None:
+    """``Crawl-delay`` (seconds) for the ``*`` agent, or None when
+    absent/malformed/non-positive. NOT a reference capability (the
+    reference's robotstxt.go never reads it) — this is the engine's own
+    politeness input, per the widely-honored non-RFC convention (Bing/
+    Yandex; RFC 9309 leaves the directive undefined). Group rule
+    matches :func:`parse_robots` (only the ``User-agent: *`` group
+    applies); the LAST directive in an applying group wins, matching a
+    sequential read."""
+    if not body:
+        return None
+    delay = None
+    applies = False
+    try:
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                applies = val == "*"
+            elif key == "crawl-delay" and applies:
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d > 0:
+                    delay = d
+    except Exception:
+        return None
+    return delay
+
+
 def allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     if not rules:
         return True

@@ -37,14 +37,44 @@ STATE_SCHEMA = T.StructType([
 ])
 
 
+def rates_from_robots(robots_bodies: dict, default_rate: float = 1.0,
+                      max_rate: float | None = None) -> dict:
+    """Per-host refill rates from robots.txt ``Crawl-delay`` directives
+    (engine/robots.py:crawl_delay — the north star's "crawl-delay
+    tokens"): rate = 1/delay for hosts that declare one, clamped to
+    ``max_rate`` (never crawl FASTER than the default just because a
+    delay is tiny — pass max_rate=default_rate for that policy).
+    Hosts without a delay are omitted (they fall back to the bucket's
+    ``rate_per_sec``)."""
+    from ..engine.robots import crawl_delay
+
+    rates = {}
+    for host, body in robots_bodies.items():
+        d = crawl_delay(body)
+        if d is not None:
+            r = 1.0 / d
+            rates[host] = min(r, max_rate) if max_rate is not None else r
+    return rates
+
+
 def politeness_admit(requests: DataFrame, rate_per_sec: float = 1.0,
-                     burst: int = 4) -> DataFrame:
+                     burst: int = 4,
+                     rate_by_host: dict | None = None) -> DataFrame:
     """requests: streaming DataFrame with (host, url, priority,
     enqueue_round, enqueue_seq, event_ts:long). Returns the admitted
-    sub-stream under the per-host token budget."""
+    sub-stream under the per-host token budget.
+
+    ``rate_by_host`` overrides the refill rate for specific hosts
+    (build it with :func:`rates_from_robots` to honor robots.txt
+    Crawl-delay). The dict ships in the task closure — fine for the
+    robots-cache-sized host sets the crawl keeps anyway; a host set
+    too big for a broadcast would instead join a ``rate`` column onto
+    the stream and read it per group (same bucket arithmetic)."""
+    rate_by_host = rate_by_host or {}
 
     def bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (host,) = key
+        rate = rate_by_host.get(host, rate_per_sec)
         if state.exists:
             tokens, last_ts = state.get
         else:
@@ -56,7 +86,7 @@ def politeness_admit(requests: DataFrame, rate_per_sec: float = 1.0,
                 now = int(r.event_ts)
                 if now > last_ts:
                     tokens = min(float(burst),
-                                 tokens + (now - last_ts) * rate_per_sec)
+                                 tokens + (now - last_ts) * rate)
                     last_ts = now
                 if tokens >= 1.0:
                     tokens -= 1.0
