@@ -45,12 +45,34 @@ STORE_SCHEMA = T.StructType([
 ORDER_COLS = ["priority", "enqueue_round", "enqueue_seq"]
 
 
+def budgets_from_crawl_delay(robots_bodies: dict, round_period_s: float,
+                             per_host_budget: int) -> dict:
+    """Per-round host budgets from robots.txt ``Crawl-delay``
+    (engine/robots.py:crawl_delay): budget = floor(period/delay)
+    clamped to [0, per_host_budget]. floor, not ceil — a delay longer
+    than the round period honestly yields 0 fetches this round (the
+    polite reading); sub-round token carry-over across rounds is the
+    streaming operator's job (politeness_state.py), not the batch
+    window's. Hosts without a delay are omitted (they get the default
+    budget). Feed the result to :func:`dequeue`'s ``host_budgets``."""
+    from ..engine.robots import crawl_delay
+
+    out = {}
+    for host, body in robots_bodies.items():
+        d = crawl_delay(body)
+        if d is not None:
+            out[host] = max(0, min(per_host_budget,
+                                   int(round_period_s / d)))
+    return out
+
+
 def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
             hot_host_threshold: int | None = None,
             n_salts: int = 64,
             seq_hint: int | None = None,
             big_path_floor: int = 10000,
-            out_stats: dict | None = None) -> DataFrame:
+            out_stats: dict | None = None,
+            host_budgets: dict | None = None) -> DataFrame:
     """Greedy dequeue under per-host + global budgets in
     (priority, enqueue_round, enqueue_seq) order — provably equal to the
     oracle's sequential greedy (first-B-per-host ∩ global-top-G).
@@ -89,8 +111,36 @@ def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
       tests/test_frontier_ops.py::test_dequeue_big_path_exact_equal.
     ``out_stats``, if given, receives ``batch_count`` when the big path
     runs (derived from the ranking's own counts — saves the caller's
-    count job)."""
-    if hot_host_threshold and per_host_budget < global_budget:
+    count job).
+
+    ``host_budgets`` (opt-in): per-host budget OVERRIDES, e.g. from
+    :func:`budgets_from_crawl_delay` — host h's cap becomes
+    host_budgets.get(h, per_host_budget); a 0 budget blocks the host
+    this round. The dict is driver-resident by the same contract as
+    the robots cache it derives from (one entry per known host) and
+    reaches the plan as a broadcast-joined column, so the window stays
+    one shuffle. The B>=G window skip and the hot-host pre-cut both
+    account for overrides (the skip needs min(budget) >= G; the salted
+    pre-cut keeps each hot host's OWN budget per salt — still an exact
+    superset of its final top-budget)."""
+    budgets_df = None
+    min_budget = per_host_budget
+    if host_budgets:
+        spark = frontier.sparkSession
+        budgets_df = F.broadcast(spark.createDataFrame(
+            [(h, int(b)) for h, b in host_budgets.items()],
+            "host string, _budget int"))
+        min_budget = min(per_host_budget, min(host_budgets.values()))
+
+    def _with_budget(df: DataFrame) -> DataFrame:
+        # USING-join reorders columns (key first): reselect the caller's
+        # order so dequeue's output schema is budget-path-invariant
+        return (df.join(budgets_df, "host", "left")
+                .withColumn("_budget", F.coalesce(
+                    F.col("_budget"), F.lit(per_host_budget)))
+                .select(*df.columns, "_budget"))
+
+    if hot_host_threshold and min_budget < global_budget:
         # (with B >= G the host window below is skipped entirely, so the
         # hot-host pre-cut has nothing to relieve)
         cnt = frontier.groupBy("host").agg(F.count("*").alias("c"))
@@ -101,22 +151,38 @@ def dequeue(frontier: DataFrame, per_host_budget: int, global_budget: int,
             is_hot = F.col("host").isin(hot_hosts)
             w_salt = Window.partitionBy("host", "_salt") \
                 .orderBy(*[F.col(c) for c in ORDER_COLS])
-            pruned_hot = (frontier.filter(is_hot)
+            hot_rows = frontier.filter(is_hot)
+            if budgets_df is not None:
+                hot_rows = _with_budget(hot_rows)
+                cap = F.col("_budget")
+            else:
+                cap = F.lit(per_host_budget)
+            pruned_hot = (hot_rows
                           .withColumn("_salt", F.pmod(
                               F.hash("enqueue_seq"), F.lit(n_salts)))
                           .withColumn("_r", F.row_number().over(w_salt))
-                          .filter(F.col("_r") <= per_host_budget)
+                          .filter(F.col("_r") <= cap)
                           .drop("_r", "_salt"))
+            if budgets_df is not None:
+                pruned_hot = pruned_hot.drop("_budget")
             frontier = frontier.filter(~is_hot).unionByName(pruned_hot)
-    if per_host_budget >= global_budget:
+    if min_budget >= global_budget:
         eligible = frontier  # host window provably no-op (see docstring)
     else:
         w_host = Window.partitionBy("host") \
             .orderBy(*[F.col(c) for c in ORDER_COLS])
-        eligible = (frontier
+        ranked_rows = frontier
+        if budgets_df is not None:
+            ranked_rows = _with_budget(ranked_rows)
+            cap = F.col("_budget")
+        else:
+            cap = F.lit(per_host_budget)
+        eligible = (ranked_rows
                     .withColumn("host_rank", F.row_number().over(w_host))
-                    .filter(F.col("host_rank") <= per_host_budget)
+                    .filter(F.col("host_rank") <= cap)
                     .drop("host_rank"))
+        if budgets_df is not None:
+            eligible = eligible.drop("_budget")
     if seq_hint is not None and global_budget > big_path_floor:
         spark = frontier.sparkSession
         parts = max(spark.sparkContext.defaultParallelism, 4)

@@ -146,3 +146,72 @@ def test_salted_repartition_spreads_hot_key(spark):
     sizes = out.groupBy(F.spark_partition_id().alias("p")).count().collect()
     biggest = max(r["count"] for r in sizes)
     assert biggest < 500  # hot host no longer lands in a single partition
+
+
+def _python_dequeue_budgets(rows, B, G, budgets):
+    """Sequential greedy reference with per-host budget overrides."""
+    taken, per_host = [], {}
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        host = r[4]
+        cap = budgets.get(host, B)
+        if len(taken) < G and per_host.get(host, 0) < cap:
+            taken.append(r)
+            per_host[host] = per_host.get(host, 0) + 1
+    return [(i, r[3]) for i, r in enumerate(taken)]
+
+
+def test_dequeue_host_budget_overrides(spark):
+    """host_budgets (e.g. budgets_from_crawl_delay): per-host caps incl.
+    a 0 (host blocked this round) — equal to the sequential greedy, with
+    and without the hot-host guard, and schema-invariant."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    seq = 0
+    for _ in range(2000):
+        host = rng.choice(["hot.test", "slow.test", "blocked.test",
+                           "a.test", "b.test", "c.test"])
+        rows.append((rng.choice([0, 1]), rng.randint(0, 2), seq,
+                     f"u{seq}", host, 0, None))
+        seq += 1
+    budgets = {"slow.test": 2, "blocked.test": 0, "hot.test": 40}
+    B, G = 25, 300
+    want = _python_dequeue_budgets(rows, B, G, budgets)
+
+    f = _frontier(spark, rows)
+    got = dequeue(f, B, G, host_budgets=budgets).orderBy("pos")
+    assert [c for c in got.columns if c != "pos"] == \
+        [fld.name for fld in FRONTIER_SCHEMA]
+    got_rows = [(r["pos"], r["url"]) for r in got.collect()]
+    assert got_rows == want
+    assert not any(u.startswith("u") and
+                   rows[int(u[1:])][4] == "blocked.test"
+                   for _, u in got_rows)
+
+    # hot-host guard path must honor each hot host's OWN budget
+    guarded = dequeue(f, B, G, host_budgets=budgets,
+                      hot_host_threshold=100, n_salts=8) \
+        .orderBy("pos").collect()
+    assert [(r["pos"], r["url"]) for r in guarded] == want
+
+    # min-budget gate: B >= G alone must NOT skip the window when an
+    # override is smaller than G
+    got2 = dequeue(f, 1 << 30, 50, host_budgets={"slow.test": 1}) \
+        .orderBy("pos").collect()
+    want2 = _python_dequeue_budgets(rows, 1 << 30, 50, {"slow.test": 1})
+    assert [(r["pos"], r["url"]) for r in got2] == want2
+
+
+def test_budgets_from_crawl_delay():
+    from delver_spark.operators.frontier import budgets_from_crawl_delay
+
+    bodies = {"slow.test": "User-agent: *\nCrawl-delay: 10",
+              "glacial.test": "User-agent: *\nCrawl-delay: 3600",
+              "fast.test": "User-agent: *\nCrawl-delay: 0.5",
+              "plain.test": "User-agent: *\nDisallow: /x"}
+    got = budgets_from_crawl_delay(bodies, round_period_s=60.0,
+                                   per_host_budget=16)
+    # floor(60/10)=6; floor(60/3600)=0 (blocked, documented); 60/0.5=120
+    # clamped to B=16; no delay -> omitted
+    assert got == {"slow.test": 6, "glacial.test": 0, "fast.test": 16}
