@@ -107,7 +107,8 @@ class CrawlEngine:
                  hot_host_threshold: int | None = None,
                  mode: str = "dfs",
                  param_overrides: dict | None = None,
-                 seen_filter: str = "bloom"):
+                 seen_filter: str = "bloom",
+                 host_budgets: dict | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.workdir = workdir
@@ -124,6 +125,10 @@ class CrawlEngine:
         # None = plain window, correct at any scale and faster until a
         # single host reaches ~10^7 frontier rows.
         self.hot_host_threshold = hot_host_threshold
+        # per-host dequeue-budget overrides (e.g. robots Crawl-delay via
+        # frontier.budgets_from_crawl_delay); SEMANTIC — the oracle takes
+        # the same map and the equality tests cover it
+        self.host_budgets = host_budgets or {}
         self.store = SnapshotStore(workdir)
 
         with open(os.path.join(corpus_dir, "params.json")) as f:
@@ -388,7 +393,8 @@ class CrawlEngine:
         batch = dequeue(self._frontier_view(), self.B, self.G,
                         hot_host_threshold=self.hot_host_threshold,
                         seq_hint=self.seq if self._seq_orderable else None,
-                        out_stats=deq_stats) \
+                        out_stats=deq_stats,
+                        host_budgets=self.host_budgets or None) \
             .localCheckpoint(eager=True)
         _t = _mark('dequeue', _t)
         # ---- fetch (J1): small batches push an IN-filter into the parquet

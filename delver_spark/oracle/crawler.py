@@ -84,7 +84,16 @@ class OracleCrawler:
                  mode: str = "dfs",
                  seen_filter: str = "bloom",
                  cuckoo_shards: int = 4,
-                 cuckoo_capacity: int | None = None):
+                 cuckoo_capacity: int | None = None,
+                 host_budgets: dict | None = None):
+        # host_budgets: per-host dequeue-budget OVERRIDES (e.g. from
+        # robots Crawl-delay via frontier.budgets_from_crawl_delay) —
+        # host h's per-round cap is host_budgets.get(h, B); 0 blocks
+        # the host. NOT a reference capability (the reference has no
+        # per-host rate limit at all, SURVEY O2); part of the engine's
+        # own politeness story, so the oracle carries the same knob and
+        # the engine≡oracle equality covers it.
+        self.host_budgets = host_budgets or {}
         self.pages = pages
         # robots_bodies: {host: body} (static) or [(host, body, from_round)]
         # versioned rows; TTL measured in round age (robotstxt.go mapping)
@@ -168,7 +177,8 @@ class OracleCrawler:
         rest: list[FrontierEntry] = []
         for e in self.frontier:
             host = host_of(e.url)
-            if len(taken) < self.G and per_host.get(host, 0) < self.B:
+            cap = self.host_budgets.get(host, self.B)
+            if len(taken) < self.G and per_host.get(host, 0) < cap:
                 taken.append(e)
                 per_host[host] = per_host.get(host, 0) + 1
             else:
@@ -408,7 +418,8 @@ def load_corpus(corpus_dir: str):
 
 def run_oracle(corpus_dir: str, n_partitions: int = 8,
                poison_urls: set[str] | None = None,
-               mode: str = "dfs", seen_filter: str = "bloom") -> CrawlResult:
+               mode: str = "dfs", seen_filter: str = "bloom",
+               host_budgets: dict | None = None) -> CrawlResult:
     pages, robots, seeds, params = load_corpus(corpus_dir)
     oc = OracleCrawler(
         pages, robots, seeds,
@@ -426,5 +437,6 @@ def run_oracle(corpus_dir: str, n_partitions: int = 8,
         seen_filter=seen_filter,
         cuckoo_shards=params.get("cuckoo_shards", 4),
         cuckoo_capacity=params.get("cuckoo_capacity"),
+        host_budgets=host_budgets,
     )
     return oc.run()

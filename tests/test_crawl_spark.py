@@ -153,3 +153,34 @@ def test_resume_equals_uninterrupted(spark, unit_corpus, tmp_path_factory,
     assert got == want
     assert np.array_equal(oracle_result.bloom.bit_positions(),
                           eng2.bloom.bit_positions())
+
+
+def test_host_budget_overrides_match_oracle(spark, tmp_path_factory):
+    """Crawl-delay politeness in the round loop: per-host dequeue-budget
+    overrides (incl. a 0 = fully blocked host) are SEMANTIC, so both
+    engine and oracle take the same map and the full order/bloom/lineage
+    equality must hold — and the blocked host must never be fetched."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_hb"))
+    generate_corpus(d, n_pages=200, n_hosts=8, seed=17, max_rounds=6)
+    budgets = {"d001.test": 1, "d002.test": 0, "www.d000.test": 2}
+    oracle = run_oracle(d, host_budgets=budgets)
+    base = run_oracle(d)
+    # non-vacuity: the overrides must actually change the crawl
+    assert _order_tuples_oracle(oracle) != _order_tuples_oracle(base)
+    assert not any(r["host"] == "d002.test" for r in oracle.crawl_order)
+
+    wd = str(tmp_path_factory.mktemp("crawl_hb"))
+    eng = CrawlEngine(spark, d, wd, host_budgets=budgets)
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert np.array_equal(oracle.bloom.bit_positions(),
+                          eng.bloom.bit_positions())
+    ol = [(r["round"], r["partition"], r["fetched"], r["deduped"],
+           r["enqueued"], r["stashed"]) for r in oracle.lineage]
+    df = eng.lineage_df()
+    assert ol == list(df[["round", "partition", "fetched", "deduped",
+                          "enqueued", "stashed"]]
+                      .itertuples(index=False, name=None))
