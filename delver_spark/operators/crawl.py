@@ -1019,6 +1019,46 @@ class CrawlEngine:
         self.seq += n
         return n
 
+    def forget_df(self, urls_df: DataFrame) -> int:
+        """Expiry — the other half of the cuckoo recrawl/expiry story:
+        delete urls from the seen-set WITHOUT re-enqueueing them, so the
+        filter's load stays bounded and a forgotten url is recrawled
+        only IF the live frontier re-encounters it (passive freshness).
+        Same distributed shape as :meth:`readmit_df` minus the rank and
+        frontier delta: canonicalize+hash on the executors, only the
+        24-byte derived rows reach the driver-resident filter. Same
+        deletion contract as ``CuckooFilter.delete`` (only forget urls
+        that were actually inserted). Returns the number of stored
+        entries removed (duplicates and never-inserted urls no-op)."""
+        assert self.seen_filter == "cuckoo", \
+            "forget requires the cuckoo seen-set"
+        from ..engine.cuckoo import _derive, shard_of
+        from ..engine.murmur import hash128_batch
+
+        m, shards = self.cuckoo.filters[0].m, self.cuckoo.shards
+
+        def derive_pass(it):
+            for rb in it:
+                keep = [c for c in (canonicalize(u) for u in
+                                    rb.column(0).to_pylist())
+                        if c is not None]
+                if not keep:
+                    continue
+                h1, h2 = hash128_batch(np.array(keep, dtype=object))
+                i1, fp = _derive(h1, h2, m)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(shard_of(h2, shards).astype(np.int64)),
+                     pa.array(i1.view(np.int64)),
+                     pa.array(fp.view(np.int64))],
+                    names=["shard", "i1", "fp"])
+
+        pr = urls_df.mapInArrow(
+            derive_pass, "shard long, i1 long, fp long").toArrow()
+        return self.cuckoo.delete_pairs(
+            pr.column("shard").to_numpy(zero_copy_only=False),
+            pr.column("i1").to_numpy(zero_copy_only=False).view(np.uint64),
+            pr.column("fp").to_numpy(zero_copy_only=False).view(np.uint64))
+
     # ------------------------------------------------------------- checkpoint
     def checkpoint(self):
         rnd = self.round

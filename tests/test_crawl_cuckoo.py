@@ -232,3 +232,30 @@ def test_readmit_df_equals_list(spark, tmp_path_factory):
     o1, o2 = _order_tuples_engine(e1), _order_tuples_engine(e2)
     assert o1 == o2
     assert {t[1] for t in o1} >= set(victims)
+
+
+def test_forget_df_expiry(spark, cuckoo_engine, cuckoo_oracle):
+    """forget_df deletes without re-enqueue: the filter drops exactly
+    the forgotten urls' entries (bit-equal to sequential deletes on the
+    oracle's filter), membership flips to False, never-inserted urls
+    no-op, and the frontier gains no rows."""
+    eng = cuckoo_engine
+    victims = [t[1] for t in _order_tuples_engine(eng)[:6:2]]
+    expect = eng.cuckoo.copy()
+    for v in victims:
+        assert expect.delete(v)
+
+    fc_before = eng.frontier_count
+    df = spark.createDataFrame(
+        [(u,) for u in victims] + [("http://never.test/x",), ("",)],
+        "url string")
+    n = eng.forget_df(df)
+    assert n == len(victims)
+    assert eng.cuckoo.to_bytes() == expect.to_bytes()
+    assert not any(eng.cuckoo.contains(v) for v in victims)
+    assert eng.frontier_count == fc_before
+
+    # restore MEMBERSHIP for the module-scoped fixture (slot layout may
+    # differ from the original; no test after this one reads the bytes —
+    # this test is last in the file and pytest preserves file order)
+    eng.cuckoo.add_many_canonical(victims)
