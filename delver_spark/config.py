@@ -216,10 +216,22 @@ def build_engine(spark, app: Application | str | dict, *,
     overrides: dict[str, Any] = {}
     if cuckoos:
         p = cuckoos[0].parameters
-        engine_kwargs.setdefault("seen_filter", "cuckoo")
+        if engine_kwargs.setdefault("seen_filter", "cuckoo") != "cuckoo":
+            # silently dropping the resource would be the config-ambiguity
+            # class the r3 rules say must RAISE
+            raise ConfigError(
+                f"cuckoo_filter resource {cuckoos[0].name} conflicts with "
+                f"explicit seen_filter={engine_kwargs['seen_filter']!r}")
         if "shards" in p:
+            if int(p["shards"]) < 1:
+                raise ConfigError(
+                    f"cuckoo_filter {cuckoos[0].name}: shards must be >= 1")
             overrides["cuckoo_shards"] = int(p["shards"])
         if "capacity" in p:
+            if int(p["capacity"]) < 1:
+                raise ConfigError(
+                    f"cuckoo_filter {cuckoos[0].name}: capacity must be "
+                    ">= 1")
             overrides["cuckoo_capacity"] = int(p["capacity"])
     if blooms:
         p = blooms[0].parameters

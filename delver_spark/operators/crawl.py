@@ -100,6 +100,29 @@ def _explode_outlinks(extracted: DataFrame,
                     _outlink_domain(F.col("l.host")).alias("domain")))
 
 
+def _cuckoo_derive_canonical(batches, m: int, shards: int):
+    """Shared executor-side derivation for the recrawl/expiry APIs
+    (readmit_df / forget_df): canonicalize a batch of RAW urls, hash
+    with murmur3-128 and derive the seen-set rows. Yields
+    (keep, h1, h2, i1, fp, shard_i64) per non-empty batch — one place
+    owns the canonicalize→hash→(i1, fp) chain so the insert and delete
+    paths cannot desynchronize. (The round-commit path,
+    frontier.cuckoo_pairs_for_urls, hashes ALREADY-canonical urls
+    zero-copy from Arrow buffers instead — same _derive/shard_of.)"""
+    from ..engine.cuckoo import _derive, shard_of
+    from ..engine.murmur import hash128_batch
+
+    for rb in batches:
+        keep = [c for c in (canonicalize(u) for u in
+                            rb.column(0).to_pylist())
+                if c is not None]
+        if not keep:
+            continue
+        h1, h2 = hash128_batch(np.array(keep, dtype=object))
+        i1, fp = _derive(h1, h2, m)
+        yield keep, h1, h2, i1, fp, shard_of(h2, shards).astype(np.int64)
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus_dir: str, workdir: str,
                  n_partitions: int = 8, collect_documents: bool = True,
@@ -912,10 +935,14 @@ class CrawlEngine:
                 self.checkpoint()
         self.checkpoint()
         out = {"rounds": self.round, "fetched": self.fetch_seq,
-               "frontier_ops": self.seq,
-               "bloom_bits": int(np.count_nonzero(self.bloom.words))}
+               "frontier_ops": self.seq}
         if self.seen_filter == "cuckoo":
-            out["cuckoo_n"] = self.cuckoo.n
+            out["cuckoo_n"] = out["seen_n"] = self.cuckoo.n
+        else:
+            # only meaningful in bloom mode (the bloom is unused and
+            # all-zero under the cuckoo seen-set)
+            out["bloom_bits"] = int(np.count_nonzero(self.bloom.words))
+            out["seen_n"] = self.bloom.n
         return out
 
     def readmit(self, urls) -> int:
@@ -928,6 +955,11 @@ class CrawlEngine:
         big-path order invariant). Returns the number re-enqueued."""
         assert self.seen_filter == "cuckoo", \
             "readmit requires the cuckoo seen-set"
+        if self.frontier is None:
+            # seed first or seed() would later RESET frontier_count and
+            # orphan the readmit delta; seeds keep the first seqs
+            # (oracle parity: OracleCrawler.readmit seeds too)
+            self.seed()
         rows = []
         for u in urls:
             c = canonicalize(u)
@@ -960,26 +992,20 @@ class CrawlEngine:
         (invalid/uncanonicalizable urls are dropped)."""
         assert self.seen_filter == "cuckoo", \
             "readmit requires the cuckoo seen-set"
-        from ..engine.cuckoo import _derive, shard_of
-        from ..engine.murmur import hash128_batch
+        if self.frontier is None:
+            self.seed()  # see readmit(): never let seed() run AFTER us
         from .frontier import assign_global_rank
 
         m, shards = self.cuckoo.filters[0].m, self.cuckoo.shards
         flip = np.uint64(1 << 63)
 
         def derive_pass(it):
-            for rb in it:
-                keep = [c for c in (canonicalize(u) for u in
-                                    rb.column(0).to_pylist())
-                        if c is not None]
-                if not keep:
-                    continue
-                h1, h2 = hash128_batch(np.array(keep, dtype=object))
-                i1, fp = _derive(h1, h2, m)
+            for got in _cuckoo_derive_canonical(it, m, shards):
+                keep, h1, h2, i1, fp, sh = got
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(keep, pa.string()),
                      pa.array([host_of(c) for c in keep], pa.string()),
-                     pa.array(shard_of(h2, shards).astype(np.int64)),
+                     pa.array(sh),
                      pa.array(i1.view(np.int64)),
                      pa.array(fp.view(np.int64)),
                      # sign-flip so int64 ORDER == uint64 order
@@ -1032,22 +1058,13 @@ class CrawlEngine:
         entries removed (duplicates and never-inserted urls no-op)."""
         assert self.seen_filter == "cuckoo", \
             "forget requires the cuckoo seen-set"
-        from ..engine.cuckoo import _derive, shard_of
-        from ..engine.murmur import hash128_batch
-
         m, shards = self.cuckoo.filters[0].m, self.cuckoo.shards
 
         def derive_pass(it):
-            for rb in it:
-                keep = [c for c in (canonicalize(u) for u in
-                                    rb.column(0).to_pylist())
-                        if c is not None]
-                if not keep:
-                    continue
-                h1, h2 = hash128_batch(np.array(keep, dtype=object))
-                i1, fp = _derive(h1, h2, m)
+            for _, _, _, i1, fp, sh in _cuckoo_derive_canonical(
+                    it, m, shards):
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(shard_of(h2, shards).astype(np.int64)),
+                    [pa.array(sh),
                      pa.array(i1.view(np.int64)),
                      pa.array(fp.view(np.int64))],
                     names=["shard", "i1", "fp"])
@@ -1099,10 +1116,15 @@ class CrawlEngine:
         self.store.commit({
             "round": rnd, "seq": self.seq, "fetch_seq": self.fetch_seq,
             "frontier_count": self.frontier_count,
-            "bloom_n": self.cuckoo.n if self.seen_filter == "cuckoo"
+            # informational only (restore reads the blob itself); named
+            # for the seen-set mode, not "bloom_n", since cuckoo counts
+            # land here too
+            "seen_n": self.cuckoo.n if self.seen_filter == "cuckoo"
             else self.bloom.n,
             "frontier_dir": fdir, "url_store_dir": sdir, "mode": self.mode,
             "seen_filter": self.seen_filter,
+            # SEMANTIC engine knob — resume == uninterrupted requires it
+            "host_budgets": self.host_budgets,
         })
 
     # ----------------------------------------------------------------- resume
@@ -1118,6 +1140,9 @@ class CrawlEngine:
         eng.seq = m["seq"]
         eng.fetch_seq = m["fetch_seq"]
         eng.frontier_count = m["frontier_count"]
+        # semantic politeness overrides travel with the snapshot; without
+        # this a resumed crawl would silently revert to the uniform B
+        eng.host_budgets = m.get("host_budgets") or {}
         blob = eng.store.load_bloom(m["round"])
         if blob.startswith(b"SCK1\n"):
             # cuckoo seen-set snapshot (magic-tagged single blob)

@@ -239,22 +239,29 @@ class OracleCrawler:
             c["enqueued"] += 1
 
     # -- main loop --------------------------------------------------------------
+    def _seed_once(self):
+        """Idempotent seeding — run() and readmit() both go through it,
+        so seeds always take the FIRST seq numbers even when readmit is
+        (unusually) called before the first run."""
+        if self._res is not None:
+            return
+        self._res = CrawlResult()
+        for s in self.seeds:
+            # (url, priority[, depth[, origin]]) — depth/origin let RSS
+            # FetcherRequests (depth 1, origin=feed) seed a news crawl
+            url, priority = s[0], s[1]
+            depth = int(s[2]) if len(s) > 2 else 0
+            origin = s[3] if len(s) > 3 else ""
+            c = canonicalize(url)
+            if c is not None:
+                self._enqueue(c, depth, origin, 0, priority)
+
     def run(self) -> CrawlResult:
         """Run rounds until exhaustion or max_rounds. Re-callable: a
         second call CONTINUES the same crawl (state lives on self; the
         accumulated CrawlResult is returned again) — the recrawl story:
         run() → :meth:`readmit` → run()."""
-        if self._res is None:
-            self._res = CrawlResult()
-            for s in self.seeds:
-                # (url, priority[, depth[, origin]]) — depth/origin let RSS
-                # FetcherRequests (depth 1, origin=feed) seed a news crawl
-                url, priority = s[0], s[1]
-                depth = int(s[2]) if len(s) > 2 else 0
-                origin = s[3] if len(s) > 3 else ""
-                c = canonicalize(url)
-                if c is not None:
-                    self._enqueue(c, depth, origin, 0, priority)
+        self._seed_once()
         res = self._res
         rnd = self._rnd
 
@@ -281,8 +288,10 @@ class OracleCrawler:
             # rolling filter, so rotation and the lost-insert quirk land
             # on the same op as the reference's.
             if self.seen_filter == "cuckoo":
-                snapc = self.cuckoo.copy()
-                snap_probe = snapc.contains
+                # no copy needed: cuckoo-mode inserts are DEFERRED to the
+                # round-end canonical commit, so the live filter IS the
+                # round-start snapshot for the whole page loop
+                snap_probe = self.cuckoo.contains
             else:
                 snap = [b.copy() for b in self.bloom.blooms]
                 snap_probe = \
@@ -382,6 +391,7 @@ class OracleCrawler:
         :meth:`run` call refetches it. Returns the number re-enqueued."""
         assert self.seen_filter == "cuckoo", \
             "readmit requires the cuckoo seen-set"
+        self._seed_once()  # seeds keep the first seqs (engine parity)
         n = 0
         for u in urls:
             c = canonicalize(u)

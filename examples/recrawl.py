@@ -6,7 +6,7 @@ whole generation:
 
   1. RETRY AFTER AN OUTAGE. dfs marks a page visited BEFORE the fetch
      outcome (reference dfs_basic semantics), so fetch failures are in
-     the seen-set and would never retry. Here 15% of the payload table
+     the seen-set and would never retry. Here ~10% of the payload table
      vanishes before the first crawl (the "site down" window), the
      crawl records those fetches as failures, the table is restored,
      the engine RESUMES FROM ITS CHECKPOINT (same frontier + seen-set),

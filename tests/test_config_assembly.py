@@ -271,3 +271,24 @@ def test_cuckoo_plus_bloom_resources_rejected(tmp_path, unit_corpus):
          "parameters": {"shards": 4}})
     with pytest.raises(ConfigError, match="seen-set"):
         build_engine(None, doc)
+
+
+def test_cuckoo_resource_validation():
+    from delver_spark.config import Resource  # noqa: F401  (shape check)
+
+    def doc(params, **kw):
+        d = _app_json("/tmp/c", "/tmp/w", "dfs_basic_accumulator")
+        d["resources"] = [r for r in d["resources"]
+                          if r["type"] != "rolling_bloom_filter"]
+        d["resources"].append({"name": "seen_ck", "type": "cuckoo_filter",
+                               "parameters": params})
+        return d
+
+    with pytest.raises(ConfigError, match="shards"):
+        build_engine(None, doc({"shards": 0}))
+    with pytest.raises(ConfigError, match="capacity"):
+        build_engine(None, doc({"capacity": 0}))
+    # explicit bloom request + cuckoo resource = ambiguity -> raise,
+    # never silently drop the resource
+    with pytest.raises(ConfigError, match="conflicts"):
+        build_engine(None, doc({"shards": 4}), seen_filter="bloom")

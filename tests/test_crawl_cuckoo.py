@@ -259,3 +259,35 @@ def test_forget_df_expiry(spark, cuckoo_engine, cuckoo_oracle):
     # differ from the original; no test after this one reads the bytes —
     # this test is last in the file and pytest preserves file order)
     eng.cuckoo.add_many_canonical(victims)
+
+
+def test_readmit_before_first_run_seeds_first(spark, tmp_path_factory):
+    """readmit/readmit_df before the first run() must not be orphaned
+    by seed(): both sides seed first (seeds keep the first seqs), then
+    enqueue the readmits, and the crawls stay equal."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.oracle.crawler import OracleCrawler, load_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    corp = str(tmp_path_factory.mktemp("corpus_ck_pre"))
+    generate_corpus(corp, n_pages=60, n_hosts=1, seed=23, max_rounds=40)
+    pages, robots, seeds, params = load_corpus(corp)
+    oc = OracleCrawler(
+        pages, robots, seeds, max_depth=params["max_depth"],
+        per_host_budget=params["per_host_budget"],
+        global_budget=params["global_budget"],
+        max_rounds=40, bloom_max_n=params["bloom_max_n"],
+        bloom_p=params["bloom_p"], seen_filter="cuckoo")
+    extra = ["http://d000.test/p/000041", "http://d000.test/p/000007"]
+    assert oc.readmit(extra) == 2
+    res = oc.run()
+
+    wd = str(tmp_path_factory.mktemp("crawl_ck_pre"))
+    eng = CrawlEngine(spark, corp, wd, seen_filter="cuckoo")
+    assert eng.readmit(extra) == 2
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(res)
+    assert eng.cuckoo.to_bytes() == oc.cuckoo.to_bytes()
+    # the pre-run readmits must actually be in the crawl
+    fetched = {t[1] for t in _order_tuples_oracle(res)}
+    assert set(extra) <= fetched

@@ -184,3 +184,24 @@ def test_host_budget_overrides_match_oracle(spark, tmp_path_factory):
     assert ol == list(df[["round", "partition", "fetched", "deduped",
                           "enqueued", "stashed"]]
                       .itertuples(index=False, name=None))
+
+
+def test_host_budgets_survive_resume(spark, tmp_path_factory):
+    """host_budgets is SEMANTIC, so resume must restore it from the
+    manifest — a resumed crawl with forgotten budgets would silently
+    revert to the uniform B and diverge from the oracle."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_hbr"))
+    generate_corpus(d, n_pages=200, n_hosts=8, seed=17, max_rounds=6)
+    budgets = {"d001.test": 1, "d002.test": 0}
+    oracle = run_oracle(d, host_budgets=budgets)
+
+    wd = str(tmp_path_factory.mktemp("crawl_hbr"))
+    eng1 = CrawlEngine(spark, d, wd, host_budgets=budgets)
+    eng1.run(max_rounds=3)  # commits, then "dies"
+    eng2 = CrawlEngine.resume(spark, d, wd)
+    assert eng2.host_budgets == budgets
+    eng2.run()
+    assert _order_tuples_engine(eng2) == _order_tuples_oracle(oracle)
