@@ -93,7 +93,16 @@ def one_round(cpus: int, corpus: str) -> tuple[float, int]:
                           mode=os.environ.get("SPARK_GRAFT_SCALE_MODE",
                                               "dfs"),
                           seen_filter=os.environ.get(
-                              "SPARK_GRAFT_SCALE_SEEN", "bloom"))
+                              "SPARK_GRAFT_SCALE_SEEN", "bloom"),
+                          seen_probe=os.environ.get(
+                              "SPARK_GRAFT_SCALE_PROBE", "broadcast"),
+                          # sharded-probe admission parallelism is capped
+                          # by the shard count, so the probe A/B needs
+                          # shards >= the shuffle width
+                          param_overrides={"cuckoo_shards": int(
+                              os.environ["SPARK_GRAFT_SCALE_SHARDS"])}
+                          if "SPARK_GRAFT_SCALE_SHARDS" in os.environ
+                          else None)
         # pre-fill the frontier with every page URL (depth 0): the round
         # then exercises every stage at full width
         pages = spark.read.parquet(os.path.join(corpus, "pages.parquet")) \

@@ -233,6 +233,13 @@ def build_engine(spark, app: Application | str | dict, *,
                     f"cuckoo_filter {cuckoos[0].name}: capacity must be "
                     ">= 1")
             overrides["cuckoo_capacity"] = int(p["capacity"])
+        if "probe" in p:
+            if p["probe"] not in ("broadcast", "sharded"):
+                raise ConfigError(
+                    f"cuckoo_filter {cuckoos[0].name}: probe must be "
+                    "'broadcast' or 'sharded', got "
+                    f"{p['probe']!r}")
+            engine_kwargs.setdefault("seen_probe", p["probe"])
     if blooms:
         p = blooms[0].parameters
         if blooms[0].type == "bloom_filter":

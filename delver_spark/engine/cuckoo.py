@@ -302,6 +302,10 @@ class ShardedCuckoo:
     def __init__(self, filters: list[CuckooFilter]):
         self.filters = filters
         self.shards = len(filters)
+        # shards mutated since the last consumer clear() — drives the
+        # incremental shard-file sync of the crawl engine's
+        # seen_probe="sharded" mode (only changed blobs rewrite)
+        self.dirty: set[int] = set()
 
     @staticmethod
     def _cap_shard(capacity: int, shards: int) -> int:
@@ -419,6 +423,7 @@ class ShardedCuckoo:
             ix = np.nonzero(sh == s)[0]
             added += self.filters[int(s)].add_many_hashed(
                 h1[ix], h2[ix], canonical=True)
+            self.dirty.add(int(s))
         return added
 
     def add_pairs_canonical(self, shard: np.ndarray, i1: np.ndarray,
@@ -439,6 +444,7 @@ class ShardedCuckoo:
             ix = np.nonzero(shard == s)[0]
             pairs = np.unique(np.stack([i1[ix], fp[ix]], axis=1), axis=0)
             added += self.filters[int(s)]._bulk_insert(pairs)
+            self.dirty.add(int(s))
         return added
 
     def contains(self, data) -> bool:
@@ -448,11 +454,13 @@ class ShardedCuckoo:
         h1, h2 = hash128(data)
         s = int(shard_of(_U64(h2), self.shards))
         i1, fp = _derive(_U64(h1), _U64(h2), self.filters[s].m)
+        self.dirty.add(s)
         return self.filters[s]._insert_pair(int(i1), int(fp))
 
     def delete(self, data) -> bool:
         h1, h2 = hash128(data)
         s = int(shard_of(_U64(h2), self.shards))
+        self.dirty.add(s)
         return self.filters[s].delete(data)
 
     def delete_pairs(self, shard: np.ndarray, i1: np.ndarray,
@@ -468,6 +476,7 @@ class ShardedCuckoo:
                            np.asarray(i1, dtype=np.uint64),
                            np.asarray(fp, dtype=np.uint64)):
             deleted += self.filters[int(s)].delete_pair(int(a), int(b))
+            self.dirty.add(int(s))
         return deleted
 
     def to_bytes_list(self) -> list[bytes]:
@@ -498,3 +507,67 @@ class ShardedCuckoo:
             filters.append(CuckooFilter.from_bytes(blob[off:off + ln]))
             off += ln
         return cls(filters)
+
+
+# -- file-backed shard probe (seen_probe="sharded") ---------------------------
+# Worker-side cache of shard filters keyed by file path. Shard files are
+# IMMUTABLE (the engine writes each sync to a NEW versioned name), so a
+# cached entry can never go stale; python workers are reused across tasks
+# and rounds, so unchanged shards load once per worker, not once per task.
+_SHARD_FILE_CACHE: dict[str, CuckooFilter] = {}
+_SHARD_FILE_CACHE_MAX = 64
+
+
+def _load_shard_file(path: str) -> CuckooFilter:
+    f = _SHARD_FILE_CACHE.get(path)
+    if f is None:
+        with open(path, "rb") as fh:
+            f = CuckooFilter.from_bytes(fh.read())
+        if len(_SHARD_FILE_CACHE) >= _SHARD_FILE_CACHE_MAX:
+            # drop the oldest entry (dict preserves insertion order);
+            # superseded versions of the same shard age out naturally
+            _SHARD_FILE_CACHE.pop(next(iter(_SHARD_FILE_CACHE)))
+        _SHARD_FILE_CACHE[path] = f
+    return f
+
+
+class ShardFileProbe:
+    """Read-only ``contains_batch_hashed`` over FILE-BACKED shards — the
+    10^10-scale probe plan for the crawl admission pass.
+
+    The broadcast probe ships the whole filter to every executor each
+    round: O(executors x filter bytes) network, and a 10^10-URL cuckoo
+    (~20 GB of buckets) exceeds any broadcast bound. This probe instead
+    routes candidate urls BY SHARD (``shard_of(h2)``) in the admission
+    shuffle, so each task touches only the shards present in its
+    partition and lazily loads exactly those blobs from shared storage
+    (the crawl workdir: local disk here, HDFS/S3/NFS on a cluster) —
+    total read volume is O(filter bytes) across the cluster, independent
+    of executor count, and per-task memory is O(filter/shards). The
+    engine rewrites only DIRTY shards each round (``ShardedCuckoo.dirty``)
+    to immutable versioned files, so worker caches stay valid and a
+    Spark stage retry re-reads the exact blobs the round started with.
+
+    ``manifest`` maps shard id -> absolute blob path. Probing a shard
+    absent from the manifest is a contract violation (the engine always
+    writes all shards on the first sync), so it raises rather than
+    returning false negatives.
+    """
+
+    def __init__(self, shards: int, manifest: dict[int, str]):
+        self.shards = shards
+        self.manifest = manifest
+
+    def contains_batch_hashed(self, h1: np.ndarray,
+                              h2: np.ndarray) -> np.ndarray:
+        sh = shard_of(h2, self.shards).astype(np.int64)
+        out = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(sh):
+            f = _load_shard_file(self.manifest[int(s)])
+            ix = np.nonzero(sh == s)[0]
+            out[ix] = f.contains_batch_hashed(h1[ix], h2[ix])
+        return out
+
+    def contains_batch(self, items) -> np.ndarray:
+        h1, h2 = hash128_batch(items)
+        return self.contains_batch_hashed(h1, h2)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -131,6 +132,7 @@ class CrawlEngine:
                  mode: str = "dfs",
                  param_overrides: dict | None = None,
                  seen_filter: str = "bloom",
+                 seen_probe: str = "broadcast",
                  host_budgets: dict | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -217,6 +219,28 @@ class CrawlEngine:
             p.get("cuckoo_shards", 4),
             p.get("cuckoo_capacity") or p["bloom_max_n"]) \
             if seen_filter == "cuckoo" else None
+        # seen_probe="sharded" (cuckoo only): the admission pass routes
+        # candidates by shard_of(h2) and each task lazily loads ONLY its
+        # shards' blobs from the workdir (engine.cuckoo.ShardFileProbe)
+        # instead of broadcasting the whole filter — O(filter) total read
+        # volume vs O(executors x filter) broadcast, the plan that still
+        # works when a 10^10-URL filter (~20 GB) exceeds any broadcast.
+        # PERFORMANCE-ONLY knob: probe results are identical, so crawl
+        # order/lineage/filter bytes are unchanged (equality-pinned).
+        assert seen_probe in ("broadcast", "sharded")
+        assert seen_probe == "broadcast" or seen_filter == "cuckoo", \
+            "seen_probe='sharded' requires the cuckoo seen-set"
+        self.seen_probe = seen_probe
+        self._seen_shard_dir = os.path.join(workdir, "seen_shards")
+        self._shard_manifest: dict[int, str] | None = None  # None = unsynced
+        self._shard_sync_n = 0
+        # per-ENGINE-INSTANCE tag in every shard filename: a resumed (or
+        # second) engine on the same workdir must never reuse a path —
+        # python workers cache blobs BY PATH on the immutability promise,
+        # and a reused name with different contents serves a stale filter
+        # (caught by test_sharded_probe_survives_resume: the post-resume
+        # round probed the pre-resume filter and over-admitted)
+        self._shard_run_tag = uuid.uuid4().hex[:8]
         self.extractor = make_extractor_arrow(n_partitions,
                                               emit_text=collect_documents)
 
@@ -697,8 +721,18 @@ class CrawlEngine:
             # partitions into batches, and a per-batch min-page would admit
             # the same url from two pages (tests pin this with a tiny
             # Arrow batch size).
-            probe_bc = sc.broadcast(self.cuckoo.to_bytes() if cuckoo_mode
-                                    else self.bloom.to_bytes())
+            # seen_probe="sharded": no filter broadcast at all — dirty
+            # shard blobs sync to the workdir and the admission shuffle
+            # routes by shard_of(h2) so each task file-loads only its
+            # shards (ShardFileProbe docstring has the 10^10 argument).
+            sharded_probe = cuckoo_mode and self.seen_probe == "sharded"
+            probe_manifest = probe_shards = None
+            if sharded_probe:
+                probe_manifest = self._sync_shard_files()
+                probe_shards = self.cuckoo.shards
+            else:
+                probe_bc = sc.broadcast(self.cuckoo.to_bytes() if cuckoo_mode
+                                        else self.bloom.to_bytes())
             same_schema = same.schema
             cands_tagged = same.withColumn("f_pos", F.lit(None).cast("long"))
             markers = extracted.filter(F.col("quarantined").isNull()).select(
@@ -719,12 +753,16 @@ class CrawlEngine:
                 from ..engine.murmur import hash128_batch_buf
                 from ..engine.rolling_bloom import blooms_from_bytes
                 from .frontier import admission_keep_mask
-                raw = probe_bc.value
-                if raw[:5] == b"SCK1\n":  # cuckoo seen-set (magic-tagged)
-                    from ..engine.cuckoo import ShardedCuckoo
-                    bf = ShardedCuckoo.from_bytes(raw)
+                if probe_manifest is not None:  # sharded file-backed probe
+                    from ..engine.cuckoo import ShardFileProbe
+                    bf = ShardFileProbe(probe_shards, probe_manifest)
                 else:
-                    bf = blooms_from_bytes(raw)
+                    raw = probe_bc.value
+                    if raw[:5] == b"SCK1\n":  # cuckoo seen-set (magic-tagged)
+                        from ..engine.cuckoo import ShardedCuckoo
+                        bf = ShardedCuckoo.from_bytes(raw)
+                    else:
+                        bf = blooms_from_bytes(raw)
                 tbls = [pa.Table.from_batches([rb]) for rb in it]
                 if not tbls:
                     return
@@ -766,15 +804,56 @@ class CrawlEngine:
                                                is_marker, bf)
                 if not keep.any():
                     return
-                out = t.filter(pa.array(keep)).drop_columns(["f_pos"])
+                drop = ["f_pos", "shard"] if "shard" in t.column_names \
+                    else ["f_pos"]
+                out = t.filter(pa.array(keep)).drop_columns(drop)
                 yield from out.to_batches()
 
             news_flag = news
             winners_in = cands_tagged if news \
                 else cands_tagged.unionByName(markers)
-            winners = (winners_in
-                       .repartition(n_parts, F.col("url"))
-                       .mapInArrow(admit, same_schema))
+            if sharded_probe:
+                # route candidates BY SHARD so the admit tasks are
+                # shard-local. Correct because shard_of(h2) is a pure
+                # function of the url: all proposals of a url (and its
+                # marker row) share a shard, so winner selection still
+                # sees every proposal together. The shard key derives via
+                # a SCALAR arrow_udf — Spark ships ONLY the url column to
+                # the python worker (a full-frame mapInArrow pre-pass
+                # measured 1.35x on the 400k round from round-tripping
+                # every column through Arrow IPC); hashing is the same
+                # zero-copy buffer walk the admit pass uses.
+                from pyspark.sql.functions import arrow_udf
+
+                @arrow_udf("long")
+                def shard_udf(urls):
+                    import pyarrow as pa
+
+                    from ..engine.cuckoo import shard_of
+                    from ..engine.murmur import hash128_batch_buf
+                    if len(urls) == 0:
+                        return pa.array([], pa.int64())
+                    bufs = urls.buffers()
+                    offsets = np.frombuffer(
+                        bufs[1], dtype=np.int32,
+                        count=len(urls) + 1 + urls.offset)[urls.offset:]
+                    data = np.frombuffer(
+                        bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+                    lens = np.diff(offsets).astype(np.int64)
+                    _, h2 = hash128_batch_buf(data, lens)
+                    return pa.array(
+                        shard_of(h2, probe_shards).astype(np.int64),
+                        pa.int64())
+
+                winners = (winners_in
+                           .withColumn("shard", shard_udf(F.col("url")))
+                           .repartition(min(n_parts, probe_shards),
+                                        F.col("shard"))
+                           .mapInArrow(admit, same_schema))
+            else:
+                winners = (winners_in
+                           .repartition(n_parts, F.col("url"))
+                           .mapInArrow(admit, same_schema))
             # scalable global sequence: pid-sharded sort + per-pid offsets
             # in one Arrow pass — no single-partition window at big G.
             # Toy rounds are already one partition: a plain window rank
@@ -944,6 +1023,39 @@ class CrawlEngine:
             out["bloom_bits"] = int(np.count_nonzero(self.bloom.words))
             out["seen_n"] = self.bloom.n
         return out
+
+    def _sync_shard_files(self) -> dict[int, str]:
+        """Write the cuckoo's DIRTY shard blobs to the workdir as
+        immutable versioned files and return the full shard->path
+        manifest (seen_probe="sharded"). First sync writes every shard;
+        later syncs rewrite only shards mutated since (round commits,
+        readmit/forget deletes). Immutable names (never overwritten)
+        keep worker-side caches valid and make stage retries re-read
+        exactly the blobs the round started with; the tmp+rename makes
+        each file's appearance atomic. At 10^10 scale this directory
+        lives on the cluster's shared store and the per-round write is
+        O(changed shards), the same class as the round's insert volume."""
+        os.makedirs(self._seen_shard_dir, exist_ok=True)
+        if self._shard_manifest is None:
+            to_write = range(self.cuckoo.shards)
+            manifest: dict[int, str] = {}
+        else:
+            to_write = sorted(self.cuckoo.dirty)
+            manifest = dict(self._shard_manifest)
+        ver = self._shard_sync_n
+        for s in to_write:
+            path = os.path.join(
+                self._seen_shard_dir,
+                f"shard{s:05d}_v{ver:06d}_{self._shard_run_tag}.bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(self.cuckoo.filters[s].to_bytes())
+            os.replace(tmp, path)
+            manifest[s] = path
+        self._shard_sync_n += 1
+        self.cuckoo.dirty.clear()
+        self._shard_manifest = manifest
+        return manifest
 
     def readmit(self, urls) -> int:
         """Recrawl API (cuckoo mode only — the per-URL forget the rolling
@@ -1123,6 +1235,9 @@ class CrawlEngine:
             else self.bloom.n,
             "frontier_dir": fdir, "url_store_dir": sdir, "mode": self.mode,
             "seen_filter": self.seen_filter,
+            # performance-only, but restored so a resumed sharded-probe
+            # crawl keeps its probe plan without re-passing the kwarg
+            "seen_probe": self.seen_probe,
             # SEMANTIC engine knob — resume == uninterrupted requires it
             "host_budgets": self.host_budgets,
         })
@@ -1148,6 +1263,9 @@ class CrawlEngine:
             # cuckoo seen-set snapshot (magic-tagged single blob)
             eng.seen_filter = "cuckoo"
             eng.cuckoo = ShardedCuckoo.from_bytes(blob)
+            # probe plan sticks across resume (manifest None ⇒ the first
+            # round re-syncs every shard file from the restored filter)
+            eng.seen_probe = m.get("seen_probe", "broadcast")
         elif blob.startswith(b"RBF1\n"):
             # full-generation snapshot (NOT the reference's save-gen0-only
             # Save quirk — resume == uninterrupted requires all generations)

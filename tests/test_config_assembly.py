@@ -248,10 +248,14 @@ def test_cuckoo_resource_builds_cuckoo_engine(spark, unit_corpus,
         p = json.load(f)
     doc["resources"].append(
         {"name": "seen_urls", "type": "cuckoo_filter",
-         "parameters": {"shards": 4, "capacity": p["bloom_max_n"]}})
+         "parameters": {"shards": 4, "capacity": p["bloom_max_n"],
+                        "probe": "sharded"}})
     eng = build_engine(spark, doc)
     assert eng.seen_filter == "cuckoo"
     assert eng.cuckoo.shards == 4
+    # probe="sharded" wires the file-backed shard probe (performance-only
+    # knob — the oracle equality below covers it end to end)
+    assert eng.seen_probe == "sharded"
     eng.run()
     oracle = run_oracle(unit_corpus, seen_filter="cuckoo")
     df = eng.crawl_order_df()
@@ -292,3 +296,5 @@ def test_cuckoo_resource_validation():
     # never silently drop the resource
     with pytest.raises(ConfigError, match="conflicts"):
         build_engine(None, doc({"shards": 4}), seen_filter="bloom")
+    with pytest.raises(ConfigError, match="probe"):
+        build_engine(None, doc({"probe": "bogus"}))

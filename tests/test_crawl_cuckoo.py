@@ -291,3 +291,103 @@ def test_readmit_before_first_run_seeds_first(spark, tmp_path_factory):
     # the pre-run readmits must actually be in the crawl
     fetched = {t[1] for t in _order_tuples_oracle(res)}
     assert set(extra) <= fetched
+
+
+def test_shard_file_probe_equals_in_memory(tmp_path):
+    """ShardFileProbe (the seen_probe="sharded" worker-side loader) must
+    answer exactly like the in-memory ShardedCuckoo it was written from —
+    present keys all hit, probe results identical on a mixed batch."""
+    from delver_spark.engine.cuckoo import (ShardedCuckoo, ShardFileProbe,
+                                            _SHARD_FILE_CACHE)
+    from delver_spark.engine.murmur import hash128_batch
+
+    ck = ShardedCuckoo.empty(shards=8, capacity=50_000)
+    present = np.array([f"http://h{i % 97}.test/p/{i}" for i in range(20_000)],
+                       dtype=object)
+    ck.add_many_canonical(present)
+    assert ck.dirty == set(range(8))  # every shard touched at this volume
+
+    manifest = {}
+    for s, f in enumerate(ck.filters):
+        p = tmp_path / f"shard{s}.bin"
+        p.write_bytes(f.to_bytes())
+        manifest[s] = str(p)
+    probe = ShardFileProbe(8, manifest)
+
+    absent = np.array([f"http://h{i % 97}.test/q/{i}" for i in range(20_000)],
+                      dtype=object)
+    mixed = np.concatenate([present, absent])
+    h1, h2 = hash128_batch(mixed)
+    got = probe.contains_batch_hashed(h1, h2)
+    want = ck.contains_batch_hashed(h1, h2)
+    assert (got == want).all()
+    assert got[:len(present)].all()  # no false negatives, per contract
+    assert _SHARD_FILE_CACHE  # blobs were cached for task reuse
+
+
+def test_sharded_probe_crawl_equals_oracle(spark, unit_corpus,
+                                           tmp_path_factory, cuckoo_oracle):
+    """seen_probe="sharded" is performance-only: the file-backed shard
+    probe must reproduce the broadcast-probe crawl bit-for-bit (order,
+    lineage, filter bytes), and the per-round sync must be INCREMENTAL —
+    only dirty shards get new blob files after round 0."""
+    import os
+
+    from delver_spark.operators.crawl import CrawlEngine
+
+    wd = str(tmp_path_factory.mktemp("crawl_ck_sharded"))
+    eng = CrawlEngine(spark, unit_corpus, wd, seen_filter="cuckoo",
+                      seen_probe="sharded")
+    eng.run()
+
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(cuckoo_oracle)
+    assert eng.cuckoo.to_bytes() == cuckoo_oracle.cuckoo.to_bytes()
+    ol = [(r["round"], r["partition"], r["fetched"], r["deduped"],
+           r["enqueued"], r["stashed"]) for r in cuckoo_oracle.lineage]
+    df = eng.lineage_df()
+    assert ol == list(df[["round", "partition", "fetched", "deduped",
+                          "enqueued", "stashed"]]
+                      .itertuples(index=False, name=None))
+
+    # the manifest covers every shard with existing immutable files, and
+    # round 0's sync wrote all of them
+    assert eng._shard_sync_n >= 1
+    assert set(eng._shard_manifest) == set(range(eng.cuckoo.shards))
+    for p in eng._shard_manifest.values():
+        assert os.path.exists(p)
+    assert len(os.listdir(eng._seen_shard_dir)) >= eng.cuckoo.shards
+
+    # incremental-sync pin: the final round's commit left a dirty set;
+    # a sync must rewrite EXACTLY those shards (new versioned paths) and
+    # leave every clean shard's manifest entry untouched
+    dirty = set(eng.cuckoo.dirty)
+    assert dirty  # the last commit inserted something
+    m0 = dict(eng._shard_manifest)
+    eng._sync_shard_files()
+    changed = {s for s in m0 if eng._shard_manifest[s] != m0[s]}
+    assert changed == dirty
+    assert not eng.cuckoo.dirty
+
+
+def test_sharded_probe_survives_resume(spark, tmp_path_factory):
+    """seen_probe travels with the snapshot: a resumed sharded-probe
+    crawl keeps the file-backed probe plan (manifest restores it) and
+    still matches the oracle end to end."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    corp = str(tmp_path_factory.mktemp("corpus_ck_shres"))
+    generate_corpus(corp, n_pages=150, n_hosts=6, seed=42, max_rounds=6)
+    oracle = run_oracle(corp, seen_filter="cuckoo")
+
+    wd = str(tmp_path_factory.mktemp("crawl_ck_shres"))
+    e1 = CrawlEngine(spark, corp, wd, seen_filter="cuckoo",
+                     seen_probe="sharded")
+    e1.run(max_rounds=2)  # commits, then "dies"
+    e2 = CrawlEngine.resume(spark, corp, wd)
+    assert e2.seen_probe == "sharded"
+    assert e2._shard_manifest is None  # fresh engine: first round re-syncs
+    e2.run()
+    assert e2._shard_sync_n >= 1  # the sharded path actually ran
+    assert _order_tuples_engine(e2) == _order_tuples_oracle(oracle)
+    assert e2.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
