@@ -239,7 +239,15 @@ def build_engine(spark, app: Application | str | dict, *,
                     f"cuckoo_filter {cuckoos[0].name}: probe must be "
                     "'broadcast' or 'sharded', got "
                     f"{p['probe']!r}")
-            engine_kwargs.setdefault("seen_probe", p["probe"])
+            if engine_kwargs.setdefault("seen_probe", p["probe"]) \
+                    != p["probe"]:
+                # same ambiguity class as seen_filter above: an explicit
+                # kwarg contradicting the resource must RAISE, never
+                # silently drop the resource's probe plan
+                raise ConfigError(
+                    f"cuckoo_filter {cuckoos[0].name}: probe="
+                    f"{p['probe']!r} conflicts with explicit seen_probe="
+                    f"{engine_kwargs['seen_probe']!r}")
     if blooms:
         p = blooms[0].parameters
         if blooms[0].type == "bloom_filter":

@@ -514,20 +514,37 @@ class ShardedCuckoo:
 # IMMUTABLE (the engine writes each sync to a NEW versioned name), so a
 # cached entry can never go stale; python workers are reused across tasks
 # and rounds, so unchanged shards load once per worker, not once per task.
-_SHARD_FILE_CACHE: dict[str, CuckooFilter] = {}
-_SHARD_FILE_CACHE_MAX = 64
+# LRU capped by BYTES, not entry count: a count cap silently thrashes
+# when one admission partition spans more shards than the cap (every
+# probe then re-reads every blob from shared storage each round — the
+# exact cost the cache exists to avoid). Default 1 GiB per worker,
+# tunable via DELVER_SHARD_CACHE_BYTES.
+_SHARD_FILE_CACHE: dict[str, CuckooFilter] = {}  # insertion order = LRU
+_SHARD_FILE_CACHE_BYTES = 0
+
+
+def _shard_cache_max_bytes() -> int:
+    import os
+    return int(os.environ.get("DELVER_SHARD_CACHE_BYTES", 1 << 30))
 
 
 def _load_shard_file(path: str) -> CuckooFilter:
+    global _SHARD_FILE_CACHE_BYTES
     f = _SHARD_FILE_CACHE.get(path)
-    if f is None:
-        with open(path, "rb") as fh:
-            f = CuckooFilter.from_bytes(fh.read())
-        if len(_SHARD_FILE_CACHE) >= _SHARD_FILE_CACHE_MAX:
-            # drop the oldest entry (dict preserves insertion order);
-            # superseded versions of the same shard age out naturally
-            _SHARD_FILE_CACHE.pop(next(iter(_SHARD_FILE_CACHE)))
+    if f is not None:
+        # refresh recency (dict preserves insertion order)
+        del _SHARD_FILE_CACHE[path]
         _SHARD_FILE_CACHE[path] = f
+        return f
+    with open(path, "rb") as fh:
+        f = CuckooFilter.from_bytes(fh.read())
+    size = f.buckets.nbytes
+    cap = _shard_cache_max_bytes()
+    while _SHARD_FILE_CACHE and _SHARD_FILE_CACHE_BYTES + size > cap:
+        ev = _SHARD_FILE_CACHE.pop(next(iter(_SHARD_FILE_CACHE)))
+        _SHARD_FILE_CACHE_BYTES -= ev.buckets.nbytes
+    _SHARD_FILE_CACHE[path] = f
+    _SHARD_FILE_CACHE_BYTES += size
     return f
 
 

@@ -125,6 +125,21 @@ def hash128_batch(items: list[bytes] | np.ndarray, seed: int = 0):
     return hash128_batch_buf(buf, lens, seed)
 
 
+def string_buf_views(arr):
+    """Zero-copy ``(data, lens)`` views of a pyarrow String ``Array``'s
+    backing buffers — the input shape :func:`hash128_batch_buf` takes.
+    Handles sliced arrays (non-zero ``arr.offset``). One shared helper so
+    the three hashing sites (crawl admission, the sharded-probe shard
+    key, frontier.cuckoo_pairs_for_urls) can never drift on the
+    offsets/arr.offset arithmetic. int32-offset ``string`` arrays only —
+    Spark's Arrow exchange produces exactly those."""
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+    return data, np.diff(offsets).astype(np.int64)
+
+
 def hash128_batch_buf(buf: np.ndarray, lens: np.ndarray, seed: int = 0):
     """Core of :func:`hash128_batch` over a CONCATENATED byte buffer plus
     per-item lengths — the zero-copy entry point for Arrow string arrays

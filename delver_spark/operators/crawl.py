@@ -241,6 +241,11 @@ class CrawlEngine:
         # (caught by test_sharded_probe_survives_resume: the post-resume
         # round probed the pre-resume filter and over-admitted)
         self._shard_run_tag = uuid.uuid4().hex[:8]
+        # paths superseded by the PREVIOUS sync — deletable at the next
+        # one (keep-last-2: the round in flight reads the current
+        # manifest, the previous round's outputs are materialized before
+        # its round ends, so nothing can still read two generations back)
+        self._shard_gc_paths: list[str] = []
         self.extractor = make_extractor_arrow(n_partitions,
                                               emit_text=collect_documents)
 
@@ -773,17 +778,14 @@ class CrawlEngine:
                 t = pa.concat_tables(tbls)
                 if t.num_rows == 0:
                     return
+                from ..engine.murmur import string_buf_views
                 datas, lens = [], []
                 for arr in t.column("url").chunks:
                     if len(arr) == 0:
                         continue
-                    bufs = arr.buffers()
-                    offsets = np.frombuffer(
-                        bufs[1], dtype=np.int32,
-                        count=len(arr) + 1 + arr.offset)[arr.offset:]
-                    datas.append(np.frombuffer(
-                        bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]])
-                    lens.append(np.diff(offsets).astype(np.int64))
+                    d, ln = string_buf_views(arr)
+                    datas.append(d)
+                    lens.append(ln)
                 h1, h2 = hash128_batch_buf(
                     datas[0] if len(datas) == 1 else np.concatenate(datas),
                     lens[0] if len(lens) == 1 else np.concatenate(lens))
@@ -830,17 +832,11 @@ class CrawlEngine:
                     import pyarrow as pa
 
                     from ..engine.cuckoo import shard_of
-                    from ..engine.murmur import hash128_batch_buf
+                    from ..engine.murmur import (hash128_batch_buf,
+                                                 string_buf_views)
                     if len(urls) == 0:
                         return pa.array([], pa.int64())
-                    bufs = urls.buffers()
-                    offsets = np.frombuffer(
-                        bufs[1], dtype=np.int32,
-                        count=len(urls) + 1 + urls.offset)[urls.offset:]
-                    data = np.frombuffer(
-                        bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
-                    lens = np.diff(offsets).astype(np.int64)
-                    _, h2 = hash128_batch_buf(data, lens)
+                    _, h2 = hash128_batch_buf(*string_buf_views(urls))
                     return pa.array(
                         shard_of(h2, probe_shards).astype(np.int64),
                         pa.int64())
@@ -1043,6 +1039,7 @@ class CrawlEngine:
             to_write = sorted(self.cuckoo.dirty)
             manifest = dict(self._shard_manifest)
         ver = self._shard_sync_n
+        superseded = []
         for s in to_write:
             path = os.path.join(
                 self._seen_shard_dir,
@@ -1051,7 +1048,18 @@ class CrawlEngine:
             with open(tmp, "wb") as fh:
                 fh.write(self.cuckoo.filters[s].to_bytes())
             os.replace(tmp, path)
+            if s in manifest:
+                superseded.append(manifest[s])
             manifest[s] = path
+        # GC superseded blobs with a one-generation lag (keep-last-2):
+        # without this a long sharded crawl accretes O(dirty bytes)/round
+        # of dead immutable files on the shared store forever
+        for old in self._shard_gc_paths:
+            try:
+                os.unlink(old)
+            except FileNotFoundError:
+                pass
+        self._shard_gc_paths = superseded
         self._shard_sync_n += 1
         self.cuckoo.dirty.clear()
         self._shard_manifest = manifest

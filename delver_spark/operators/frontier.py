@@ -291,12 +291,8 @@ def cuckoo_pairs_for_urls(urls_df: DataFrame, shards: int, m: int,
                 arr = arr.combine_chunks()
             if len(arr) == 0:
                 continue
-            bufs = arr.buffers()
-            offsets = np.frombuffer(bufs[1], dtype=np.int32,
-                                    count=len(arr) + 1 + arr.offset)[arr.offset:]
-            data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
-            lens = np.diff(offsets).astype(np.int64)
-            h1, h2 = hash128_batch_buf(data, lens)
+            from ..engine.murmur import string_buf_views
+            h1, h2 = hash128_batch_buf(*string_buf_views(arr))
             i1, fp = _derive(h1, h2, m)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(shard_of(h2, shards).view(np.int64)),

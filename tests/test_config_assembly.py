@@ -298,3 +298,8 @@ def test_cuckoo_resource_validation():
         build_engine(None, doc({"shards": 4}), seen_filter="bloom")
     with pytest.raises(ConfigError, match="probe"):
         build_engine(None, doc({"probe": "bogus"}))
+    # explicit kwarg contradicting the resource's probe plan = the same
+    # ambiguity class as seen_filter: raise, never silently drop
+    with pytest.raises(ConfigError, match="probe.*conflicts"):
+        build_engine(None, doc({"probe": "sharded"}),
+                     seen_probe="broadcast")

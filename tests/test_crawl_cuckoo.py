@@ -255,9 +255,10 @@ def test_forget_df_expiry(spark, cuckoo_engine, cuckoo_oracle):
     assert not any(eng.cuckoo.contains(v) for v in victims)
     assert eng.frontier_count == fc_before
 
-    # restore MEMBERSHIP for the module-scoped fixture (slot layout may
-    # differ from the original; no test after this one reads the bytes —
-    # this test is last in the file and pytest preserves file order)
+    # restore MEMBERSHIP for the module-scoped fixture. Slot layout may
+    # differ from the original, so tests BELOW this one (pytest runs file
+    # order) must not read cuckoo_engine.cuckoo bytes — build their own
+    # engines instead (all current ones do; keep it that way)
     eng.cuckoo.add_many_canonical(victims)
 
 
@@ -391,3 +392,40 @@ def test_sharded_probe_survives_resume(spark, tmp_path_factory):
     assert e2._shard_sync_n >= 1  # the sharded path actually ran
     assert _order_tuples_engine(e2) == _order_tuples_oracle(oracle)
     assert e2.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
+
+
+def test_sharded_probe_news_mode_equals_oracle(spark, tmp_path_factory):
+    """News-mode admission (no marker rows, single-winner rule) through
+    the shard-routed probe must stay bit-exact too."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_news_ck_sh"))
+    generate_corpus(d, n_pages=200, n_hosts=10, seed=13, max_rounds=8,
+                    path_style="news")
+    oracle = run_oracle(d, mode="news", seen_filter="cuckoo")
+    wd = str(tmp_path_factory.mktemp("crawl_news_ck_sh"))
+    eng = CrawlEngine(spark, d, wd, mode="news", seen_filter="cuckoo",
+                      seen_probe="sharded")
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert eng.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()
+    assert eng.cuckoo.n == oracle.cuckoo.n > 0
+
+
+def test_sharded_probe_big_g_equals_oracle(spark, tmp_path_factory):
+    """G > 10000 selects the big-batch round plan — the sharded probe
+    must stay bit-exact on that leg as well."""
+    from delver_spark.fixtures.gen import generate_corpus
+    from delver_spark.operators.crawl import CrawlEngine
+
+    d = str(tmp_path_factory.mktemp("corpus_bigg_ck_sh"))
+    generate_corpus(d, n_pages=150, n_hosts=8, seed=11, max_rounds=5,
+                    global_budget=20000, per_host_budget=50)
+    oracle = run_oracle(d, seen_filter="cuckoo")
+    wd = str(tmp_path_factory.mktemp("crawl_bigg_ck_sh"))
+    eng = CrawlEngine(spark, d, wd, seen_filter="cuckoo",
+                      seen_probe="sharded")
+    eng.run()
+    assert _order_tuples_engine(eng) == _order_tuples_oracle(oracle)
+    assert eng.cuckoo.to_bytes() == oracle.cuckoo.to_bytes()

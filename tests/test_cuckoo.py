@@ -157,3 +157,35 @@ def test_derive_fp_never_zero():
     h2 = np.zeros(4, dtype=np.uint64)
     _, fpv = _derive(np.arange(4, dtype=np.uint64), h2, 1 << 10)
     assert (fpv == 1).all()
+
+
+def test_shard_file_cache_byte_capped_lru(tmp_path, monkeypatch):
+    """The worker-side shard-blob cache evicts by BYTES with LRU
+    recency — a recently-touched blob survives, the stalest one goes.
+    (A count-capped FIFO thrashes when one admission partition spans
+    more shards than the cap.)"""
+    from delver_spark.engine import cuckoo as C
+
+    C._SHARD_FILE_CACHE.clear()
+    C._SHARD_FILE_CACHE_BYTES = 0
+    paths, size = [], None
+    for i in range(3):
+        f = C.CuckooFilter(1024)
+        f.add(f"url-{i}")
+        p = str(tmp_path / f"s{i}.bin")
+        with open(p, "wb") as fh:
+            fh.write(f.to_bytes())
+        paths.append(p)
+        size = f.buckets.nbytes
+    monkeypatch.setenv("DELVER_SHARD_CACHE_BYTES", str(2 * size))
+
+    C._load_shard_file(paths[0])
+    C._load_shard_file(paths[1])
+    C._load_shard_file(paths[0])  # refresh recency of 0
+    C._load_shard_file(paths[2])  # must evict 1 (stalest), keep 0
+    assert set(C._SHARD_FILE_CACHE) == {paths[0], paths[2]}
+    assert C._SHARD_FILE_CACHE_BYTES == 2 * size
+    # cached entries answer correctly after eviction churn
+    assert C._load_shard_file(paths[0]).contains("url-0")
+    C._SHARD_FILE_CACHE.clear()
+    C._SHARD_FILE_CACHE_BYTES = 0
