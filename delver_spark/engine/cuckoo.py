@@ -134,8 +134,10 @@ class CuckooFilter:
         # evict: deterministic slot choice so identical insert order
         # gives identical bytes
         i, cur = i1, fp
+        path = []
         for kick in range(MAX_KICKS):
             slot = (cur + kick) % SLOTS
+            path.append((i, slot))
             cur, self.buckets[i, slot] = int(self.buckets[i, slot]), cur
             i = int(_alt(_U64(i), _U64(cur), self.m))
             row = self.buckets[i]
@@ -144,9 +146,19 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.n += 1
                 return True
+        # ROLL BACK the eviction chain before raising: without this the
+        # last victim (a previously-INSERTED key's fingerprint) is
+        # dropped and the no-false-negatives contract breaks for any
+        # caller that catches CuckooFull to grow/rebuild. Replaying the
+        # same swaps in reverse order restores the exact pre-insert
+        # bytes (each step is a swap; `cur` walks back to `fp`).
+        for ri, rs in reversed(path):
+            cur, self.buckets[ri, rs] = int(self.buckets[ri, rs]), cur
         raise CuckooFull(
             f"insert failed after {MAX_KICKS} kicks at n={self.n} "
-            f"(m={self.m}, load={self.n / (self.m * SLOTS):.3f})")
+            f"(m={self.m}, load={self.n / (self.m * SLOTS):.3f}); "
+            "filter state rolled back — all previously-inserted keys "
+            "remain present, the failed key is not inserted")
 
     def add(self, data) -> bool:
         h1, h2 = hash128(data)
@@ -204,8 +216,10 @@ class CuckooFilter:
                 added += 1
                 continue
             i, cur = i1, fp
+            path = []
             for kick in range(MAX_KICKS):
                 slot = i * SLOTS + (cur + kick) % SLOTS
+                path.append(slot)
                 cur, flat[slot] = flat[slot], cur
                 i = (i ^ ((cur * scr) & mask64)) & mm
                 r = i * SLOTS
@@ -215,13 +229,20 @@ class CuckooFilter:
                     added += 1
                     break
             else:
+                # roll back this pair's eviction chain (same contract
+                # and same reverse-swap proof as _insert_pair) — the
+                # batch's EARLIER pairs stay inserted, this one is not
+                for slot in reversed(path):
+                    cur, flat[slot] = flat[slot], cur
                 self.buckets = np.asarray(
                     flat, dtype=np.uint16).reshape(m, SLOTS)
                 self.n += added
                 raise CuckooFull(
                     f"insert failed after {MAX_KICKS} kicks at "
                     f"n={self.n} (m={m}, "
-                    f"load={self.n / (m * SLOTS):.3f})")
+                    f"load={self.n / (m * SLOTS):.3f}); filter state "
+                    "rolled back — prior inserts (incl. this batch's "
+                    "earlier pairs) remain present")
         self.buckets = np.asarray(flat, dtype=np.uint16).reshape(m, SLOTS)
         self.n += added
         return added
@@ -349,20 +370,14 @@ class ShardedCuckoo:
         cap_shard = cls._cap_shard(capacity, shards)
 
         def hash_pass(batches):
+            from .murmur import string_buf_views
             for rb in batches:
                 arr = rb.column(0)
                 if len(arr) == 0:
                     continue
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                bufs = arr.buffers()
-                offsets = np.frombuffer(
-                    bufs[1], dtype=np.int32,
-                    count=len(arr) + 1 + arr.offset)[arr.offset:]
-                data = np.frombuffer(
-                    bufs[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
-                lens = np.diff(offsets).astype(np.int64)
-                h1, h2 = hash128_batch_buf(data, lens)
+                h1, h2 = hash128_batch_buf(*string_buf_views(arr))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(shard_of(h2, shards).astype(np.int32)),
                      pa.array(h1.view(np.int64)),

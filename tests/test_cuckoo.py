@@ -189,3 +189,40 @@ def test_shard_file_cache_byte_capped_lru(tmp_path, monkeypatch):
     assert C._load_shard_file(paths[0]).contains("url-0")
     C._SHARD_FILE_CACHE.clear()
     C._SHARD_FILE_CACHE_BYTES = 0
+
+
+def test_cuckoo_full_rolls_back_no_false_negatives():
+    """CuckooFull must leave the filter VALID: every previously-inserted
+    key still present (the eviction chain is rolled back, not abandoned
+    mid-swap), the failed key absent, and the sequential and bulk paths
+    byte-identical after the failure — so a caller can catch, grow or
+    rebuild, and retry without a corrupted seen-set."""
+
+    # sequential path: insert one at a time until the filter fails
+    f_seq = CuckooFilter(100)
+    ok = []
+    i = 0
+    failed_key = None
+    while failed_key is None:
+        k = f"http://h.test/p/{i}"
+        try:
+            if f_seq.add(k):
+                ok.append(k)
+        except CuckooFull:
+            failed_key = k
+        i += 1
+    assert len(ok) > 100  # reached real load before failing
+    for k in ok:
+        assert f_seq.contains(k), "rolled-back filter lost an inserted key"
+    # the failed key was not counted (contains() may still fp-collide
+    # with a stored pair, so membership of the failed key is not checked)
+    assert f_seq.n == len(ok)
+
+    # bulk path on the same key sequence fails at the same pair with
+    # byte-identical state (placement parity extends to the failure)
+    f_blk = CuckooFilter(100)
+    hh1, hh2 = hash128_batch(np.array(ok + [failed_key], dtype=object))
+    with pytest.raises(CuckooFull):
+        f_blk.add_many_hashed(hh1, hh2)
+    assert f_blk.to_bytes() == f_seq.to_bytes()
+    assert f_blk.n == f_seq.n
