@@ -996,6 +996,43 @@ def sample_language_quota(spark, sf):
                                salt_buckets=4)
 
 
+def sample_ops(spark, sf):
+    """Deterministic hash-rate sampling + per-language quota in ONE
+    tagged driver entry (consolidated r5-s9 to free a gate slot, same
+    50-slot policy as x14+o6)."""
+    a = sample_deterministic(spark, sf).select(
+        F.lit("det").alias("op"), "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"))
+    b = sample_language_quota(spark, sf).select(
+        F.lit("quota").alias("op"), "doc_id", "lang",
+        F.col("quality").cast("long").alias("v1"),
+        F.col("lang_rank").cast("long").alias("v2"))
+    return a.unionByName(b).orderBy("op", "doc_id")
+
+
+def export_webdataset_manifest(spark, sf):
+    """REAL WebDataset tar-shard export of the documents table (one
+    ``{doc_id}.txt`` member per doc, 64 KiB fixed-range shards) — the
+    gate compares the manifest built from the ACTUAL written tar file
+    sizes against the DuckDB twin's pure integer ustar arithmetic
+    (member = 512-byte header + utf-8 payload padded to 512; archive =
+    members + 1024 end bytes padded to the 10240 record size). Storage
+    order of documents.parquet is doc_id-ascending (verified; the twin
+    orders by doc_id). Tar bytes themselves are pinned vs a stdlib
+    tarfile reference in tests/test_webdataset.py."""
+    import os
+    import tempfile
+
+    from delver_spark.operators.webdataset import export_webdataset
+
+    out = tempfile.mkdtemp(prefix="delver_wds_gate_")
+    return export_webdataset(
+        spark, os.path.join(sf, "documents.parquet"), out, 65536,
+        key_col="doc_id", data_col="text", fmt_col=None, ext="txt",
+        caption_col=None)
+
+
 def dedup_simhash16(spark, sf):
     """16-bit md5-based SimHash signature per document."""
     return _dedup.simhash16(_t(spark, sf, "documents"))
@@ -1406,8 +1443,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ops": ann_topk_ops,
     "ann_kmeans_cells": ann_kmeans_cells,
     "ann_ivf_nprobe": ann_ivf_nprobe,
-    "sample_deterministic": sample_deterministic,
-    "sample_language_quota": sample_language_quota,
+    "sample_ops": sample_ops,
+    "export_webdataset_manifest": export_webdataset_manifest,
     "text_token_ops": text_token_ops,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_score": text_quality_score,
@@ -1877,21 +1914,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, dot_milli2 FROM dots
             ORDER BY dot_milli2 DESC, vec_id LIMIT 8
         """,
-        "sample_deterministic": """
-            SELECT doc_id, lang, n_chars FROM documents
+        "sample_ops": """
+            SELECT 'det' AS op, doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2
+            FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                   * 1000 < 100 * 4294967296
-            ORDER BY doc_id
-        """,
-        "sample_language_quota": """
-            SELECT doc_id, lang, n_chars AS quality, lang_rank
+            UNION ALL
+            SELECT 'quota', doc_id, lang, CAST(n_chars AS BIGINT),
+                   CAST(lang_rank AS BIGINT)
             FROM (SELECT doc_id, lang, n_chars,
                          row_number() OVER (PARTITION BY lang
                                             ORDER BY n_chars DESC, doc_id)
                            AS lang_rank
                   FROM documents)
             WHERE lang_rank <= 25
-            ORDER BY lang, lang_rank
+            ORDER BY op, doc_id
+        """,
+        "export_webdataset_manifest": """
+            WITH s AS (
+              SELECT doc_id,
+                     octet_length(encode(text)) AS nb,
+                     512 + (octet_length(encode(text)) + 511) // 512 * 512
+                       AS mb
+              FROM documents WHERE text IS NOT NULL
+            ), o AS (
+              SELECT doc_id, nb, mb,
+                     COALESCE(CAST(SUM(mb) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS st
+              FROM s)
+            SELECT CAST(st // 65536 AS BIGINT) AS shard_id,
+                   printf('shard-%06d.tar', CAST(st // 65536 AS INT))
+                     AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(nb) AS BIGINT) AS payload_bytes,
+                   CAST((CAST(SUM(mb) AS BIGINT) + 1024 + 10239)
+                        // 10240 * 10240 AS BIGINT) AS tar_bytes
+            FROM o GROUP BY 1, 2 ORDER BY shard_id
         """,
         "text_token_ops": """
             SELECT 'ws' AS op, doc_id,
