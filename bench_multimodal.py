@@ -182,8 +182,24 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
             F.col("nbytes").alias("nb"))
             .localCheckpoint(eager=True))
     t_resize = time.perf_counter() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
     n_resized = n_kept  # 1:1 narrow map over the kept rows
+
+    # stage 5 (skipped in socket mode, which writes no payload shards):
+    # WebDataset tar export of the resized table — fragment writes from
+    # task-local splits + per-shard concat finalize; the measured cost
+    # is ~2 sequential passes over the resized bytes, zero shuffle
+    t_wds = wds_mb = 0.0
+    if os.environ.get("SPARK_GRAFT_MM_SOCKET") != "1":
+        from delver_spark.operators.webdataset import export_webdataset
+        wds_dir = tempfile.mkdtemp(prefix="mmbench_wds_")
+        t0 = time.perf_counter()
+        wrow = (export_webdataset(spark, out_dir, wds_dir, 1 << 24,
+                                  caption_col=None)
+                .agg(F.sum("tar_bytes").alias("b")).collect()[0])
+        t_wds = time.perf_counter() - t0
+        wds_mb = (wrow["b"] or 0) / 1e6
+        shutil.rmtree(wds_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     # stage 4: pack the (metadata-only) resized stream into shards
     t0 = time.perf_counter()
@@ -199,7 +215,10 @@ def run_level(corpus: str, cpus: int, buckets) -> dict:
             "resize_s": round(t_resize, 2),
             "resize_imgs_per_s": round(n_resized / t_resize, 1),
             "pack_s": round(t_pack, 2), "shards": int(n_shards),
-            "total_s": round(t_curate + t_batch + t_resize + t_pack, 2)}
+            "wds_s": round(t_wds, 2),
+            "wds_mb_per_s": round(wds_mb / t_wds, 1) if t_wds else 0.0,
+            "total_s": round(t_curate + t_batch + t_resize + t_pack
+                             + t_wds, 2)}
 
 
 def main():
@@ -229,7 +248,8 @@ def main():
             f"chain {lo['total_s']}s | local[{hi['cpus']}] resize "
             f"{hi['resize_imgs_per_s']} img/s, chain {hi['total_s']}s | "
             f"resize N→{int(ratio)}N efficiency {out['resize_scaling_eff']}"
-            f" |\n")
+            f"; wds export {lo['wds_mb_per_s']}→{hi['wds_mb_per_s']} MB/s"
+            f" (chain totals include the wds stage since r5-s9) |\n")
 
 
 if __name__ == "__main__":

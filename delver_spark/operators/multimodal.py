@@ -415,7 +415,8 @@ def resize_images_direct(spark, path: str, buckets=None,
                          out_fmt: str | None = None,
                          kept_ids=None,
                          verdict_dir: str | None = None,
-                         out_dir: str | None = None) -> DataFrame:
+                         out_dir: str | None = None,
+                         carry_cols: list[str] | None = None) -> DataFrame:
     """Task-local-scan variant of ``aspect_bucket_dims`` →
     ``resize_to_bucket`` over a parquet payload table: each task reads
     its own row-group split with pyarrow (memory-mapped, zero-copy) and
@@ -458,6 +459,12 @@ def resize_images_direct(spark, path: str, buckets=None,
     files and write their own output shards; the manifest is what flows
     through the engine.
 
+    ``carry_cols``: extra input columns copied through UNCHANGED into
+    the written payload shards (out_dir mode only — e.g. ``caption`` so
+    the resized table stays a self-contained image+caption pair table
+    that ``webdataset.export_webdataset`` can shard directly). The
+    returned manifest schema is unchanged.
+
     At 100 TB this is "tasks read their own files from object storage";
     the split list stands in for the Iceberg manifest. Output equality
     vs the socket plan is pinned in tests/test_multimodal.py."""
@@ -470,6 +477,10 @@ def resize_images_direct(spark, path: str, buckets=None,
 
     if kept_ids is not None and verdict_dir is not None:
         raise ValueError("pass kept_ids OR verdict_dir, not both")
+    if carry_cols and out_dir is None:
+        raise ValueError("carry_cols requires out_dir (written shards)")
+    carry = list(carry_cols or [])
+    base_cols = ["image_id", "bytes", "w", "h", "fmt"] + carry
     if buckets is None:
         buckets = SDXL_BUCKETS
     bnds = np.array(bucket_boundaries_milli(buckets), dtype=np.int64)
@@ -511,13 +522,9 @@ def resize_images_direct(spark, path: str, buckets=None,
                     if not pc.any(hit).as_py():
                         continue
                     tbl = pf.read_row_group(
-                        int(rg),
-                        columns=["image_id", "bytes", "w", "h",
-                                 "fmt"]).filter(hit)
+                        int(rg), columns=base_cols).filter(hit)
                 else:
-                    tbl = pf.read_row_group(
-                        int(rg),
-                        columns=["image_id", "bytes", "w", "h", "fmt"])
+                    tbl = pf.read_row_group(int(rg), columns=base_cols)
                 if kept_arr is not None:
                     hit = pc.is_in(tbl.column("image_id"),
                                    value_set=kept_arr)
@@ -551,13 +558,17 @@ def resize_images_direct(spark, path: str, buckets=None,
                         out_dir, "%s-rg%05d.parquet"
                         % (os.path.splitext(os.path.basename(p))[0],
                            int(rg)))
-                    pq.write_table(pa.table({
+                    cols = {
                         "image_id": ids,
                         "bytes": pa.array(out_bytes, pa.binary()),
                         "w": pa.array(bws[b], pa.int32()),
                         "h": pa.array(bhs[b], pa.int32()),
                         "fmt": pa.array(out_fmts, pa.string()),
-                    }), shard, row_group_size=2048)
+                    }
+                    for c in carry:
+                        cols[c] = tbl.column(c)
+                    pq.write_table(pa.table(cols), shard,
+                                   row_group_size=2048)
                     yield pa.RecordBatch.from_arrays(
                         [ids,
                          pa.array(bws[b], pa.int32()),

@@ -94,7 +94,8 @@ def main(n_pages: int = 2000) -> None:
         write_curation_verdict(curated, verdict)
         manifest = resize_images_direct(
             spark, os.path.join(corpus, "pages.parquet"),
-            verdict_dir=verdict, out_dir=out_dir).localCheckpoint(eager=True)
+            verdict_dir=verdict, out_dir=out_dir,
+            carry_cols=["caption"]).localCheckpoint(eager=True)
         n_resized = manifest.count()
         n_shards = manifest.select("shard_path").distinct().count()
         t3 = time.time()
@@ -123,7 +124,21 @@ def main(n_pages: int = 2000) -> None:
         t4 = time.time()
         print(f"[4 pack     {t4 - t3:7.2f}s] batches/bucket={per_bucket} "
               f"pack={pack_row}")
-        print(f"[total      {t4 - t0:7.2f}s] crawl→curate→resize→pack, "
+
+        # 5. the artifact trainers consume: WebDataset tar shards of the
+        # crawled, curated, resized image+caption pairs — tasks write
+        # tar fragments from their own splits; payload never shuffles
+        from delver_spark.operators.webdataset import export_webdataset
+        from pyspark.sql import functions as _F
+        wds_dir = os.path.join(work, "wds")
+        wrow = (export_webdataset(spark, out_dir, wds_dir, 1 << 24)
+                .agg(_F.count("*").alias("tars"),
+                     _F.sum("n_items").alias("pairs"),
+                     _F.sum("tar_bytes").alias("bytes"))
+                .collect()[0].asDict())
+        t5 = time.time()
+        print(f"[5 wds      {t5 - t4:7.2f}s] {wrow}")
+        print(f"[total      {t5 - t0:7.2f}s] crawl→curate→resize→pack→tar, "
               f"{stats['fetched']} fetched → {n_resized} training images")
     finally:
         spark.stop()

@@ -2,7 +2,8 @@
 """Runnable end-to-end image training-data pipeline demo:
 
   synth corpus → curate_image_caption → aspect buckets → resize
-  (task-local scan, in-task shard write) → pack_shards manifest
+  (task-local scan, in-task shard write) → pack_shards manifest →
+  WebDataset tar shards (the artifact trainers consume)
 
 Usage: ``python examples/image_pipeline.py [n_images]`` (default 500).
 Everything is written under a temp dir and deleted on exit; prints a
@@ -95,7 +96,8 @@ def main(n: int = 500) -> None:
         # their own output shards; only the manifest comes back
         manifest = resize_images_direct(
             spark, corpus, buckets=buckets, kept_ids=kept_ids,
-            out_dir=out_dir).localCheckpoint(eager=True)
+            out_dir=out_dir,
+            carry_cols=["caption"]).localCheckpoint(eager=True)
         print("resized:", manifest.count(), "images into",
               manifest.select("shard_path").distinct().count(),
               "payload shards under", out_dir)
@@ -110,6 +112,19 @@ def main(n: int = 500) -> None:
               packed.agg((F.max("shard_id") + 1).alias("n"),
                          F.sum("nbytes").alias("bytes")).collect()[0]
               .asDict())
+
+        # 5. the actual training artifact: WebDataset tar shards of the
+        # curated resized pairs ({id}.{fmt} + {id}.txt members) — tasks
+        # write tar fragments from their own row-group splits; payload
+        # bytes never shuffle
+        from delver_spark.operators.webdataset import export_webdataset
+        wds_dir = os.path.join(work, "wds")
+        wrow = (export_webdataset(spark, out_dir, wds_dir, 1 << 20)
+                .agg(F.count("*").alias("tars"),
+                     F.sum("n_items").alias("pairs"),
+                     F.sum("tar_bytes").alias("bytes"))
+                .collect()[0].asDict())
+        print("webdataset:", wrow, "under", wds_dir)
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)

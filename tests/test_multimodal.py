@@ -489,3 +489,59 @@ def test_resize_images_direct_verdict_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         resize_images_direct(spark, str(d), kept_ids=kept,
                              verdict_dir=str(vd))
+
+
+def test_resize_direct_carry_cols_to_webdataset(spark, tmp_path):
+    """carry_cols copies input columns unchanged into the written
+    payload shards (caption rides along), making the resized table a
+    self-contained pair table the WebDataset export shards directly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from delver_spark.operators.multimodal import resize_images_direct
+    from delver_spark.operators.webdataset import (export_webdataset,
+                                                   read_webdataset)
+
+    rng = np.random.default_rng(11)
+    n = 24
+    rows = []
+    for i in range(n):
+        w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+        fmt = "ppm" if i % 2 else "qjpg"
+        rows.append((f"im{i:04d}",
+                     encode(rng.integers(0, 256, (h, w, 3),
+                                         dtype=np.uint8), fmt),
+                     w, h, fmt,
+                     None if i % 7 == 0 else f"a cap {i}"))
+    t = pa.table({"image_id": pa.array([r[0] for r in rows]),
+                  "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                  "w": pa.array([r[2] for r in rows], pa.int32()),
+                  "h": pa.array([r[3] for r in rows], pa.int32()),
+                  "fmt": pa.array([r[4] for r in rows]),
+                  "caption": pa.array([r[5] for r in rows], pa.string())})
+    d = tmp_path / "src"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"), row_group_size=7)
+
+    buckets = [(32, 96), (64, 64), (96, 32)]
+    out = tmp_path / "resized"
+    man = resize_images_direct(spark, str(d), buckets=buckets,
+                               out_dir=str(out),
+                               carry_cols=["caption"]).collect()
+    assert len(man) == n  # manifest schema unchanged
+    shards = spark.read.parquet(str(out))
+    caps = {r.image_id: r.caption for r in
+            shards.select("image_id", "caption").collect()}
+    assert caps == {r[0]: r[5] for r in rows}
+
+    wds = tmp_path / "wds"
+    export_webdataset(spark, str(out), str(wds), 64 * 1024)
+    back = {r.image_id: (r.caption, r.fmt) for r in
+            read_webdataset(spark, str(wds)).collect()}
+    assert set(back) == set(caps)
+    assert all(back[k][0] == caps[k] for k in caps)
+
+    with pytest.raises(ValueError, match="requires out_dir"):
+        resize_images_direct(spark, str(d), buckets=buckets,
+                             carry_cols=["caption"])
