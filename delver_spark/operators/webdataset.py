@@ -295,17 +295,25 @@ def export_webdataset(spark, path: str, out_dir: str, target_bytes: int,
                     pdf["payload_bytes"], pdf["content_bytes"]):
                 rel = "shard-%06d.tar" % int(s)
                 final = os.path.join(out_dir, rel)
-                with open(final, "wb") as dst:
+                if len(fr) == 1:
+                    # interior shard (one fragment): rename + append the
+                    # end blocks — the common case when splits ≫ shards,
+                    # halving the finalize write amplification
+                    os.replace(fr[0], final)
+                    with open(final, "ab") as dst:
+                        dst.write(_end_blocks(int(cb)))
+                else:
+                    with open(final, "wb") as dst:
+                        for frag in fr:
+                            with open(frag, "rb") as src:
+                                while True:
+                                    chunk = src.read(1 << 22)
+                                    if not chunk:
+                                        break
+                                    dst.write(chunk)
+                        dst.write(_end_blocks(int(cb)))
                     for frag in fr:
-                        with open(frag, "rb") as src:
-                            while True:
-                                chunk = src.read(1 << 22)
-                                if not chunk:
-                                    break
-                                dst.write(chunk)
-                    dst.write(_end_blocks(int(cb)))
-                for frag in fr:
-                    os.unlink(frag)
+                        os.unlink(frag)
                 out["shard_id"].append(int(s))
                 out["path"].append(rel)
                 out["n_items"].append(int(ni))
