@@ -687,6 +687,59 @@ def text_language_id(spark, sf):
     return _txt.language_id(_t(spark, sf, "documents"))
 
 
+def text_quality_ops(spark, sf):
+    """Quality scoring + heuristic language-ID in ONE tagged driver
+    entry (consolidated r5-s9 to free a gate slot for text_lm_score,
+    same 50-slot policy as x14+o6); the single-op functions above stay
+    for the bench.py headline series."""
+    q = text_quality_score(spark, sf).select(
+        F.lit("quality").alias("op"), "doc_id",
+        F.col("n_chars").cast("long").alias("v1"),
+        F.col("n_tokens").cast("long").alias("v2"),
+        F.col("the_hits").cast("long").alias("v3"),
+        F.col("avg_tok_len_milli").cast("long").alias("v4"),
+        F.col("quality_ok").cast("long").alias("v5"),
+        F.lit("-").alias("s1"))
+    lang = text_language_id(spark, sf).select(
+        F.lit("lang").alias("op"), "doc_id",
+        *[F.lit(-1).cast("long").alias(f"v{i}") for i in range(1, 6)],
+        F.col("lang_pred").alias("s1"))
+    return q.unionByName(lang).orderBy("op", "doc_id")
+
+
+# Planted LM docs: zzq* tokens are absent from the corpus (verified),
+# so the planted rows deterministically exercise EVERY backoff branch —
+# trigram hit, bigram hit at its max order, backed-off bigram (b=1),
+# double-backed-off unigram (b=2), OOV, and the zero-token doc —
+# regardless of corpus content. Lowercase a-z only (the VALUES-twin
+# embedding rule: no quotes/backslashes).
+_LM_TRAIN_PLANT = "zzqa zzqb zzqc zzqb zzqc zzqd"
+_LM_SCORE_PLANTS = [
+    (1000001, "zzqa zzqb zzqc zzqd zzqb zzoov"),
+    (1000002, "zzqd zzqb zzqc"),
+    (1000003, ""),
+]
+
+
+def text_lm_score(spark, sf):
+    """CCNet-shape n-gram LM quality scoring (functions/ngram_lm.py):
+    train Stupid-Backoff trigram counts on documents + a planted doc,
+    score documents + planted docs (incl. an OOV token and an empty
+    doc). All-integer outputs — the quantized micro-probability sum is
+    exact in both engines; the DuckDB twin recomputes the counts and
+    replays the same integer backoff arithmetic in SQL."""
+    from delver_spark.functions import ngram_lm
+
+    docs = (_t(spark, sf, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    train = docs.select("text").unionByName(
+        spark.createDataFrame([(_LM_TRAIN_PLANT,)], "text string"))
+    score = docs.unionByName(spark.createDataFrame(
+        _LM_SCORE_PLANTS, "doc_id long, text string"))
+    counts = ngram_lm.train_ngram_lm(train)
+    return ngram_lm.lm_score(score, counts)
+
+
 def doc_fingerprint(spark, sf):
     """Document fingerprinting: md5 over (length, head-64, tail-64).
     A <64-char doc is planted (doc_id 10^6) so the gate exercises the
@@ -1447,8 +1500,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_webdataset_manifest": export_webdataset_manifest,
     "text_token_ops": text_token_ops,
     "text_bpe_encode": text_bpe_encode,
-    "text_quality_score": text_quality_score,
-    "text_language_id": text_language_id,
+    "text_quality_ops": text_quality_ops,
+    "text_lm_score": text_lm_score,
     "doc_fingerprint": doc_fingerprint,
     "text_repetition_filters": text_repetition_filters,
     "text_pii_scrub": text_pii_scrub,
@@ -1970,30 +2023,122 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY op, doc_id
         """,
         "text_bpe_encode": _BPE_ENCODE_SQL,
-        "text_quality_score": """
-            SELECT doc_id, n_chars,
-                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-                   CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) AS the_hits,
-                   CAST(round(n_chars * 1000.0 /
-                        len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS avg_tok_len_milli,
-                   (len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
-                    AND CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) > 0) AS quality_ok
-            FROM documents ORDER BY doc_id
-        """,
-        "text_language_id": """
-            WITH s AS (
+        "text_quality_ops": """
+            WITH q AS (
+              SELECT 'quality' AS op, doc_id,
+                     CAST(n_chars AS BIGINT) AS v1,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v2,
+                     CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) AS v3,
+                     CAST(round(n_chars * 1000.0 /
+                          len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS v4,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+                      AND CAST((length(text) - length(replace(text, ' the ', '')))/5 AS BIGINT) > 0 AS BIGINT) AS v5,
+                     '-' AS s1
+              FROM documents),
+            s AS (
               SELECT doc_id,
                 CAST((length(text)-length(replace(text,' the ','')))/5 AS BIGINT) AS s_en,
                 CAST((length(text)-length(replace(text,' la ','')))/4 AS BIGINT) AS s_es,
                 CAST((length(text)-length(replace(text,' le ','')))/4 AS BIGINT) AS s_fr,
                 CAST((length(text)-length(replace(text,' der ','')))/5 AS BIGINT) AS s_de
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-                        WHEN s_fr >= s_de THEN 'fr'
-                        ELSE 'de' END AS lang_pred
-            FROM s ORDER BY doc_id
+              FROM documents),
+            l AS (
+              SELECT 'lang' AS op, doc_id,
+                     CAST(-1 AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2,
+                     CAST(-1 AS BIGINT) AS v3, CAST(-1 AS BIGINT) AS v4,
+                     CAST(-1 AS BIGINT) AS v5,
+                     CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                          WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                          WHEN s_fr >= s_de THEN 'fr'
+                          ELSE 'de' END AS s1
+              FROM s)
+            SELECT * FROM q UNION ALL SELECT * FROM l
+            ORDER BY op, doc_id
+        """,
+        "text_lm_score": f"""
+            WITH train AS (
+              SELECT text FROM documents WHERE text IS NOT NULL
+              UNION ALL SELECT '{_LM_TRAIN_PLANT}'
+            ),
+            score_docs AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT * FROM (VALUES
+                {", ".join("(%d, '%s')" % p for p in _LM_SCORE_PLANTS)}
+              ) v(doc_id, text)
+            ),
+            tw AS (
+              SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                    t -> lower(t)) AS ws
+              FROM train),
+            tt AS (
+              SELECT i AS pos, ws[i] AS tok,
+                     CASE WHEN i >= 2 THEN ws[i-1] END AS p1,
+                     CASE WHEN i >= 3 THEN ws[i-2] END AS p2
+              FROM tw, unnest(generate_series(1, len(ws))) u(i)),
+            c1 AS (SELECT tok AS g, CAST(count(*) AS BIGINT) AS n
+                   FROM tt GROUP BY 1),
+            c2 AS (SELECT p1 || ' ' || tok AS g, CAST(count(*) AS BIGINT) AS n
+                   FROM tt WHERE pos >= 2 GROUP BY 1),
+            c3 AS (SELECT p2 || ' ' || p1 || ' ' || tok AS g,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM tt WHERE pos >= 3 GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt),
+            sw AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                    t -> lower(t)) AS ws
+              FROM score_docs),
+            st AS (
+              SELECT doc_id, i AS pos, ws[i] AS tok,
+                     CASE WHEN i >= 2 THEN ws[i-1] END AS p1,
+                     CASE WHEN i >= 3 THEN ws[i-2] END AS p2
+              FROM sw, unnest(generate_series(1, len(ws))) u(i)),
+            j AS (
+              SELECT st.doc_id, st.pos, t3.n AS n3, d3.n AS dn3,
+                     t2.n AS n2, d2.n AS dn2, u1.n AS n1, nn.n AS nt
+              FROM st
+              LEFT JOIN c3 t3 ON (st.p2 || ' ' || st.p1 || ' ' || st.tok) = t3.g
+              LEFT JOIN c2 d3 ON (st.p2 || ' ' || st.p1) = d3.g
+              LEFT JOIN c2 t2 ON (st.p1 || ' ' || st.tok) = t2.g
+              LEFT JOIN c1 d2 ON st.p1 = d2.g
+              LEFT JOIN c1 u1 ON st.tok = u1.g
+              CROSS JOIN nn),
+            tq AS (
+              SELECT doc_id,
+                CASE WHEN pos >= 3 AND n3 IS NOT NULL THEN 3
+                     WHEN pos >= 2 AND n2 IS NOT NULL THEN 2
+                     WHEN n1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+                CASE WHEN pos >= 3 AND n3 IS NOT NULL
+                       THEN (n3 * 1000000) // dn3
+                     WHEN pos >= 2 AND n2 IS NOT NULL
+                       THEN (n2 * 1000000
+                             * (CASE WHEN pos >= 3 THEN 2 ELSE 1 END))
+                            // (dn2 * (CASE WHEN pos >= 3 THEN 5 ELSE 1 END))
+                     WHEN n1 IS NOT NULL
+                       THEN (n1 * 1000000
+                             * (CASE WHEN pos >= 3 THEN 4
+                                     WHEN pos = 2 THEN 2 ELSE 1 END))
+                            // (nt * (CASE WHEN pos >= 3 THEN 25
+                                           WHEN pos = 2 THEN 5 ELSE 1 END))
+                     ELSE 0 END AS q
+              FROM j),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+                     CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits2,
+                     CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+                     CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+                     CAST(sum(q) AS BIGINT) AS score_q
+              FROM tq GROUP BY doc_id)
+            SELECT sw.doc_id, CAST(len(sw.ws) AS BIGINT) AS n_tokens,
+                   coalesce(a.hits3, 0) AS hits3,
+                   coalesce(a.hits2, 0) AS hits2,
+                   coalesce(a.hits1, 0) AS hits1,
+                   coalesce(a.oov, 0) AS oov,
+                   coalesce(a.score_q, 0) AS score_q
+            FROM sw LEFT JOIN agg a ON a.doc_id = sw.doc_id
+            ORDER BY sw.doc_id
         """,
         "doc_fingerprint": """
             WITH d AS (
