@@ -223,22 +223,24 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
     fallback when the model exceeds worker memory."""
     if not 1 <= order <= 3:
         raise ValueError("order must be 1..3")
-    total = int(counts.filter(F.col("k") == 1)
-                .agg(F.sum("n")).collect()[0][0] or 0)
-    if total <= 0:
-        raise ValueError("empty model: no unigram mass in counts")
-    pruned = counts.filter(F.col("n") >= min_count) if min_count > 1 \
-        else counts
-
     if use_arrow:
         import pyarrow as pa
 
         from delver_spark.operators.extract import col_simple_type
 
+        # ONE driver job: collect unpruned counts, derive the unpruned
+        # normalizer N and the pruned dicts in-process (three serial
+        # Spark jobs here were 2-3 s of the score stage's wall clock at
+        # any corpus size — scale-invariant serial cost, bench_lm.py)
         c: dict[int, dict[str, int]] = {k: {} for k in range(1, order + 1)}
-        for r in pruned.collect():
-            if r.k <= order:
+        total = 0
+        for r in counts.collect():
+            if r.k == 1:
+                total += r.n
+            if r.k <= order and r.n >= min_count:
                 c[r.k][r.gram] = r.n
+        if total <= 0:
+            raise ValueError("empty model: no unigram mass in counts")
         id_type = col_simple_type(docs, id_col)
         schema = f"{id_col} {id_type}, " + ", ".join(
             f"{s} long" for s in _SCORE_COLS)
@@ -262,6 +264,13 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
 
         return (docs.select(id_col, text_col).mapInArrow(run, schema)
                 .orderBy(id_col))
+
+    total = int(counts.filter(F.col("k") == 1)
+                .agg(F.sum("n")).collect()[0][0] or 0)
+    if total <= 0:
+        raise ValueError("empty model: no unigram mass in counts")
+    pruned = counts.filter(F.col("n") >= min_count) if min_count > 1 \
+        else counts
 
     # declarative plan: stream + left joins (NULL gram keys simply
     # never match — left joins keep every token row, so the r4

@@ -4,6 +4,8 @@ of examples/image_pipeline.py (VERDICT r4 next-round #6):
 
   synth corpus → assemble_training_set (Gopher repetition → exact-dup
   keeper → n-gram decontamination vs a benchmark set → sample) →
+  CCNet LM quality cut (trigram Stupid-Backoff scored in one
+  zero-shuffle pass; tail tercile dropped) →
   duplicate_spans + cut_spans (substring dedup) → PII scrub →
   REAL BPE tokenization (train + encode) → pack_sequences
   (fixed context-length sample cutting)
@@ -52,7 +54,9 @@ def main(n: int = 3000) -> None:
                                                  assembly_report,
                                                  pack_sequences)
     from delver_spark.operators.dedup import cut_spans, duplicate_spans
-    from delver_spark.operators.textstats import scrubbed_text
+    from delver_spark.functions import ngram_lm
+    from delver_spark.operators.textstats import (deterministic_sample,
+                                                  scrubbed_text)
     from delver_spark.session import get_spark
 
     spark = get_spark("text_pipeline_demo")
@@ -78,6 +82,29 @@ def main(n: int = 3000) -> None:
         print(f"1. assemble          {t1:6.2f}s  drop report: {report}")
         kept = assembled.filter("drop_stage IS NULL").select(
             "doc_id", "text").localCheckpoint(eager=True)
+
+        # 1b. CCNet LM quality cut: train trigram Stupid-Backoff counts
+        # on a 10% deterministic sample, score every kept doc (one
+        # zero-shuffle pass), keep the head+middle of the score
+        # distribution (exact tercile — percentile() is exact, so the
+        # cut is deterministic)
+        t0 = time.perf_counter()
+        counts_lm = ngram_lm.train_ngram_lm(deterministic_sample(kept, 100))
+        scored = ngram_lm.lm_score(kept, counts_lm, min_count=2)
+        cut_q = scored.agg(F.expr(
+            "percentile(score_q * 1000000 div greatest(n_tokens, 1), 1.0/3)"
+        ).alias("p")).collect()[0]["p"]
+        lm_kept = (scored.withColumn(
+            "_mean_q", F.expr("score_q * 1000000 div greatest(n_tokens, 1)"))
+            .filter((F.col("_mean_q") >= F.lit(int(cut_q)))
+                    & (F.col("n_tokens") > 0))
+            .select("doc_id"))
+        kept = (kept.join(lm_kept, "doc_id")
+                .localCheckpoint(eager=True))
+        t1b = time.perf_counter() - t0
+        n_lm = kept.count()
+        print(f"1b. lm quality cut   {t1b:6.2f}s  kept {n_lm} docs above "
+              f"the tail tercile (mean token micro-prob >= {int(cut_q)})")
 
         # 2. substring dedup: find repeated >=8-word passages anywhere
         # in the corpus, cut every occurrence
@@ -117,7 +144,7 @@ def main(n: int = 3000) -> None:
         t5 = time.perf_counter() - t0
         print(f"5. pack sequences    {t5:6.2f}s  {n_seq} samples of 512 "
               f"tokens")
-        print(f"total {t1 + t2 + t3 + t4 + t5:.2f}s for {n} docs")
+        print(f"total {t1 + t1b + t2 + t3 + t4 + t5:.2f}s for {n} docs")
     finally:
         spark.stop()
 
