@@ -1049,10 +1049,16 @@ def sample_language_quota(spark, sf):
                                salt_buckets=4)
 
 
+#: gate mixture weights — fr deliberately ABSENT so the gate exercises
+#: the default_milli=0 drop branch in both engines
+_MIX_RATES = {"en": 400, "de": 800, "es": 200, "zh": 100}
+
+
 def sample_ops(spark, sf):
-    """Deterministic hash-rate sampling + per-language quota in ONE
-    tagged driver entry (consolidated r5-s9 to free a gate slot, same
-    50-slot policy as x14+o6)."""
+    """Deterministic hash-rate sampling + per-language quota +
+    per-language mixture weighting in ONE tagged driver entry
+    (consolidated r5-s9 to free a gate slot, same 50-slot policy as
+    x14+o6)."""
     a = sample_deterministic(spark, sf).select(
         F.lit("det").alias("op"), "doc_id", "lang",
         F.col("n_chars").cast("long").alias("v1"),
@@ -1061,7 +1067,11 @@ def sample_ops(spark, sf):
         F.lit("quota").alias("op"), "doc_id", "lang",
         F.col("quality").cast("long").alias("v1"),
         F.col("lang_rank").cast("long").alias("v2"))
-    return a.unionByName(b).orderBy("op", "doc_id")
+    c = _txt.mixture_sample(_t(spark, sf, "documents"), _MIX_RATES).select(
+        F.lit("mix").alias("op"), "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"))
+    return a.unionByName(b).unionByName(c).orderBy("op", "doc_id")
 
 
 def export_webdataset_manifest(spark, sf):
@@ -1982,6 +1992,15 @@ def oracle_sql() -> dict[str, str]:
                            AS lang_rank
                   FROM documents)
             WHERE lang_rank <= 25
+            UNION ALL
+            SELECT 'mix', doc_id, lang, CAST(n_chars AS BIGINT),
+                   CAST(-1 AS BIGINT)
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  * 1000
+                  < (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800
+                               WHEN 'es' THEN 200 WHEN 'zh' THEN 100
+                               ELSE 0 END) * 4294967296
             ORDER BY op, doc_id
         """,
         "export_webdataset_manifest": """

@@ -510,6 +510,34 @@ def deterministic_sample(df: DataFrame, rate_milli: int,
     return df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
 
 
+def mixture_sample(df: DataFrame, rates_milli: dict[str, int],
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   default_milli: int = 0) -> DataFrame:
+    """Per-source mixture sampling — the training-mix weighting step
+    (the Pile / DoReMi shape: each source/domain/language contributes
+    at its own rate): keep a row iff its :func:`deterministic_sample`
+    hash bucket lands below its GROUP's rate. Same hash, same
+    reproducibility contract (partition- and engine-invariant kept
+    set; a group's kept rows at rate r are a SUPERSET of its kept rows
+    at any r' < r, so remixing is monotone — ablations share rows).
+    Groups absent from ``rates_milli`` get ``default_milli`` (0 =
+    dropped; NULL group keys too). One narrow projection + filter, no
+    shuffle, whole-stage codegen — the rate map compiles into the plan
+    via ``element_at(create_map(...))``."""
+    if not all(0 <= r <= 1000 for r in rates_milli.values()) \
+            or not 0 <= default_milli <= 1000:
+        raise ValueError("rates are milli-fractions in [0, 1000]")
+    pairs = []
+    for g, r in sorted(rates_milli.items()):
+        pairs += [F.lit(g), F.lit(int(r))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col)),
+        F.lit(int(default_milli))) if pairs else F.lit(int(default_milli))
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long")
+    return df.filter(bucket * 1000 < rate.cast("long") * (1 << 32))
+
+
 def language_quota(df: DataFrame, per_lang: int,
                    id_col: str = "doc_id", lang_col: str = "lang",
                    quality_col: str = "n_chars",

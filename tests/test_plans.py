@@ -112,6 +112,41 @@ def test_deterministic_sample_partition_invariant(spark):
     assert "Python" not in _plan(deterministic_sample(d, 100))
 
 
+def test_mixture_sample_semantics(spark):
+    """mixture_sample == per-group deterministic_sample union; unmapped
+    groups take the default; a group's kept set is MONOTONE in its rate
+    (remixing shares rows); plan stays JVM-side."""
+    import pytest
+
+    from delver_spark.operators.textstats import (deterministic_sample,
+                                                  mixture_sample)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    rates = {"en": 400, "de": 800, "es": 200}
+    got = sorted(r.doc_id for r in mixture_sample(d, rates).collect())
+    want = []
+    for g, r in rates.items():
+        want += [x.doc_id for x in
+                 deterministic_sample(d.filter(F.col("lang") == g),
+                                      r).collect()]
+    assert got == sorted(want)  # fr/zh unmapped -> default 0 -> dropped
+    # default_milli routes unmapped groups
+    full = sorted(r.doc_id for r in
+                  mixture_sample(d, rates, default_milli=1000).collect())
+    n_unmapped = d.filter(~F.col("lang").isin(*rates)).count()
+    assert len(full) == len(got) + n_unmapped
+    # monotone: en@200 subset of en@400
+    lo = {r.doc_id for r in
+          mixture_sample(d, {"en": 200}).collect()}
+    hi = {r.doc_id for r in
+          mixture_sample(d, {"en": 400}).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+    assert "Python" not in _plan(mixture_sample(d, rates))
+    with pytest.raises(ValueError):
+        mixture_sample(d, {"en": 1001})
+
+
 def test_ivf_partitioned_table_prunes_partitions(spark, tmp_path):
     """The 100 TB claim made concrete: over a table PARTITIONED by the
     cell column, the literal cell filter becomes directory-level
