@@ -1071,7 +1071,15 @@ def sample_ops(spark, sf):
         F.lit("mix").alias("op"), "doc_id", "lang",
         F.col("n_chars").cast("long").alias("v1"),
         F.lit(-1).cast("long").alias("v2"))
-    return a.unionByName(b).unionByName(c).orderBy("op", "doc_id")
+    d = _txt.deterministic_split(
+        _t(spark, sf, "documents"),
+        {"val": 50, "test": 50, "train": 900}).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("op"),
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"))
+    return a.unionByName(b).unionByName(c).unionByName(d) \
+        .orderBy("op", "doc_id")
 
 
 def export_webdataset_manifest(spark, sf):
@@ -2001,6 +2009,16 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800
                                WHEN 'es' THEN 200 WHEN 'zh' THEN 100
                                ELSE 0 END) * 4294967296
+            UNION ALL
+            SELECT 'split_' || (CASE
+                     WHEN b * 1000 < 50 * 4294967296 THEN 'val'
+                     WHEN b * 1000 < 100 * 4294967296 THEN 'test'
+                     ELSE 'train' END),
+                   doc_id, lang, CAST(n_chars AS BIGINT),
+                   CAST(-1 AS BIGINT)
+            FROM (SELECT doc_id, lang, n_chars,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS b
+                  FROM documents)
             ORDER BY op, doc_id
         """,
         "export_webdataset_manifest": """

@@ -510,6 +510,35 @@ def deterministic_sample(df: DataFrame, rate_milli: int,
     return df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
 
 
+def deterministic_split(df: DataFrame, splits_milli: dict[str, int],
+                        id_col: str = "doc_id",
+                        col_name: str = "split") -> DataFrame:
+    """Named train/val/test partition by md5 bucket RANGE: split ``s_i``
+    takes rows whose :func:`deterministic_sample` bucket falls in the
+    cumulative interval [sum(<i), sum(<=i)) of the milli fractions, in
+    the dict's insertion order. Fractions must sum to exactly 1000
+    (total partition — no silently unlabeled rows). Same hash as
+    deterministic_sample/mixture_sample, so the assignment is
+    partition- and engine-invariant, and the FIRST split is monotone
+    in its own size (growing train never moves a train row out — the
+    eval-contamination guarantee ablations need; later splits shift
+    with upstream boundaries, so keep eval splits first when resizing
+    matters). One narrow projection, no shuffle."""
+    if sum(splits_milli.values()) != 1000 or not splits_milli \
+            or any(v < 0 for v in splits_milli.values()):
+        raise ValueError("split fractions must be >= 0 and sum to 1000")
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long")
+    expr = None
+    cum = 0
+    for name, v in splits_milli.items():
+        cum += v
+        cond = bucket * 1000 < F.lit(cum) * (1 << 32)
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    return df.withColumn(col_name, expr)
+
+
 def mixture_sample(df: DataFrame, rates_milli: dict[str, int],
                    group_col: str = "lang", id_col: str = "doc_id",
                    default_milli: int = 0) -> DataFrame:

@@ -147,6 +147,35 @@ def test_mixture_sample_semantics(spark):
         mixture_sample(d, {"en": 1001})
 
 
+def test_deterministic_split_semantics(spark):
+    """Total partition, deterministic, first split monotone in its own
+    size, consistent with deterministic_sample's kept set (a 100-milli
+    FIRST split == the rate-100 sample)."""
+    import pytest
+
+    from delver_spark.operators.textstats import (deterministic_sample,
+                                                  deterministic_split)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    n = d.count()
+    out = deterministic_split(d, {"val": 100, "train": 900})
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n and set(by) == {"val", "train"}
+    # first split == the same-rate deterministic sample
+    val_ids = {r.doc_id for r in out.filter("split = 'val'").collect()}
+    samp_ids = {r.doc_id for r in deterministic_sample(d, 100).collect()}
+    assert val_ids == samp_ids
+    # monotone: growing the first split keeps its rows in it
+    val2 = {r.doc_id for r in
+            deterministic_split(d, {"val": 200, "train": 800})
+            .filter("split = 'val'").collect()}
+    assert val_ids <= val2
+    with pytest.raises(ValueError):
+        deterministic_split(d, {"a": 500, "b": 400})
+
+
 def test_ivf_partitioned_table_prunes_partitions(spark, tmp_path):
     """The 100 TB claim made concrete: over a table PARTITIONED by the
     cell column, the literal cell filter becomes directory-level
