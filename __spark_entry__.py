@@ -1093,11 +1093,18 @@ def export_webdataset_manifest(spark, sf):
     orders by doc_id). Tar bytes themselves are pinned vs a stdlib
     tarfile reference in tests/test_webdataset.py."""
     import os
+    import shutil
     import tempfile
 
     from delver_spark.operators.webdataset import export_webdataset
 
-    out = tempfile.mkdtemp(prefix="delver_wds_gate_")
+    # fixed per-sf dir, recreated each run — a fresh mkdtemp per
+    # invocation would accrete a tar copy of the documents table in
+    # /tmp on every gate/bench/test run (r5-s9 review finding)
+    out = os.path.join(tempfile.gettempdir(),
+                       "delver_wds_gate_" + os.path.basename(
+                           sf.rstrip("/") or "sf"))
+    shutil.rmtree(out, ignore_errors=True)
     return export_webdataset(
         spark, os.path.join(sf, "documents.parquet"), out, 65536,
         key_col="doc_id", data_col="text", fmt_col=None, ext="txt",

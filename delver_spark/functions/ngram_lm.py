@@ -220,7 +220,10 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
     pruned model must fit per worker (CCNet's own deployment shape).
     ``use_arrow=False``: declarative twin — token stream + left joins
     against the (distributed, broadcast-hinted) count table; the
-    fallback when the model exceeds worker memory."""
+    fallback when the model exceeds worker memory. Ids must be unique
+    (at most one NULL): the declarative plan aggregates per id, so
+    duplicate-id rows would each receive their group's combined score
+    while the arrow path scores each row independently."""
     if not 1 <= order <= 3:
         raise ValueError("order must be 1..3")
     if use_arrow:
@@ -228,13 +231,20 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
 
         from delver_spark.operators.extract import col_simple_type
 
-        # ONE driver job: collect unpruned counts, derive the unpruned
-        # normalizer N and the pruned dicts in-process (three serial
-        # Spark jobs here were 2-3 s of the score stage's wall clock at
-        # any corpus size — scale-invariant serial cost, bench_lm.py)
+        # ONE driver job: collect counts, derive the unpruned normalizer
+        # N and the pruned dicts in-process (three serial Spark jobs
+        # here were 2-3 s of the score stage's wall clock at any corpus
+        # size — scale-invariant serial cost, bench_lm.py). The filter
+        # keeps ALL unigrams (N must be the unpruned unigram mass) but
+        # drops pruned higher-order grams BEFORE the collect — on a
+        # Zipf corpus the singleton bi/trigrams are the majority of
+        # distinct grams, and shipping them to the driver just to
+        # discard them would defeat min_count as the model-size lever.
         c: dict[int, dict[str, int]] = {k: {} for k in range(1, order + 1)}
         total = 0
-        for r in counts.collect():
+        rows = counts.filter((F.col("k") == 1)
+                             | (F.col("n") >= min_count)).collect()
+        for r in rows:
             if r.k == 1:
                 total += r.n
             if r.k <= order and r.n >= min_count:
@@ -322,7 +332,13 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
     base = docs.select(
         id_col, F.coalesce(F.size(_tokens_col(text_col)), F.lit(0))
         .cast("long").alias("n_tokens"))
-    out = base.join(agg, id_col, "left")
+    # null-safe key pair (the r4 rule: a plain equi-join would zero out
+    # a NULL-id doc's scores — the arrow path passes NULL ids through):
+    # (isnull, coalesce) columns keep this an AQE-splittable equi-join
+    nk = [F.col(id_col).isNull().alias("_idn"),
+          F.coalesce(F.col(id_col).cast("string"), F.lit("")).alias("_idc")]
+    out = base.select("*", *nk).join(
+        agg.select("*", *nk).drop(id_col), ["_idn", "_idc"], "left")
     return out.select(
         id_col, "n_tokens",
         *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s)

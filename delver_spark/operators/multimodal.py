@@ -480,6 +480,13 @@ def resize_images_direct(spark, path: str, buckets=None,
     if carry_cols and out_dir is None:
         raise ValueError("carry_cols requires out_dir (written shards)")
     carry = list(carry_cols or [])
+    clash = set(carry) & {"image_id", "bytes", "w", "h", "fmt"}
+    if clash:
+        # a carried column would silently OVERWRITE the resized values
+        # in the written shards (e.g. carry 'fmt' shipping the original
+        # format label over re-encoded bytes) — r5-s9 review finding
+        raise ValueError(f"carry_cols may not shadow output columns: "
+                         f"{sorted(clash)}")
     base_cols = ["image_id", "bytes", "w", "h", "fmt"] + carry
     if buckets is None:
         buckets = SDXL_BUCKETS

@@ -185,9 +185,11 @@ def export_webdataset(spark, path: str, out_dir: str, target_bytes: int,
         scan_sizes, "split_idx int, tar_bytes long, n_rows long, "
         "payload_bytes long").collect())
     carries = {}
+    split_tar_bytes = {}
     acc = 0
     for r in totals:
         carries[r.split_idx] = acc
+        split_tar_bytes[r.split_idx] = r.tar_bytes
         acc += r.tar_bytes
 
     read_cols = [key_col, data_col] + ([fmt_col] if fmt_col else []) + (
@@ -210,6 +212,17 @@ def export_webdataset(spark, path: str, out_dir: str, target_bytes: int,
                 kept = dl >= 0
                 mb = member_bytes_of(dl, cl)
                 mb[~kept] = 0
+                # fail LOUDLY if a size_col lied in phase A: stale or
+                # inconsistent precomputed sizes would otherwise shift
+                # every later shard boundary while the members are
+                # written at the real lengths — silent corruption of
+                # the whole export (r5-s9 review finding)
+                if int(mb.sum()) != split_tar_bytes[si]:
+                    raise ValueError(
+                        f"split {si} ({p} rg {rg}): size pass said "
+                        f"{split_tar_bytes[si]} tar bytes but payload "
+                        f"lengths sum to {int(mb.sum())} — size_col "
+                        f"disagrees with the actual data")
                 starts = carries[si] + np.concatenate(
                     ([0], np.cumsum(mb)[:-1]))
                 keys = tbl.column(key_col).to_pylist()
@@ -244,6 +257,11 @@ def export_webdataset(spark, path: str, out_dir: str, target_bytes: int,
                         frows["n_items"].append(stats)  # patched below
                         frows["payload_bytes"].append(stats)
                     e = fmts[i] if fmts is not None else ext
+                    if e is None:
+                        raise ValueError(
+                            f"row {keys[i]!r}: NULL {fmt_col} with "
+                            f"non-NULL payload — member extension "
+                            f"required")
                     f.write(_member_header(f"{keys[i]}.{e}", dl[i]))
                     f.write(memoryview(data[i]))
                     f.write(b"\0" * (_pad512(dl[i]) - dl[i]))
@@ -338,12 +356,21 @@ def export_webdataset(spark, path: str, out_dir: str, target_bytes: int,
 
 
 def read_webdataset(spark, wds_dir: str, *, key_col: str = "image_id",
-                    caption: bool = True):
+                    caption: bool = True,
+                    batch_bytes: int = 8 << 20):
     """Task-local WebDataset ingest: one task per tar shard, streaming
     ``tarfile`` read, members re-grouped by basename key (same-key
     members are adjacent by the export's construction — payload member
     first, optional ``.txt`` caption second). Returns (key, bytes, fmt
-    [, caption]) rows in shard/member order within each task."""
+    [, caption]) rows in shard/member order within each task.
+
+    A ``.txt`` member whose base matches the pending payload key is
+    ALWAYS consumed as that row's caption — with ``caption=False`` it
+    is dropped, never emitted as a spurious payload row (r5-s9 review
+    finding). Output batches are bounded by ``batch_bytes`` of payload,
+    NOT one-batch-per-tar: a 1 GB production shard as a single Arrow
+    batch is the humongous-allocation regime this repo measured
+    collapsing the python→JVM leg (CLAUDE.md r1/s5)."""
     import pandas as pd
 
     tars = sorted(f for f in os.listdir(wds_dir) if f.endswith(".tar"))
@@ -351,34 +378,46 @@ def read_webdataset(spark, wds_dir: str, *, key_col: str = "image_id",
               + (", caption string" if caption else ""))
 
     def scan(pdfs):
+        def frame(rows):
+            out = {key_col: rows["key"], "bytes": rows["bytes"],
+                   "fmt": rows["fmt"]}
+            if caption:
+                out["caption"] = rows["cap"]
+            return pd.DataFrame(out)
+
+        def push(pend, rows):
+            rows["key"].append(pend[0])
+            rows["bytes"].append(pend[1])
+            rows["fmt"].append(pend[2])
+            rows["cap"].append(pend[3])
+            return len(pend[1])
+
         for pdf in pdfs:
             for p in pdf["path"]:
                 rows = {"key": [], "bytes": [], "fmt": [], "cap": []}
+                nbytes = 0
                 with tarfile.open(p, "r") as tf:
-                    pend = None  # (key, data, fmt, caption)
+                    pend = None  # [key, data, fmt, caption]
                     for m in tf:
                         base, e = os.path.splitext(m.name)
                         blob = tf.extractfile(m).read()
-                        if (caption and e == ".txt" and pend is not None
+                        if (e == ".txt" and pend is not None
                                 and pend[0] == base):
-                            pend[3] = blob.decode("utf-8")
+                            if caption:
+                                pend[3] = blob.decode("utf-8")
                             continue
                         if pend is not None:
-                            rows["key"].append(pend[0])
-                            rows["bytes"].append(pend[1])
-                            rows["fmt"].append(pend[2])
-                            rows["cap"].append(pend[3])
+                            nbytes += push(pend, rows)
+                        if nbytes >= batch_bytes:
+                            yield frame(rows)
+                            rows = {"key": [], "bytes": [], "fmt": [],
+                                    "cap": []}
+                            nbytes = 0
                         pend = [base, blob, e.lstrip("."), None]
                     if pend is not None:
-                        rows["key"].append(pend[0])
-                        rows["bytes"].append(pend[1])
-                        rows["fmt"].append(pend[2])
-                        rows["cap"].append(pend[3])
-                out = {key_col: rows["key"], "bytes": rows["bytes"],
-                       "fmt": rows["fmt"]}
-                if caption:
-                    out["caption"] = rows["cap"]
-                yield pd.DataFrame(out)
+                        push(pend, rows)
+                if rows["key"]:
+                    yield frame(rows)
 
     return (spark.createDataFrame([(os.path.join(wds_dir, t),)
                                    for t in tars], "path string")

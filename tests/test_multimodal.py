@@ -545,3 +545,10 @@ def test_resize_direct_carry_cols_to_webdataset(spark, tmp_path):
     with pytest.raises(ValueError, match="requires out_dir"):
         resize_images_direct(spark, str(d), buckets=buckets,
                              carry_cols=["caption"])
+    # r5-s9 review pin: a carried column must never shadow a resized
+    # output column (carry 'fmt' would label re-encoded bytes with the
+    # ORIGINAL format in the written shards)
+    with pytest.raises(ValueError, match="shadow"):
+        resize_images_direct(spark, str(d), buckets=buckets,
+                             out_dir=str(tmp_path / "x"),
+                             carry_cols=["fmt"])

@@ -202,6 +202,28 @@ def test_order_2(spark, frames):
         assert row["hits3"] == 0
 
 
+def test_null_id_row_scored_in_both_plans(spark, frames):
+    """r5-s9 review pin: a NULL-id doc with real text must get its true
+    score in BOTH plans — the declarative keeper join is null-safe via
+    the (isnull, coalesce) key pair (the r4 null-key rule), not a plain
+    equi-join that would zero it out."""
+    train, _ = frames
+    counts = ngram_lm.train_ngram_lm(train)
+    docs = spark.createDataFrame(
+        [(None, "the cat ran"), (1, "the cat ran")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, ngram_lm.lm_score(docs, counts).collect()),
+               key=str)
+    d = sorted(map(tuple,
+                   ngram_lm.lm_score(docs, counts,
+                                     use_arrow=False).collect()),
+               key=str)
+    assert a == d
+    by_id = {r[0]: r for r in a}
+    assert by_id[None][1:] == by_id[1][1:]  # same text, same score
+    assert by_id[None][-1] > 0
+
+
 def test_bad_order_raises(spark, frames):
     train, docs = frames
     with pytest.raises(ValueError):

@@ -68,8 +68,10 @@ def test_in_filter_pushdown_for_fetch(spark, tmp_path):
 
 
 def test_whole_stage_codegen_on_textstats(spark):
-    """Text analysis ops stay JVM-side (no Python in the plan)."""
-    df = entrymod.queries()["text_quality_score"](spark, SF)
+    """Text analysis ops stay JVM-side (no Python in the plan). Pins the
+    bare module-level function — the gate key was consolidated into
+    text_quality_ops in r5-s9 (the r4 test_column_pruning precedent)."""
+    df = entrymod.text_quality_score(spark, SF)
     plan = _plan(df)
     # no BatchEvalPython / ArrowEvalPython: everything stays JVM-side where
     # whole-stage codegen applies (AQE formatted plans list the operators)

@@ -227,6 +227,55 @@ def test_text_mode_and_errors(spark, tmp_path):
                           caption_col=None).collect()
 
 
+def test_review_fixes_r5s9(spark, tmp_path):
+    """r5-s9 review sweep pins: (a) a lying size_col fails LOUDLY
+    instead of silently shifting shard boundaries; (b) NULL fmt with a
+    payload raises instead of writing a '.None' member; (c)
+    caption=False DROPS matching .txt members (never emits them as
+    payload rows); (d) bounded output batches round-trip identically."""
+    import pyarrow.compute as pc
+
+    t = _pair_table()
+    src, out = tmp_path / "src", tmp_path / "wds"
+    _write(t, str(src))
+    export_webdataset(spark, str(src), str(out), TARGET)
+
+    # (c) + (d): captioned tar read with caption=False — payload rows
+    # only, same count/bytes as caption=True; tiny batch_bytes forces
+    # many output chunks and must not change the result
+    with_cap = sorted((r.image_id, bytes(r.bytes), r.fmt) for r in
+                      read_webdataset(spark, str(out)).collect())
+    no_cap = sorted((r.image_id, bytes(r.bytes), r.fmt) for r in
+                    read_webdataset(spark, str(out),
+                                    caption=False).collect())
+    chunked = sorted((r.image_id, bytes(r.bytes), r.fmt) for r in
+                     read_webdataset(spark, str(out),
+                                     batch_bytes=1024).collect())
+    assert no_cap == with_cap == chunked
+
+    # (a) stale size_col: one row's nbytes off by a pad block (+1 might
+    # not cross a 512-byte padding boundary and thus legitimately not
+    # change the tar layout)
+    nb = pc.fill_null(pc.binary_length(t.column("bytes"))
+                      .cast("int64"), -1).to_pylist()
+    nb[3] += 512
+    t2 = t.append_column("nbytes", pa.array(nb, pa.int64()))
+    src2 = tmp_path / "src2"
+    _write(t2, str(src2))
+    with pytest.raises(Exception, match="disagrees"):
+        export_webdataset(spark, str(src2), str(tmp_path / "w2"),
+                          TARGET, size_col="nbytes").collect()
+
+    # (b) NULL fmt with non-NULL payload
+    t3 = t.set_column(t.schema.get_field_index("fmt"), "fmt",
+                      pa.array([None] * len(t), pa.string()))
+    src3 = tmp_path / "src3"
+    _write(t3, str(src3))
+    with pytest.raises(Exception, match="NULL fmt"):
+        export_webdataset(spark, str(src3), str(tmp_path / "w3"),
+                          TARGET).collect()
+
+
 def test_size_col_skips_payload_read(spark, tmp_path):
     """Precomputed size column gives identical output (the no-extra-
     payload-read path for tables that carry nbytes)."""
