@@ -275,20 +275,64 @@ def lm_score(docs: DataFrame, counts: DataFrame, order: int = 3,
         return (docs.select(id_col, text_col).mapInArrow(run, schema)
                 .orderBy(id_col))
 
+    return _lm_score_declarative(docs, counts, order, min_count, id_col,
+                                 text_col)
+
+
+def lm_partition(scored: DataFrame, milli_bounds=(333, 667),
+                 id_col: str = "doc_id",
+                 out_col: str = "lm_bucket") -> DataFrame:
+    """CCNet's head/middle/tail split as a RANK cut, not a value cut:
+    label the top ``milli_bounds[0]``/1000 of docs by mean quantized
+    token probability (``score_q div n_tokens``, ties on id) ``head``,
+    the next slice ``middle``, the rest ``tail``. Zero-token docs have
+    mean 0 and sink to the tail deterministically.
+
+    Rank-based because it's EXACT at any scale: Spark's exact
+    ``percentile`` materializes every value in one aggregation buffer
+    and ``approx_percentile``'s cut value changes with partitioning —
+    whereas the global rank (frontier.assign_global_rank, the crawl
+    dequeue machinery: hash-shuffle on a monotone pid + one tiny
+    offsets collect) is partition-invariant and distributes. The pid
+    bins the [0, 10⁶] mean-probability range uniformly; a
+    pathologically score-concentrated corpus degrades parallelism,
+    never correctness (the aspect-bucket scale_safe contract)."""
+    from delver_spark.operators.frontier import assign_global_rank
+
+    lo, hi = milli_bounds
+    if not 0 <= lo <= hi <= 1000:
+        raise ValueError("milli_bounds must satisfy 0 <= lo <= hi <= 1000")
+    d = scored.withColumn(
+        "_negq", -F.expr("score_q div greatest(n_tokens, 1)"))
+    stats: dict = {}
+    spark = scored.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, 4)
+    chunk = max(SCALE // parts, 1)
+    ranked = assign_global_rank(
+        d, ["_negq", id_col], F.floor(F.col("_negq") / chunk),
+        out_col="_r", out_stats=stats)
+    n = stats["total"]
+    bucket = (F.when(F.col("_r") * 1000 < F.lit(lo * n), "head")
+              .when(F.col("_r") * 1000 < F.lit(hi * n), "middle")
+              .otherwise("tail"))
+    return ranked.withColumn(out_col, bucket).drop("_negq", "_r")
+
+
+def _lm_score_declarative(docs, counts, order, min_count, id_col,
+                          text_col):
+    # stream + left joins (NULL gram keys simply never match — left
+    # joins keep every token row, so the r4 null-key-drop hazard does
+    # not apply to the gram joins). Counts must be self-consistent
+    # (train_ngram_lm output + the uniform min_count prune): a matched
+    # k-gram whose context is absent would yield a NULL denominator and
+    # silently drop that token's q from the sum — the arrow path
+    # KeyErrors loudly on the same inconsistency.
     total = int(counts.filter(F.col("k") == 1)
                 .agg(F.sum("n")).collect()[0][0] or 0)
     if total <= 0:
         raise ValueError("empty model: no unigram mass in counts")
     pruned = counts.filter(F.col("n") >= min_count) if min_count > 1 \
         else counts
-
-    # declarative plan: stream + left joins (NULL gram keys simply
-    # never match — left joins keep every token row, so the r4
-    # null-key-drop hazard does not apply here). Counts must be
-    # self-consistent (train_ngram_lm output + the uniform min_count
-    # prune): a matched k-gram whose context is absent would yield a
-    # NULL denominator and silently drop that token's q from the sum —
-    # the arrow path KeyErrors loudly on the same inconsistency.
     st = _token_stream(docs.select(id_col, text_col), text_col, order,
                        id_col=id_col)
     for k in range(1, order + 1):

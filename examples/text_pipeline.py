@@ -85,26 +85,20 @@ def main(n: int = 3000) -> None:
 
         # 1b. CCNet LM quality cut: train trigram Stupid-Backoff counts
         # on a 10% deterministic sample, score every kept doc (one
-        # zero-shuffle pass), keep the head+middle of the score
-        # distribution (exact tercile — percentile() is exact, so the
-        # cut is deterministic)
+        # zero-shuffle pass), label head/middle/tail by exact GLOBAL
+        # RANK of mean token probability (lm_partition — partition-
+        # invariant and distributed, no percentile agg), drop the tail
         t0 = time.perf_counter()
         counts_lm = ngram_lm.train_ngram_lm(deterministic_sample(kept, 100))
         scored = ngram_lm.lm_score(kept, counts_lm, min_count=2)
-        cut_q = scored.agg(F.expr(
-            "percentile(score_q * 1000000 div greatest(n_tokens, 1), 1.0/3)"
-        ).alias("p")).collect()[0]["p"]
-        lm_kept = (scored.withColumn(
-            "_mean_q", F.expr("score_q * 1000000 div greatest(n_tokens, 1)"))
-            .filter((F.col("_mean_q") >= F.lit(int(cut_q)))
-                    & (F.col("n_tokens") > 0))
-            .select("doc_id"))
+        buckets = ngram_lm.lm_partition(scored)
+        lm_kept = buckets.filter("lm_bucket <> 'tail'").select("doc_id")
         kept = (kept.join(lm_kept, "doc_id")
                 .localCheckpoint(eager=True))
         t1b = time.perf_counter() - t0
         n_lm = kept.count()
-        print(f"1b. lm quality cut   {t1b:6.2f}s  kept {n_lm} docs above "
-              f"the tail tercile (mean token micro-prob >= {int(cut_q)})")
+        print(f"1b. lm quality cut   {t1b:6.2f}s  kept {n_lm} head+middle "
+              f"docs (rank-tercile split over mean token probability)")
 
         # 2. substring dedup: find repeated >=8-word passages anywhere
         # in the corpus, cut every occurrence

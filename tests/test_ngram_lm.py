@@ -224,6 +224,42 @@ def test_null_id_row_scored_in_both_plans(spark, frames):
     assert by_id[None][-1] > 0
 
 
+def test_lm_partition_rank_cut(spark, frames):
+    """head/middle/tail by GLOBAL RANK of mean token probability:
+    matches a locally-sorted reference exactly, partition-invariant,
+    zero-token docs in the tail."""
+    train, _ = frames
+    counts = ngram_lm.train_ngram_lm(train)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat sat", "a cat ran",
+             "mat the cat", "zebra quux", "cat", "", "on the mat",
+             "the mat", None, "sat on the", "ran"])],
+        "doc_id long, text string")
+    scored = ngram_lm.lm_score(docs, counts)
+    out = {r.doc_id: r.lm_bucket
+           for r in ngram_lm.lm_partition(scored).collect()}
+    # local reference: sort by (mean desc, id asc), cut at floor ranks
+    rows = scored.collect()
+    order = sorted(rows, key=lambda r: (-(r.score_q // max(r.n_tokens, 1)),
+                                        r.doc_id))
+    n = len(order)
+    want = {}
+    for rank, r in enumerate(order):
+        want[r.doc_id] = ("head" if rank * 1000 < 333 * n else
+                          "middle" if rank * 1000 < 667 * n else "tail")
+    assert out == want
+    # partition invariance
+    out2 = {r.doc_id: r.lm_bucket for r in
+            ngram_lm.lm_partition(scored.repartition(7)).collect()}
+    assert out2 == out
+    # zero-token/NULL docs sink to the tail
+    assert out[6] == "tail" and out[9] == "tail"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ngram_lm.lm_partition(scored, milli_bounds=(700, 600))
+
+
 def test_bad_order_raises(spark, frames):
     train, docs = frames
     with pytest.raises(ValueError):
