@@ -1054,11 +1054,18 @@ def sample_language_quota(spark, sf):
 _MIX_RATES = {"en": 400, "de": 800, "es": 200, "zh": 100}
 
 
+#: gate upsample weights — en gets 2 full epochs + a 100-milli
+#: fractional epoch, zh 1 full + 400 milli; others default-dropped
+_UP_RATES = {"en": 2100, "zh": 1400}
+
+
 def sample_ops(spark, sf):
     """Deterministic hash-rate sampling + per-language quota +
-    per-language mixture weighting in ONE tagged driver entry
-    (consolidated r5-s9 to free a gate slot, same 50-slot policy as
-    x14+o6)."""
+    per-language mixture weighting + epoch upsampling (rates > 1.0,
+    r5-s10) in ONE tagged driver entry (consolidated r5-s9 to free a
+    gate slot, same 50-slot policy as x14+o6). The union's (op,
+    doc_id) key is no longer unique (upsampled epochs), so the total
+    order adds v1."""
     a = sample_deterministic(spark, sf).select(
         F.lit("det").alias("op"), "doc_id", "lang",
         F.col("n_chars").cast("long").alias("v1"),
@@ -1078,8 +1085,13 @@ def sample_ops(spark, sf):
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("v1"),
         F.lit(-1).cast("long").alias("v2"))
+    e = _txt.mixture_upsample(_t(spark, sf, "documents"),
+                              _UP_RATES).select(
+        F.lit("up").alias("op"), "doc_id", "lang",
+        F.col("epoch").cast("long").alias("v1"),
+        F.col("n_chars").cast("long").alias("v2"))
     return a.unionByName(b).unionByName(c).unionByName(d) \
-        .orderBy("op", "doc_id")
+        .unionByName(e).orderBy("op", "doc_id", "v1")
 
 
 def export_webdataset_manifest(spark, sf):
@@ -2026,7 +2038,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lang, n_chars,
                          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS b
                   FROM documents)
-            ORDER BY op, doc_id
+            UNION ALL
+            SELECT 'up', doc_id, lang, CAST(e AS BIGINT),
+                   CAST(n_chars AS BIGINT)
+            FROM (SELECT doc_id, lang, n_chars,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS b,
+                         (CASE lang WHEN 'en' THEN 2100
+                                    WHEN 'zh' THEN 1400
+                                    ELSE 0 END) AS r
+                  FROM documents) t,
+                 unnest(generate_series(0, r // 1000)) AS g(e)
+            WHERE e < r // 1000
+               OR b * 1000 < (r % 1000) * 4294967296
+            ORDER BY op, doc_id, v1
         """,
         "export_webdataset_manifest": """
             WITH s AS (

@@ -567,6 +567,56 @@ def mixture_sample(df: DataFrame, rates_milli: dict[str, int],
     return df.filter(bucket * 1000 < rate.cast("long") * (1 << 32))
 
 
+def mixture_upsample(df: DataFrame, rates_milli: dict[str, int],
+                     group_col: str = "lang", id_col: str = "doc_id",
+                     default_milli: int = 0,
+                     epoch_col: str = "epoch") -> DataFrame:
+    """Training-mix weighting with rates ABOVE 1.0 — the epochs/repeats
+    half of mixture construction (LLaMA-style mixes repeat high-quality
+    sources 2-5x while sampling the bulk sources down; the Pile weights
+    its sources in epochs). A group at rate ``r`` milli contributes
+    ``r div 1000`` full copies of EVERY row (``epoch`` = 0..n_full-1)
+    plus one fractional epoch (``epoch`` = n_full) holding the same
+    deterministic hash-bucket subset :func:`mixture_sample` would keep
+    at rate ``r mod 1000``. Output key is ``(id, epoch)``; for rates
+    <= 1000 the output is exactly ``mixture_sample`` plus a zero
+    ``epoch`` column.
+
+    Reproducibility contract (pinned in tests/test_plans.py): the kept
+    ``(id, epoch)`` set is partition-invariant and MONOTONE in a
+    group's rate — raising en from 1500 to 2200 milli keeps every
+    previously kept copy and adds more, so mix ablations share rows.
+    NULL ``id`` rows keep their full epochs (no hash needed) but never
+    the fractional one (NULL bucket fails the gate), matching
+    mixture_sample's NULL-drop at rates < 1000.
+
+    One narrow projection + explode(sequence) + filter — no shuffle,
+    no Python; the per-row fan-out is the group's epoch count (a
+    training mix's repeats are single digits), so the op stays
+    map-side at any corpus size."""
+    if not all(r >= 0 for r in rates_milli.values()) or default_milli < 0:
+        raise ValueError("rates are non-negative milli-fractions "
+                         "(1000 = one epoch)")
+    pairs = []
+    for g, r in sorted(rates_milli.items()):
+        pairs += [F.lit(g), F.lit(int(r))]
+    rate = (F.coalesce(F.element_at(F.create_map(*pairs), F.col(group_col)),
+                       F.lit(int(default_milli))) if pairs
+            else F.lit(int(default_milli))).cast("long")
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long")
+    d = (df.withColumn("_rate", rate)
+           .withColumn("_nfull", F.expr("_rate div 1000"))
+           .withColumn("_b", bucket)
+           .withColumn(epoch_col,
+                       F.explode(F.sequence(F.lit(0), F.col("_nfull")))))
+    kept = d.filter(
+        (F.col(epoch_col) < F.col("_nfull"))
+        | (F.col("_b") * 1000 < (F.col("_rate") % 1000) * F.lit(1 << 32)))
+    return kept.withColumn(epoch_col, F.col(epoch_col).cast("int")) \
+        .drop("_rate", "_nfull", "_b")
+
+
 def language_quota(df: DataFrame, per_lang: int,
                    id_col: str = "doc_id", lang_col: str = "lang",
                    quality_col: str = "n_chars",

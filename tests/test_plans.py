@@ -149,6 +149,57 @@ def test_mixture_sample_semantics(spark):
         mixture_sample(d, {"en": 1001})
 
 
+def test_mixture_upsample_semantics(spark):
+    """Rates > 1.0: full epochs + a deterministic fractional epoch.
+    For rates <= 1000 it degenerates to mixture_sample + epoch 0; the
+    fractional epoch's kept set IS mixture_sample at (rate mod 1000);
+    the (id, epoch) set is monotone in the rate and partition-
+    invariant; plan stays JVM-side."""
+    import pytest
+
+    from delver_spark.operators.textstats import (mixture_sample,
+                                                  mixture_upsample)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+
+    # degenerate case: <=1000 rates match mixture_sample exactly
+    rates_lo = {"en": 400, "de": 800}
+    up = mixture_upsample(d, rates_lo).collect()
+    assert all(r.epoch == 0 for r in up)
+    assert (sorted(r.doc_id for r in up)
+            == sorted(r.doc_id
+                      for r in mixture_sample(d, rates_lo).collect()))
+
+    # en@2500: every en doc appears at epochs 0 and 1; the epoch-2 set
+    # equals mixture_sample at the fractional rate 500
+    rows = mixture_upsample(d, {"en": 2500}).collect()
+    en_ids = {r.doc_id for r in d.filter("lang = 'en'").collect()}
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+    assert by_epoch[0] == en_ids and by_epoch[1] == en_ids
+    frac = {r.doc_id
+            for r in mixture_sample(d, {"en": 500}).collect()}
+    assert by_epoch[2] == frac and 0 < len(frac) < len(en_ids)
+
+    # monotone in the rate: 1500 -> 2200 keeps every (id, epoch)
+    lo = {(r.doc_id, r.epoch)
+          for r in mixture_upsample(d, {"en": 1500}).collect()}
+    hi = {(r.doc_id, r.epoch)
+          for r in mixture_upsample(d, {"en": 2200}).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+    # partition invariance + JVM-side plan
+    again = {(r.doc_id, r.epoch)
+             for r in mixture_upsample(d.repartition(13), {"en": 2200})
+             .collect()}
+    assert again == hi
+    assert "Python" not in _plan(mixture_upsample(d, {"en": 2500}))
+    with pytest.raises(ValueError):
+        mixture_upsample(d, {"en": -1})
+
+
 def test_deterministic_split_semantics(spark):
     """Total partition, deterministic, first split monotone in its own
     size, consistent with deterministic_sample's kept set (a 100-milli
