@@ -56,6 +56,7 @@ def main(n: int = 3000) -> None:
     from delver_spark.operators.dedup import cut_spans, duplicate_spans
     from delver_spark.functions import ngram_lm
     from delver_spark.operators.textstats import (deterministic_sample,
+                                                  mixture_upsample,
                                                   scrubbed_text)
     from delver_spark.session import get_spark
 
@@ -92,7 +93,8 @@ def main(n: int = 3000) -> None:
         counts_lm = ngram_lm.train_ngram_lm(deterministic_sample(kept, 100))
         scored = ngram_lm.lm_score(kept, counts_lm, min_count=2)
         buckets = ngram_lm.lm_partition(scored)
-        lm_kept = buckets.filter("lm_bucket <> 'tail'").select("doc_id")
+        lm_kept = buckets.filter("lm_bucket <> 'tail'") \
+            .select("doc_id", "lm_bucket")
         kept = (kept.join(lm_kept, "doc_id")
                 .localCheckpoint(eager=True))
         t1b = time.perf_counter() - t0
@@ -129,16 +131,33 @@ def main(n: int = 3000) -> None:
         print(f"4. bpe tokenize      {t4:6.2f}s  {len(merges)} merges, "
               f"{tot} tokens")
 
-        # 5. cut fixed 512-token training samples over the doc stream
+        # 4b. mixture weighting: repeat the LM head 2.5x (the CCNet /
+        # LLaMA recipe — high-quality sources get extra epochs) before
+        # packing; the sample key becomes (doc_id, epoch), so the pack
+        # order key is doc_id*4 + epoch (epoch <= 2 here)
         t0 = time.perf_counter()
-        packed = pack_sequences(counts, "n_bpe_tokens", "doc_id", 512,
+        mixed = (mixture_upsample(
+            counts.join(clean.select("doc_id", "lm_bucket"), "doc_id"),
+            {"head": 2500, "middle": 1000}, group_col="lm_bucket")
+            .withColumn("_ord", F.col("doc_id") * 4 + F.col("epoch"))
+            .localCheckpoint(eager=True))
+        t4b = time.perf_counter() - t0
+        n_docs, n_mix = counts.count(), mixed.count()
+        print(f"4b. mixture upsample {t4b:6.2f}s  {n_docs} docs -> "
+              f"{n_mix} doc-epochs (head x2.5)")
+
+        # 5. cut fixed 512-token training samples over the doc-epoch
+        # stream
+        t0 = time.perf_counter()
+        packed = pack_sequences(mixed, "n_bpe_tokens", "_ord", 512,
                                 scale_safe=True)
         max_seq = packed.agg(F.max("seq_last")).collect()[0][0]
         n_seq = int(max_seq) + 1 if max_seq is not None else 0
         t5 = time.perf_counter() - t0
         print(f"5. pack sequences    {t5:6.2f}s  {n_seq} samples of 512 "
               f"tokens")
-        print(f"total {t1 + t1b + t2 + t3 + t4 + t5:.2f}s for {n} docs")
+        print(f"total {t1 + t1b + t2 + t3 + t4 + t4b + t5:.2f}s "
+              f"for {n} docs")
     finally:
         spark.stop()
 
