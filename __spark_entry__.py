@@ -1062,10 +1062,12 @@ _UP_RATES = {"en": 2100, "zh": 1400}
 def sample_ops(spark, sf):
     """Deterministic hash-rate sampling + per-language quota +
     per-language mixture weighting + epoch upsampling (rates > 1.0,
-    r5-s10) in ONE tagged driver entry (consolidated r5-s9 to free a
-    gate slot, same 50-slot policy as x14+o6). The union's (op,
-    doc_id) key is no longer unique (upsampled epochs), so the total
-    order adds v1."""
+    r5-s10) + seeded global shuffle order (r5-s10, the
+    pack-decorrelation step — rank in the md5-seeded permutation via
+    assign_global_rank, twin = one SQL window) in ONE tagged driver
+    entry (consolidated r5-s9 to free a gate slot, same 50-slot policy
+    as x14+o6). The union's (op, doc_id) key is no longer unique
+    (upsampled epochs), so the total order adds v1."""
     a = sample_deterministic(spark, sf).select(
         F.lit("det").alias("op"), "doc_id", "lang",
         F.col("n_chars").cast("long").alias("v1"),
@@ -1090,8 +1092,13 @@ def sample_ops(spark, sf):
         F.lit("up").alias("op"), "doc_id", "lang",
         F.col("epoch").cast("long").alias("v1"),
         F.col("n_chars").cast("long").alias("v2"))
+    from delver_spark.operators.assemble import shuffle_order
+    g = shuffle_order(_t(spark, sf, "documents"), seed=3).select(
+        F.lit("shuf").alias("op"), "doc_id", "lang",
+        F.col("shuffle_rank").cast("long").alias("v1"),
+        F.col("n_chars").cast("long").alias("v2"))
     return a.unionByName(b).unionByName(c).unionByName(d) \
-        .unionByName(e).orderBy("op", "doc_id", "v1")
+        .unionByName(e).unionByName(g).orderBy("op", "doc_id", "v1")
 
 
 def export_webdataset_manifest(spark, sf):
@@ -2050,6 +2057,13 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0, r // 1000)) AS g(e)
             WHERE e < r // 1000
                OR b * 1000 < (r % 1000) * 4294967296
+            UNION ALL
+            SELECT 'shuf', doc_id, lang,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS BIGINT),
+                   CAST(n_chars AS BIGINT)
+            FROM documents
             ORDER BY op, doc_id, v1
         """,
         "export_webdataset_manifest": """

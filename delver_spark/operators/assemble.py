@@ -193,6 +193,38 @@ def pack_sequences(df: DataFrame, tokens_col: str, order_col: str,
             .drop("_c"))
 
 
+def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
+                  out_col: str = "shuffle_rank") -> DataFrame:
+    """Deterministic global shuffle order — the step BEFORE sequence
+    packing that real training pipelines need: pack_sequences
+    concatenates documents in ``order_col`` order, and feeding it
+    ingestion order (doc_id) puts every document next to its crawl
+    neighbors, correlating adjacent training samples. This assigns each
+    row its dense 0-based position in the seeded pseudorandom
+    permutation ``sort by (md5(seed || ':' || id), id)`` — a
+    reproducible shuffle that is partition-invariant (the hash is a
+    pure function of the row, the rank comes from
+    frontier.assign_global_rank: hash-shuffle on the first hash byte —
+    a monotone pid — + one tiny offsets collect; no single-partition
+    window, no rand(seed), which Spark seeds PER PARTITION). Different
+    ``seed`` values give independent permutations (epoch reshuffling).
+
+    ``id_col`` must be unique and non-null: NULL ids all hash to
+    md5(seed) and tie-break on a NULL key, making their relative order
+    ill-defined. Output ranks are exactly 0..n-1, so ``out_col`` feeds
+    ``pack_sequences(order_col=...)`` (non-negative numeric unique)
+    directly; for upsampled mixes shuffle AFTER mixture_upsample with
+    a composite id (e.g. id*8+epoch) so copies scatter too."""
+    from .frontier import assign_global_rank
+
+    h = F.md5(F.concat(F.lit(f"{int(seed)}:"),
+                       F.col(id_col).cast("string")))
+    d = df.withColumn("_sh", h)
+    pid = F.conv(F.substring("_sh", 1, 2), 16, 10)
+    return assign_global_rank(d, ["_sh", id_col], pid,
+                              out_col=out_col).drop("_sh")
+
+
 def assembly_report(assembled: DataFrame) -> DataFrame:
     """Per-stage loss accounting over assemble_training_set output:
     (drop_stage, n) with null = the final kept count."""

@@ -274,6 +274,38 @@ def test_pack_shards_semantics(spark):
     assert got == want
 
 
+def test_shuffle_order_semantics(spark):
+    """Seeded deterministic global shuffle: ranks equal the local
+    reference permutation sort-by-(md5(seed:id), id), are exactly
+    0..n-1, partition-invariant, and seed-dependent."""
+    import hashlib
+
+    from delver_spark.operators.assemble import shuffle_order
+
+    df = spark.range(500).selectExpr("id * 13 AS doc_id",
+                                     "CAST(id % 7 AS LONG) AS payload")
+    got = {r.doc_id: r.shuffle_rank
+           for r in shuffle_order(df, seed=3).collect()}
+    ids = [i * 13 for i in range(500)]
+    order = sorted(ids, key=lambda i: (
+        hashlib.md5(f"3:{i}".encode()).hexdigest(), i))
+    want = {i: rank for rank, i in enumerate(order)}
+    assert got == want
+    assert sorted(got.values()) == list(range(500))
+    # partition-invariant
+    again = {r.doc_id: r.shuffle_rank
+             for r in shuffle_order(df.repartition(11), seed=3).collect()}
+    assert again == got
+    # a different seed gives a different permutation, same rank set
+    other = {r.doc_id: r.shuffle_rank
+             for r in shuffle_order(df, seed=4).collect()}
+    assert other != got
+    assert sorted(other.values()) == list(range(500))
+    # payload columns ride along untouched
+    row = shuffle_order(df, seed=3).filter("doc_id = 26").collect()[0]
+    assert row.payload == 2
+
+
 def test_pack_shards_scale_safe_equal(spark):
     from delver_spark.operators.assemble import pack_shards
 
