@@ -52,7 +52,8 @@ def main(n: int = 3000) -> None:
     from delver_spark.functions import bpe
     from delver_spark.operators.assemble import (assemble_training_set,
                                                  assembly_report,
-                                                 pack_sequences)
+                                                 pack_sequences,
+                                                 shuffle_order)
     from delver_spark.operators.dedup import cut_spans, duplicate_spans
     from delver_spark.functions import ngram_lm
     from delver_spark.operators.textstats import (deterministic_sample,
@@ -132,25 +133,27 @@ def main(n: int = 3000) -> None:
               f"{tot} tokens")
 
         # 4b. mixture weighting: repeat the LM head 2.5x (the CCNet /
-        # LLaMA recipe — high-quality sources get extra epochs) before
-        # packing; the sample key becomes (doc_id, epoch), so the pack
-        # order key is doc_id*4 + epoch (epoch <= 2 here)
+        # LLaMA recipe — high-quality sources get extra epochs), then
+        # SHUFFLE the (doc_id, epoch) copies into a seeded
+        # deterministic permutation so adjacent training samples
+        # decorrelate from crawl order (and epoch copies scatter)
         t0 = time.perf_counter()
         mixed = (mixture_upsample(
             counts.join(clean.select("doc_id", "lm_bucket"), "doc_id"),
             {"head": 2500, "middle": 1000}, group_col="lm_bucket")
-            .withColumn("_ord", F.col("doc_id") * 4 + F.col("epoch"))
-            .localCheckpoint(eager=True))
+            .withColumn("_cid", F.col("doc_id") * 4 + F.col("epoch")))
+        mixed = (shuffle_order(mixed, id_col="_cid", seed=1)
+                 .localCheckpoint(eager=True))
         t4b = time.perf_counter() - t0
         n_docs, n_mix = counts.count(), mixed.count()
-        print(f"4b. mixture upsample {t4b:6.2f}s  {n_docs} docs -> "
-              f"{n_mix} doc-epochs (head x2.5)")
+        print(f"4b. mix + shuffle    {t4b:6.2f}s  {n_docs} docs -> "
+              f"{n_mix} doc-epochs (head x2.5, seeded permutation)")
 
-        # 5. cut fixed 512-token training samples over the doc-epoch
-        # stream
+        # 5. cut fixed 512-token training samples over the shuffled
+        # doc-epoch stream
         t0 = time.perf_counter()
-        packed = pack_sequences(mixed, "n_bpe_tokens", "_ord", 512,
-                                scale_safe=True)
+        packed = pack_sequences(mixed, "n_bpe_tokens", "shuffle_rank",
+                                512, scale_safe=True)
         max_seq = packed.agg(F.max("seq_last")).collect()[0][0]
         n_seq = int(max_seq) + 1 if max_seq is not None else 0
         t5 = time.perf_counter() - t0
