@@ -123,8 +123,7 @@ def assemble_training_set(docs: DataFrame, bench: DataFrame | None = None,
         d = d.withColumn("_s4", F.col("_s3"))
 
     if rate_milli is not None:
-        bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
-                                    1, 8), 16, 10).cast("long")
+        bucket = _txt._md5_bucket(id_col)
         d = d.withColumn("_s5", F.col("_s4")
                          & (bucket * 1000 < F.lit(rate_milli) * (1 << 32)))
     else:

@@ -493,6 +493,31 @@ def ngram_decontaminate_bloom(docs: DataFrame, bench: DataFrame,
             .orderBy(id_col))
 
 
+def _md5_bucket(id_col: str):
+    """THE cross-engine sampling hash: first 8 hex chars of
+    md5(CAST(id AS string)) as a long in [0, 2^32). Every sampling /
+    splitting / mixing operator below and every DuckDB oracle twin
+    (``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)``) derives from
+    this single definition — change it here and in the twins together,
+    nowhere else."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
+def _group_rate(rates_milli: dict[str, int], group_col: str,
+                default_milli: int):
+    """Per-group milli-rate Column: the sorted rate map compiled into
+    the plan via element_at(create_map), absent/NULL groups taking the
+    default. Shared by mixture_sample / mixture_upsample so their
+    group semantics cannot drift."""
+    pairs = []
+    for g, r in sorted(rates_milli.items()):
+        pairs += [F.lit(g), F.lit(int(r))]
+    return (F.coalesce(F.element_at(F.create_map(*pairs), F.col(group_col)),
+                       F.lit(int(default_milli))) if pairs
+            else F.lit(int(default_milli))).cast("long")
+
+
 def deterministic_sample(df: DataFrame, rate_milli: int,
                          id_col: str = "doc_id") -> DataFrame:
     """Reproducible corpus down-sampling: keep a row iff the first 8 hex
@@ -505,9 +530,8 @@ def deterministic_sample(df: DataFrame, rate_milli: int,
     fraction is rate ± O(1/√n). One narrow projection + filter —
     whole-stage codegen, no shuffle at all (callers needing a sorted
     artifact order the output themselves, as the driver query does)."""
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                    16, 10).cast("long")
-    return df.filter(bucket * 1000 < F.lit(rate_milli) * (1 << 32))
+    return df.filter(
+        _md5_bucket(id_col) * 1000 < F.lit(rate_milli) * (1 << 32))
 
 
 def deterministic_split(df: DataFrame, splits_milli: dict[str, int],
@@ -527,8 +551,7 @@ def deterministic_split(df: DataFrame, splits_milli: dict[str, int],
     if sum(splits_milli.values()) != 1000 or not splits_milli \
             or any(v < 0 for v in splits_milli.values()):
         raise ValueError("split fractions must be >= 0 and sum to 1000")
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                    16, 10).cast("long")
+    bucket = _md5_bucket(id_col)
     expr = None
     cum = 0
     for name, v in splits_milli.items():
@@ -556,15 +579,8 @@ def mixture_sample(df: DataFrame, rates_milli: dict[str, int],
     if not all(0 <= r <= 1000 for r in rates_milli.values()) \
             or not 0 <= default_milli <= 1000:
         raise ValueError("rates are milli-fractions in [0, 1000]")
-    pairs = []
-    for g, r in sorted(rates_milli.items()):
-        pairs += [F.lit(g), F.lit(int(r))]
-    rate = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col(group_col)),
-        F.lit(int(default_milli))) if pairs else F.lit(int(default_milli))
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                    16, 10).cast("long")
-    return df.filter(bucket * 1000 < rate.cast("long") * (1 << 32))
+    rate = _group_rate(rates_milli, group_col, default_milli)
+    return df.filter(_md5_bucket(id_col) * 1000 < rate * (1 << 32))
 
 
 def mixture_upsample(df: DataFrame, rates_milli: dict[str, int],
@@ -594,17 +610,18 @@ def mixture_upsample(df: DataFrame, rates_milli: dict[str, int],
     no Python; the per-row fan-out is the group's epoch count (a
     training mix's repeats are single digits), so the op stays
     map-side at any corpus size."""
-    if not all(r >= 0 for r in rates_milli.values()) or default_milli < 0:
-        raise ValueError("rates are non-negative milli-fractions "
-                         "(1000 = one epoch)")
-    pairs = []
-    for g, r in sorted(rates_milli.items()):
-        pairs += [F.lit(g), F.lit(int(r))]
-    rate = (F.coalesce(F.element_at(F.create_map(*pairs), F.col(group_col)),
-                       F.lit(int(default_milli))) if pairs
-            else F.lit(int(default_milli))).cast("long")
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                    16, 10).cast("long")
+    # integer milli-rates only (2.5 meaning "2.5 epochs" would silently
+    # truncate in F.lit(int(r))), and a generous sanity cap: training
+    # mixes repeat sources single-digit times; 100 epochs (100_000
+    # milli) bounds the explode fan-out so a unit-confusion typo
+    # (micro-fractions, percents x1000) fails loudly instead of
+    # becoming a map-side row bomb at corpus scale.
+    vals = list(rates_milli.values()) + [default_milli]
+    if not all(isinstance(r, int) and 0 <= r <= 100_000 for r in vals):
+        raise ValueError("rates are integer milli-fractions in "
+                         "[0, 100000] (1000 = one epoch)")
+    rate = _group_rate(rates_milli, group_col, default_milli)
+    bucket = _md5_bucket(id_col)
     d = (df.withColumn("_rate", rate)
            .withColumn("_nfull", F.expr("_rate div 1000"))
            .withColumn("_b", bucket)

@@ -141,7 +141,7 @@ def main(n: int = 3000) -> None:
         mixed = (mixture_upsample(
             counts.join(clean.select("doc_id", "lm_bucket"), "doc_id"),
             {"head": 2500, "middle": 1000}, group_col="lm_bucket")
-            .withColumn("_cid", F.col("doc_id") * 4 + F.col("epoch")))
+            .withColumn("_cid", F.col("doc_id") * 8 + F.col("epoch")))
         mixed = (shuffle_order(mixed, id_col="_cid", seed=1)
                  .localCheckpoint(eager=True))
         t4b = time.perf_counter() - t0
